@@ -1,0 +1,311 @@
+"""CDC epoch driver: binlog tail -> convert -> schema-merge -> LWW dedup ->
+bucketed upsert -> exactly-once manifest commit.
+
+The driver loop is the analog of the reference's Kafka tailer
+(``GetGeoMesaKafkaRecord.scala:263-304``): instead of consumer threads and
+a SynchronousQueue handoff, the driver reads the next uncommitted offset
+range of the change log as a lazy ``ray.data.Dataset``, streams it through
+the pipeline, and atomically commits ``(epoch, offsets, bucket manifests)``.
+Crash before commit => the epoch replays idempotently (deterministic bucket
+files at deterministic paths), which upgrades the reference's
+at-least-once + content-hash-idempotence into exactly-once.
+
+Pipeline per epoch (all stages stream with backpressure; nothing
+materializes the full input):
+
+    read_parquet(epoch slice, pruned columns)
+      -> map_batches(convert, batch_format="pyarrow")   # html->text kernel,
+             schema projection, content-hash, bucket, per-batch partial LWW
+      -> groupby("bucket").map_groups(bucket_merger)    # THE one shuffle:
+             co-partition changes with the lake layout (SURVEY.md §7.4)
+      -> tiny lineage table -> manifest commit on the driver
+
+Skew: the per-batch partial LWW inside convert collapses hot-url
+duplicates before the shuffle (combiner pattern), so a url with 10^6
+duplicate events contributes at most one row per input block to the
+exchange. Bucket count P (fixed in ``_table.json``) spreads hot host
+prefixes across buckets because bucketing hashes the full url.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from geomesa_nifi_ray.hashing import add_hash_and_bucket, digest_of_hashes
+from geomesa_nifi_ray.lake import LakeTable
+from geomesa_nifi_ray.schema import (
+    CompatibilityMode,
+    SchemaError,
+    merge_schemas,
+    project_to_schema,
+)
+from geomesa_nifi_ray.text import TEXT_KERNEL_VERSION, extract_text_batch
+from geomesa_nifi_ray.upsert import lww_dedupe, merge_update, merge_upsert
+
+logger = logging.getLogger(__name__)
+
+# columns the engine computes; excluded from the input-vs-stored schema check
+COMPUTED_COLUMNS = ("text", "content_hash")
+
+PAGE_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("html", pa.large_binary()),
+        pa.field("text", pa.large_string()),
+        pa.field("lang", pa.string()),
+        pa.field("content_hash", pa.string()),
+        pa.field("offset", pa.int64()),
+    ]
+)
+
+
+@dataclass
+class EpochResult:
+    epoch: int
+    rows_in: int
+    rows_applied: int          # change rows surviving dedup + merge input
+    rows_failed: int           # dead-lettered (null key/ts/html) + no-match updates
+    buckets_touched: int
+    buckets_carried: int
+    table_rows: int
+    manifest: dict = field(repr=False, default_factory=dict)
+
+
+def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str, order: list[str]):
+    """Build the vectorized convert kernel for one epoch.
+
+    Re-expresses the reference's converter chain + schema adapter
+    (``ConvertInputProcessor.scala:81-129``, ``AvroToPutGeoMesa.scala:201-222``)
+    as a single Arrow batch transform:
+      1. dead-letter rows with null url/warc_ts/html (bad-record skip,
+         ``PutGeoMesaRecord.scala:93-103``),
+      2. recompute ``text`` from ``html`` with the versioned pure kernel,
+      3. project to the stored schema (drop extras / null-fill / cast),
+      4. append ``content_hash`` + ``bucket``,
+      5. per-batch partial LWW (combiner before the shuffle).
+    """
+    pre_hash_schema = pa.schema([f for f in stored_schema if f.name != "content_hash"])
+
+    def convert(batch: pa.Table) -> pa.Table:
+        valid = pc.and_(
+            pc.and_(pc.is_valid(batch[key]), pc.is_valid(batch["warc_ts"])),
+            pc.is_valid(batch["html"]),
+        )
+        batch = batch.filter(valid)
+        if batch.num_rows == 0:
+            out = stored_schema.empty_table()
+            return out.append_column("bucket", pa.array([], type=pa.int32()))
+        text = extract_text_batch(batch["html"])
+        if "text" in batch.column_names:
+            batch = batch.drop_columns(["text"])
+        batch = batch.append_column("text", text)
+        batch = project_to_schema(batch, pre_hash_schema)
+        batch = add_hash_and_bucket(batch, num_buckets, url_col=key)
+        batch = lww_dedupe(batch, key, order)
+        # order columns to the stored schema + bucket
+        return batch.select([f.name for f in stored_schema] + ["bucket"])
+
+    return convert
+
+
+def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict], mode: str = "upsert"):
+    """Per-bucket merge task run inside ``groupby('bucket').map_groups``.
+
+    Each invocation owns one full bucket: it reads the bucket's current
+    lake file (if any), merges the epoch's change rows under LWW (or
+    partial-update) semantics, writes the new bucket file atomically at a
+    deterministic path, and returns one lineage row. This is the actor-held
+    ``FeatureWriters`` analog (``mixins/FeatureWriters.scala``) with the
+    pooled-writer flush replaced by epoch-scoped files.
+    """
+    stored_schema = table.schema
+    key, order = table.key, table.order
+    sort_key = key
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        bucket = group["bucket"][0].as_py()
+        changes = group.drop_columns(["bucket"])
+        entry = live.get(bucket)
+        base = None
+        if entry is not None:
+            base = project_to_schema(pq.read_table(table.abs_path(entry["file"])), stored_schema)
+        failed = 0
+        if mode == "upsert":
+            changes = project_to_schema(changes, stored_schema)
+            merged = merge_upsert(base, changes, key, order)
+        else:
+            merged, failed = merge_update(base, changes, key, order)
+            merged = project_to_schema(merged, stored_schema)
+        merged = merged.take(pc.sort_indices(merged, sort_keys=[(sort_key, "ascending")]))
+        rel = table.write_bucket_file(merged, bucket, epoch)
+        digest = digest_of_hashes(merged["content_hash"].to_pylist())
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], type=pa.int32()),
+                "file": pa.array([rel], type=pa.string()),
+                "rows": pa.array([merged.num_rows], type=pa.int64()),
+                "rows_changed": pa.array([group.num_rows], type=pa.int64()),
+                "rows_failed": pa.array([failed], type=pa.int64()),
+                "digest": pa.array([digest], type=pa.string()),
+            }
+        )
+
+    return merge_bucket
+
+
+class CDCEngine:
+    """Driver-side orchestration: schema registry, epoch cursor, lineage.
+
+    The NiFi scheduler + controller-service analog (SURVEY.md §7.3 "driver
+    state"). Holds no Ray session: callers own ``ray.init``.
+    """
+
+    def __init__(
+        self,
+        lake_root: str,
+        table_name: str = "pages",
+        num_buckets: int = 64,
+        compatibility: CompatibilityMode = CompatibilityMode.EXISTING,
+        schema: pa.Schema = PAGE_SCHEMA,
+    ):
+        self.lake_root = lake_root
+        self.table_name = table_name
+        self.compatibility = compatibility
+        if LakeTable.exists(lake_root, table_name):
+            self.table = LakeTable.load(lake_root, table_name)
+        else:
+            self.table = LakeTable.create(lake_root, table_name, schema, num_buckets)
+
+    # -- epoch application --------------------------------------------------
+
+    def apply_epoch(
+        self,
+        source,
+        epoch: int,
+        offset_range: tuple[int, int] | None = None,
+        mode: str = "upsert",
+        batch_size: int = 1024,
+    ) -> EpochResult | None:
+        """Apply one epoch of change events. ``source`` is a parquet path
+        (str or list) or a ``ray.data.Dataset``. Idempotent: an epoch at or
+        below the committed cursor is skipped."""
+        import ray.data
+
+        committed = self.table.committed_epoch()
+        if committed is not None and epoch <= committed:
+            logger.info("epoch %d already committed; skipping", epoch)
+            return None
+        expected = 0 if committed is None else committed + 1
+        if epoch != expected:
+            raise SchemaError(f"epoch {epoch} out of order; next expected {expected}")
+
+        if isinstance(source, (str, list)):
+            paths = [source] if isinstance(source, str) else list(source)
+            incoming_schema = pq.read_schema(paths[0])
+            rows_in = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+            ds = ray.data.read_parquet(paths)
+        else:
+            ds = source
+            incoming_schema = pa.schema(ds.schema().base_schema)
+            rows_in = ds.count()
+
+        # schema reconciliation, once per epoch on the driver (§1.3)
+        merge = merge_schemas(
+            self.table.schema, incoming_schema, self.compatibility, ignore=COMPUTED_COLUMNS
+        )
+        if merge.evolved:
+            self.table.set_schema(merge.schema)
+            logger.info("schema evolved: +%s", merge.added_columns)
+        for w in merge.warnings:
+            logger.warning("%s", w)
+        stored_schema = self.table.schema
+
+        live = self.table.live_entries()
+        convert = make_convert_fn(stored_schema, self.table.num_buckets, self.table.key, self.table.order)
+        merger = make_bucket_merger(self.table, epoch, live, mode=mode)
+
+        lineage_ds = (
+            ds.map_batches(convert, batch_format="pyarrow", batch_size=batch_size)
+            .groupby("bucket")
+            .map_groups(merger, batch_format="pyarrow")
+        )
+        lineage = lineage_ds.take_all()  # one small row per touched bucket
+
+        touched = {r["bucket"]: r for r in lineage}
+        buckets: dict[str, dict] = {}
+        for b, r in touched.items():
+            buckets[str(b)] = {
+                "file": r["file"],
+                "rows": int(r["rows"]),
+                "rows_changed": int(r["rows_changed"]),
+                "digest": r["digest"],
+            }
+        carried = 0
+        for b, entry in live.items():
+            if b not in touched:
+                buckets[str(b)] = {
+                    "file": entry["file"],
+                    "rows": int(entry["rows"]),
+                    "rows_changed": 0,
+                    "digest": entry["digest"],
+                }
+                carried += 1
+
+        rows_applied = sum(int(r["rows_changed"]) for r in touched.values())
+        rows_failed = (rows_in - rows_applied) if mode == "upsert" else sum(
+            int(r["rows_failed"]) for r in touched.values()
+        )
+        if offset_range is None:
+            offset_range = (-1, -1)
+        manifest = {
+            "epoch": epoch,
+            "table": self.table_name,
+            "offset_min": int(offset_range[0]),
+            "offset_max": int(offset_range[1]),
+            "rows_in": int(rows_in),
+            "rows_applied": int(rows_applied),
+            "rows_failed": int(rows_failed),
+            "mode": mode,
+            "schema_version": self.table.meta["schema_version"],
+            "schema_fingerprint": self.table.schema_fingerprint(),
+            "kernel_version": TEXT_KERNEL_VERSION,
+            "buckets": buckets,
+        }
+        self.table.commit_epoch(manifest)
+        return EpochResult(
+            epoch=epoch,
+            rows_in=rows_in,
+            rows_applied=rows_applied,
+            rows_failed=rows_failed,
+            buckets_touched=len(touched),
+            buckets_carried=carried,
+            table_rows=sum(int(e["rows"]) for e in buckets.values()),
+            manifest=manifest,
+        )
+
+    # -- replay / resume ----------------------------------------------------
+
+    def replay_binlog(self, binlog_meta: dict, mode: str = "upsert") -> list[EpochResult]:
+        """Run all uncommitted epochs of a binlog (resume-aware). The
+        descriptor is the dict written by ``synth.write_binlog`` or any
+        object with ``epochs: [{epoch, path, offset_min, offset_max}]``."""
+        results = []
+        for e in binlog_meta["epochs"]:
+            r = self.apply_epoch(
+                e["path"],
+                epoch=int(e["epoch"]),
+                offset_range=(e["offset_min"], e["offset_max"]),
+                mode=mode,
+            )
+            if r is not None:
+                results.append(r)
+        return results
+
+    def snapshot(self, columns: list[str] | None = None):
+        return self.table.snapshot_dataset(columns=columns)

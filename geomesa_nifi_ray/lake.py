@@ -1,0 +1,247 @@
+"""Bucketed Parquet lake with an epoch/manifest commit log (exactly-once sink).
+
+The lake is the engine's ``DataStore`` analog
+(``geomesa-datastore-bundle/…/services/DataStoreService.java:15-31``): a
+keyed, schema'd mutable table. Layout::
+
+    <root>/<table>/
+        _table.json              # schema, key, order cols, bucket count P, versions
+        _log/epoch-00000.json    # one manifest per committed epoch (the commit log)
+        data/bucket=<b>/epoch-<e>.parquet   # full bucket state as of epoch e
+
+Exactly-once protocol (the strict form of the reference's
+commit-offsets-after-durable-write, ``GetGeoMesaKafkaRecord.scala:294-302``):
+
+1. every epoch writes bucket files to *deterministic* paths via tmp+rename —
+   a replayed epoch overwrites identical content, never duplicates;
+2. the epoch manifest (offset range, per-bucket file list, row counts,
+   content-hash digests, schema + kernel versions) is committed by a single
+   atomic rename of ``_log/epoch-<e>.json``;
+3. readers resolve the live file set *only* through the latest manifest —
+   data files not referenced by a committed manifest are invisible;
+4. resume = max committed epoch + 1; a crash between data write and
+   manifest commit simply replays the epoch (bit-identical results).
+
+Buckets untouched by an epoch carry their previous file pointer forward in
+the manifest (copy-on-write, no rewrite) — at 100 TB an epoch touching 1%
+of keys rewrites ~1% of the lake.
+
+``num_buckets`` (P) is fixed at table creation and recorded in
+``_table.json`` so the partition layout is identical on any cluster size
+(SURVEY.md §7.5); scaling comes from assigning more buckets per node.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from geomesa_nifi_ray.schema import (
+    SchemaError,
+    project_to_schema,
+    schema_fingerprint,
+    schema_from_json,
+    schema_to_json,
+)
+from geomesa_nifi_ray.text import TEXT_KERNEL_VERSION
+
+TABLE_META = "_table.json"
+LOG_DIR = "_log"
+DATA_DIR = "data"
+
+
+def _atomic_write_json(path: str, payload: dict) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class LakeTable:
+    """Handle to one lake table; cheap to construct, safe to use from tasks."""
+
+    def __init__(self, root: str, name: str):
+        self.root = root
+        self.name = name
+        self.table_dir = os.path.join(root, name)
+        self._meta: dict | None = None
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        name: str,
+        schema: pa.Schema,
+        num_buckets: int,
+        key: str = "url",
+        order: tuple[str, ...] = ("warc_ts", "offset"),
+        exist_ok: bool = False,
+    ) -> "LakeTable":
+        t = cls(root, name)
+        if os.path.exists(os.path.join(t.table_dir, TABLE_META)):
+            if exist_ok:
+                return cls.load(root, name)
+            raise FileExistsError(f"table {name} already exists under {root}")
+        os.makedirs(os.path.join(t.table_dir, LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(t.table_dir, DATA_DIR), exist_ok=True)
+        meta = {
+            "name": name,
+            "key": key,
+            "order": list(order),
+            "num_buckets": int(num_buckets),
+            "schema": schema_to_json(schema),
+            "schema_version": 0,
+            "kernel_version": TEXT_KERNEL_VERSION,
+        }
+        _atomic_write_json(os.path.join(t.table_dir, TABLE_META), meta)
+        t._meta = meta
+        return t
+
+    @classmethod
+    def load(cls, root: str, name: str) -> "LakeTable":
+        t = cls(root, name)
+        t.meta  # force read, raises if absent
+        return t
+
+    @classmethod
+    def exists(cls, root: str, name: str) -> bool:
+        return os.path.exists(os.path.join(root, name, TABLE_META))
+
+    @property
+    def meta(self) -> dict:
+        if self._meta is None:
+            with open(os.path.join(self.table_dir, TABLE_META)) as f:
+                self._meta = json.load(f)
+        return self._meta
+
+    @property
+    def schema(self) -> pa.Schema:
+        return schema_from_json(self.meta["schema"])
+
+    @property
+    def num_buckets(self) -> int:
+        return int(self.meta["num_buckets"])
+
+    @property
+    def key(self) -> str:
+        return self.meta["key"]
+
+    @property
+    def order(self) -> list[str]:
+        return list(self.meta["order"])
+
+    def set_schema(self, new_schema: pa.Schema) -> None:
+        """Widen the stored schema (Update compatibility mode). Epoch
+        boundaries are the only safe evolution point (SURVEY.md §7.5); old
+        bucket files are read with null-fill projection, never rewritten
+        (cf. writer invalidation in ``DataStoreIngestProcessor.scala:245-251``)."""
+        meta = dict(self.meta)
+        meta["schema"] = schema_to_json(new_schema)
+        meta["schema_version"] = int(meta["schema_version"]) + 1
+        _atomic_write_json(os.path.join(self.table_dir, TABLE_META), meta)
+        self._meta = meta
+
+    # -- commit log ---------------------------------------------------------
+
+    def _log_path(self, epoch: int) -> str:
+        return os.path.join(self.table_dir, LOG_DIR, f"epoch-{epoch:05d}.json")
+
+    def committed_epoch(self) -> int | None:
+        log_dir = os.path.join(self.table_dir, LOG_DIR)
+        if not os.path.isdir(log_dir):
+            return None
+        epochs = [
+            int(n[len("epoch-") : -len(".json")])
+            for n in os.listdir(log_dir)
+            if n.startswith("epoch-") and n.endswith(".json")
+        ]
+        return max(epochs) if epochs else None
+
+    def manifest(self, epoch: int) -> dict:
+        with open(self._log_path(epoch)) as f:
+            return json.load(f)
+
+    def commit_epoch(self, manifest: dict) -> None:
+        epoch = int(manifest["epoch"])
+        committed = self.committed_epoch()
+        expected = 0 if committed is None else committed + 1
+        if epoch < expected:
+            # idempotent replay of an already-committed epoch: results are
+            # deterministic, nothing to do
+            return
+        if epoch > expected:
+            raise SchemaError(f"cannot commit epoch {epoch}; next expected is {expected}")
+        _atomic_write_json(self._log_path(epoch), manifest)
+
+    # -- data files ---------------------------------------------------------
+
+    def bucket_file(self, bucket: int, epoch: int) -> str:
+        """Deterministic relative path for a bucket's state as of an epoch."""
+        return os.path.join(DATA_DIR, f"bucket={bucket:05d}", f"epoch-{epoch:05d}.parquet")
+
+    def abs_path(self, rel: str) -> str:
+        return os.path.join(self.table_dir, rel)
+
+    def live_entries(self, epoch: int | None = None) -> dict[int, dict]:
+        """bucket -> manifest entry ({file, rows, digest}) at a given epoch
+        (default: latest committed). Empty dict for an empty table."""
+        if epoch is None:
+            epoch = self.committed_epoch()
+        if epoch is None:
+            return {}
+        m = self.manifest(epoch)
+        return {int(b): e for b, e in m["buckets"].items()}
+
+    def write_bucket_file(self, table: pa.Table, bucket: int, epoch: int) -> str:
+        """Write one bucket's merged state atomically; returns the relative
+        path. Deterministic content + deterministic path = idempotent replay."""
+        rel = self.bucket_file(bucket, epoch)
+        path = self.abs_path(rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(table, tmp, compression="zstd", write_statistics=True)
+        os.replace(tmp, path)
+        return rel
+
+    # -- reads --------------------------------------------------------------
+
+    def snapshot_files(self, epoch: int | None = None) -> list[str]:
+        return [self.abs_path(e["file"]) for e in self.live_entries(epoch).values()]
+
+    def snapshot_dataset(self, epoch: int | None = None, columns: list[str] | None = None):
+        """Lazy Ray Dataset over the live files, projected (null-fill) to the
+        current stored schema so pre-evolution files read uniformly."""
+        import ray.data
+
+        files = self.snapshot_files(epoch)
+        schema = self.schema
+        if columns is not None:
+            schema = pa.schema([schema.field(c) for c in columns])
+        if not files:
+            return ray.data.from_arrow(schema.empty_table())
+        ds = ray.data.read_parquet(files, columns=list(columns) if columns else None)
+        return ds.map_batches(
+            lambda t, s=schema: project_to_schema(t, s), batch_format="pyarrow"
+        )
+
+    def snapshot_table(self, epoch: int | None = None) -> pa.Table:
+        """Driver-side snapshot as one Arrow table — tests / small tables only."""
+        files = self.snapshot_files(epoch)
+        schema = self.schema
+        if not files:
+            return schema.empty_table()
+        parts = [project_to_schema(pq.read_table(f), schema) for f in sorted(files)]
+        out = pa.concat_tables(parts)
+        import pyarrow.compute as pc
+
+        return out.take(pc.sort_indices(out, sort_keys=[(self.key, "ascending")]))
+
+    def schema_fingerprint(self) -> str:
+        return schema_fingerprint(self.schema)

@@ -1,0 +1,203 @@
+"""Arrow schema reconciliation with Exact | Existing | Update modes.
+
+Re-implements the reference's three-valued ``CompatibilityMode`` schema
+check (``geomesa-datastore-bundle/…/processor/package.scala:92-95``,
+``mixins/DataStoreIngestProcessor.scala:225-301``) over ``pyarrow.Schema``:
+
+- table absent            -> create (caller's responsibility; see LakeTable)
+- input adds columns      -> Exact: error; Existing: warn & project input
+                             down to the stored schema; Update: widen the
+                             stored schema (new nullable columns appended)
+- input missing columns   -> null-filled on projection (the per-row Avro
+                             adapter behavior, ``AvroToPutGeoMesa.scala:201-222``)
+- column removed (Update asked to drop a stored column) -> hard error
+  (``DataStoreIngestProcessor.scala:294-296``) — we treat Update as purely
+  additive: missing input columns never remove stored ones
+- column type changed     -> hard error with per-column message (:298-301),
+  unless the change is a safe widening (int32->int64, float32->float64,
+  int->float, string->large_string …), which is applied by cast on
+  projection (the "assignable" passthrough of the Avro adapter).
+
+All functions are pure; the engine runs the check once per epoch on the
+driver (the reference memoizes per-SFT with an hourly refresh,
+``DataStoreIngestProcessor.scala:166-183`` — epoch scoping replaces the TTL)
+and applies the resulting projection as a vectorized ``map_batches`` stage.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class CompatibilityMode(enum.Enum):
+    EXACT = "exact"
+    EXISTING = "existing"
+    UPDATE = "update"
+
+
+class SchemaError(ValueError):
+    """Raised when an incoming schema cannot be reconciled with the stored
+    schema under the configured compatibility mode."""
+
+
+# Safe widening casts applied silently on projection ("assignable" types).
+_WIDENINGS: dict[tuple[str, str], bool] = {}
+
+
+def _is_assignable(src: pa.DataType, dst: pa.DataType) -> bool:
+    if src.equals(dst):
+        return True
+    numeric_rank = {
+        pa.int8(): 0, pa.int16(): 1, pa.int32(): 2, pa.int64(): 3,
+        pa.float32(): 4, pa.float64(): 5,
+    }
+    if src in numeric_rank and dst in numeric_rank:
+        return numeric_rank[src] <= numeric_rank[dst]
+    string_like = {pa.string(), pa.large_string()}
+    if src in string_like and dst in string_like:
+        return True
+    binary_like = {pa.binary(), pa.large_binary()}
+    if src in binary_like and dst in binary_like:
+        return True
+    if pa.types.is_timestamp(src) and pa.types.is_timestamp(dst):
+        return True
+    return False
+
+
+@dataclass
+class SchemaMergeResult:
+    schema: pa.Schema                      # stored schema after the merge
+    evolved: bool = False                  # True iff stored schema widened
+    added_columns: list[str] = field(default_factory=list)
+    projected_away: list[str] = field(default_factory=list)  # input cols dropped
+    null_filled: list[str] = field(default_factory=list)     # stored cols absent from input
+    warnings: list[str] = field(default_factory=list)
+
+
+def merge_schemas(
+    stored: pa.Schema,
+    incoming: pa.Schema,
+    mode: CompatibilityMode,
+    ignore: tuple[str, ...] = (),
+) -> SchemaMergeResult:
+    """Reconcile ``incoming`` with ``stored`` under ``mode``.
+
+    ``ignore`` lists engine-internal columns (e.g. computed ``text``,
+    ``content_hash``, ``bucket``) excluded from the comparison.
+    """
+    stored_fields = {f.name: f for f in stored if f.name not in ignore}
+    incoming_fields = {f.name: f for f in incoming if f.name not in ignore}
+
+    extra = [n for n in incoming_fields if n not in stored_fields]
+    missing = [n for n in stored_fields if n not in incoming_fields]
+    retyped: list[str] = []
+    for name, inf in incoming_fields.items():
+        sf = stored_fields.get(name)
+        if sf is None:
+            continue
+        if not _is_assignable(inf.type, sf.type):
+            if mode is CompatibilityMode.UPDATE and _is_assignable(sf.type, inf.type):
+                # widening type evolution requested by the input
+                retyped.append(name)
+            else:
+                raise SchemaError(
+                    f"column '{name}' type change {inf.type} -> {sf.type} is not supported"
+                )
+
+    result = SchemaMergeResult(schema=stored)
+
+    if mode is CompatibilityMode.EXACT:
+        if extra or missing or retyped:
+            raise SchemaError(
+                f"schema mismatch in Exact mode: extra={extra} missing={missing} retyped={retyped}"
+            )
+        return result
+
+    if mode is CompatibilityMode.EXISTING:
+        if extra:
+            result.projected_away = extra
+            result.warnings.append(f"projecting away input columns not in stored schema: {extra}")
+        if missing:
+            result.null_filled = missing
+            result.warnings.append(f"null-filling stored columns absent from input: {missing}")
+        return result
+
+    # UPDATE: widen stored schema — append new nullable columns, apply
+    # widening type changes, never remove.
+    new_fields = []
+    for f in stored:
+        if f.name in retyped:
+            new_fields.append(pa.field(f.name, incoming_fields[f.name].type, nullable=True))
+            result.evolved = True
+        else:
+            new_fields.append(f)
+    for name in extra:
+        new_fields.append(pa.field(name, incoming_fields[name].type, nullable=True))
+        result.evolved = True
+        result.added_columns.append(name)
+    if missing:
+        result.null_filled = missing
+    result.schema = pa.schema(new_fields, metadata=stored.metadata)
+    return result
+
+
+def project_to_schema(table: pa.Table, target: pa.Schema) -> pa.Table:
+    """Project an Arrow batch to ``target``: reorder by name, cast
+    assignable types, null-fill missing columns, drop extras.
+
+    The vectorized analog of the reference's per-row schema adapter
+    (``AvroToPutGeoMesa.scala:201-222``).
+    """
+    n = table.num_rows
+    cols = []
+    for f in target:
+        if f.name in table.column_names:
+            col = table[f.name]
+            if not col.type.equals(f.type):
+                col = pc.cast(col, f.type)
+            cols.append(col)
+        else:
+            cols.append(pa.nulls(n, type=f.type))
+    return pa.Table.from_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
+        schema=pa.schema([pa.field(f.name, f.type, nullable=True) for f in target]),
+    )
+
+
+def schema_fingerprint(schema: pa.Schema) -> str:
+    """Stable fingerprint of a schema (name:type pairs) for manifests."""
+    import hashlib
+
+    payload = ";".join(f"{f.name}:{f.type}" for f in schema)
+    return hashlib.md5(payload.encode("utf-8")).hexdigest()[:16]
+
+
+def schema_to_json(schema: pa.Schema) -> list[dict]:
+    return [{"name": f.name, "type": str(f.type)} for f in schema]
+
+
+_TYPE_PARSERS = {
+    "string": pa.string(), "large_string": pa.large_string(),
+    "binary": pa.binary(), "large_binary": pa.large_binary(),
+    "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(), "int64": pa.int64(),
+    "float": pa.float32(), "float32": pa.float32(),
+    "double": pa.float64(), "float64": pa.float64(),
+    "bool": pa.bool_(),
+    "timestamp[us]": pa.timestamp("us"),
+    "timestamp[ms]": pa.timestamp("ms"),
+    "timestamp[us, tz=UTC]": pa.timestamp("us", tz="UTC"),
+}
+
+
+def schema_from_json(fields: list[dict]) -> pa.Schema:
+    out = []
+    for f in fields:
+        t = _TYPE_PARSERS.get(f["type"])
+        if t is None:
+            raise SchemaError(f"cannot parse stored type {f['type']!r}")
+        out.append(pa.field(f["name"], t, nullable=True))
+    return pa.schema(out)
