@@ -1,0 +1,125 @@
+"""ANN search vs numpy oracle; text-analysis stages; multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from geomesa_nifi_ray.multimodal import (
+    AudioFeatureStage,
+    FrameSampleStage,
+    ImageDecodeStage,
+    synth_media_table,
+)
+from geomesa_nifi_ray.similarity import IVFIndex, _normalize, brute_force_topk
+from geomesa_nifi_ray.textstats import LangIdStage, QualityStage, add_fingerprint, add_token_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb_tbl():
+    return pq.read_table(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_brute_force_topk_matches_numpy(emb_ds, emb_tbl):
+    mat = _normalize(np.stack(emb_tbl["embedding"].to_pylist()).astype(np.float32))
+    ids = np.asarray(emb_tbl["vec_id"].to_pylist())
+    queries = mat[:3]
+    out = brute_force_topk(emb_ds, queries, k=5).to_pandas()
+    scores = queries @ mat.T
+    for qi in range(3):
+        # numpy oracle: top-5 by (cosine desc, vec_id asc)
+        order = np.lexsort((ids, -scores[qi]))[:5]
+        expected = set(ids[order])
+        got = set(out[out.query_id == qi].vec_id)
+        assert got == expected, f"query {qi}"
+
+
+def test_ivf_recall(emb_ds, emb_tbl):
+    mat = _normalize(np.stack(emb_tbl["embedding"].to_pylist()).astype(np.float32))
+    ids = np.asarray(emb_tbl["vec_id"].to_pylist())
+    queries = mat[10:13]
+    idx = IVFIndex(num_centroids=8, seed=5).fit(mat)
+    assigned = idx.assign(emb_ds)
+    out = idx.search(assigned, queries, k=5, nprobe=4).to_pandas()
+    scores = queries @ mat.T
+    recall = 0
+    for qi in range(3):
+        expected = set(ids[np.argsort(-scores[qi])[:5]])
+        got = set(out[out.query_id == qi].vec_id)
+        recall += len(got & expected) / 5
+    assert recall / 3 >= 0.6  # approximate index, generous bound
+
+
+def test_langid(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "text": [
+                "the cat sat on the mat and it was a good day for the dog",
+                "der Hund ist nicht mit der Katze und das ist ein Problem",
+                "le chat est dans la maison et les oiseaux sont pour le jardin",
+                "这是一个中文句子测试语言识别功能",
+                None,
+            ]
+        }
+    )
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(LangIdStage, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    assert out.lang_pred.tolist() == ["en", "de", "fr", "zh", "und"]
+
+
+def test_quality_and_tokens(ray_session):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    out = ds.map_batches(QualityStage, batch_format="pyarrow", concurrency=1)
+    out = add_token_counts(out)
+    out = add_fingerprint(out)
+    df = out.to_pandas()
+    assert (df.n_chars_q == df.n_chars).all()  # matches precomputed column
+    assert (df.ws_tokens >= 1).all()
+    assert (df.quality_score.between(0, 1)).all()
+    assert df.fingerprint.nunique() > len(df) // 2  # discriminative
+
+
+def test_multimodal_stub_plumbing(ray_session):
+    import ray.data
+
+    t = synth_media_table(32)
+    ds = ray.data.from_arrow(t)
+    img = ds.map_batches(ImageDecodeStage, batch_format="pyarrow", batch_size=8,
+                         concurrency=1, fn_constructor_kwargs={"feature_dim": 16})
+    df = img.to_pandas()
+    assert len(df) == 32 and "image_features" in df
+    assert all(len(f) == 16 for f in df.image_features)
+
+    aud = ds.map_batches(AudioFeatureStage, batch_format="pyarrow", batch_size=8,
+                         concurrency=1)
+    assert len(aud.to_pandas()) == 32
+
+    frames = ds.map_batches(FrameSampleStage, batch_format="pyarrow", batch_size=8,
+                            concurrency=1, fn_constructor_kwargs={"num_frames": 3})
+    fdf = frames.to_pandas()
+    assert len(fdf) == 96
+    assert fdf.groupby("media_id").frame_index.count().eq(3).all()
+
+
+def test_multimodal_deterministic():
+    t = synth_media_table(8)
+    s = ImageDecodeStage(feature_dim=8)
+    f1 = s(t)["image_features"].to_pylist()
+    f2 = ImageDecodeStage(feature_dim=8)(t)["image_features"].to_pylist()
+    assert f1 == f2
