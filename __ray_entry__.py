@@ -1,44 +1,50 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native CDC/incremental-ingest engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship exactly-once CDC replay at sf0.001;
+``queries()`` exposes every implemented pipeline/operator (SURVEY.md §2 +
+training-data ops); ``oracle_sql()`` gives DuckDB-equivalent SQL for each
+SQL-expressible query (CDC oracles read the deterministically synthesized
+binlog parquet by absolute path; the rest use the pre-registered views).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from geomesa_nifi_ray.pipelines.queries import (  # noqa: E402
+    QUERIES,
+    get_binlog,
+    oracle_sql_for,
+    run_cdc_replay,
+)
+
+_SF001 = "/root/testdata/sf0.001"
+_SF01 = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full CDC replay of the sf0.001 binlog (convert ->
+    LWW dedup -> bucketed upsert -> manifest commit), returning the final
+    lake snapshot."""
+    eng = run_cdc_replay(_SF001)
+    return eng.table.snapshot_table()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # the driver's correctness pass runs at sf0.01; generate that tier's
+    # binlog now (idempotent) so the SQL's read_parquet paths resolve even
+    # if the oracle runs before the Ray pipeline
+    get_binlog(_SF01)
+    return oracle_sql_for(_SF01)

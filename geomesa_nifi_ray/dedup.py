@@ -378,6 +378,7 @@ def embedding_neardup_pairs(ds, *, tau: float = 0.95, vec_col: str = "embedding"
         all_mat, all_ids = ray.get(ref_mat), ray.get(ref_ids)
         bmat = _normalize(np.stack(batch[vec_col].to_pylist()).astype(np.float32))
         bids = np.asarray(batch[id_col].to_pylist())
+        id_type = batch[id_col].type
         scores = bmat @ all_mat.T
         rows_a, rows_b, sims = [], [], []
         for r in range(scores.shape[0]):
@@ -387,7 +388,8 @@ def embedding_neardup_pairs(ds, *, tau: float = 0.95, vec_col: str = "embedding"
                     rows_a.append(bids[r])
                     rows_b.append(all_ids[c])
                     sims.append(float(scores[r, c]))
-        return pa.table({"doc_a": pa.array(rows_a), "doc_b": pa.array(rows_b),
+        return pa.table({"doc_a": pa.array(rows_a, type=id_type),
+                         "doc_b": pa.array(rows_b, type=id_type),
                          "cosine": pa.array(sims, type=pa.float64())})
 
     return ds.map_batches(stage, batch_format="pyarrow")

@@ -1,0 +1,74 @@
+"""Snapshot export to columnar/row file formats — ``ConvertToGeoFile`` parity
+(``ConvertToGeoFile.scala:91-190``: parquet, arrow, csv/tsv, json, gzip).
+
+Parquet is the native lake format (``ds.write_parquet``); the other formats
+are per-block ``map_batches`` encoder stages writing shard files — each
+task encodes and writes its own blocks (no driver funnel), returning one
+lineage row per shard, exactly like the export processors' per-file
+success counting (``ConvertToGeoFile.scala:166-181``).
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import io
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+import pyarrow.ipc as paipc
+
+FORMATS = ("parquet", "csv", "tsv", "jsonl", "arrow")
+
+
+def export_dataset(ds, out_dir: str, format: str = "parquet", gzip: bool = False):
+    """Write a Dataset to ``out_dir`` in the requested format; returns a
+    small lineage table (shard path, rows, bytes) for non-parquet formats
+    or the output dir for parquet."""
+    if format not in FORMATS:
+        raise ValueError(f"unknown export format {format!r}; supported: {FORMATS}")
+    os.makedirs(out_dir, exist_ok=True)
+    if format == "parquet":
+        if gzip:
+            raise ValueError("parquet has internal compression; gzip unsupported "
+                             "(reference also exempts avro, ConvertToGeoFile.scala:134-154)")
+        ds.write_parquet(out_dir)
+        return out_dir
+
+    ext = {"csv": "csv", "tsv": "tsv", "jsonl": "jsonl", "arrow": "arrow"}[format]
+    if gzip and format == "arrow":
+        raise ValueError("arrow IPC files should use internal compression, not gzip")
+
+    def encode_shard(batch: pa.Table) -> pa.Table:
+        buf = io.BytesIO()
+        if format in ("csv", "tsv"):
+            opts = pacsv.WriteOptions(delimiter="\t" if format == "tsv" else ",")
+            pacsv.write_csv(batch, buf, write_options=opts)
+        elif format == "jsonl":
+            for row in batch.to_pylist():
+                import json
+
+                buf.write(json.dumps(row, default=str).encode())
+                buf.write(b"\n")
+        else:  # arrow IPC stream file
+            with paipc.new_file(buf, batch.schema) as w:
+                w.write_table(batch)
+        data = buf.getvalue()
+        if gzip:
+            data = _gzip.compress(data, compresslevel=6)
+        name = f"shard-{uuid.uuid4().hex}.{ext}" + (".gz" if gzip else "")
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return pa.table(
+            {
+                "path": pa.array([path]),
+                "rows": pa.array([batch.num_rows], type=pa.int64()),
+                "bytes": pa.array([len(data)], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode_shard, batch_format="pyarrow")

@@ -1,0 +1,725 @@
+"""Named pipelines (the ``queries()`` registry) with DuckDB oracle SQL.
+
+Each entry is ``fn(sf_dir) -> ray.data.Dataset | pa.Table | pd.DataFrame``.
+The CDC pipelines run over a deterministic synthesized binlog derived from
+the sf directory name (no external data; BASELINE.json input_hint shape);
+relational / text / embedding pipelines run over the driver's pre-registered
+parquet views. Column names match the oracle SQL exactly (the driver's
+compare hashes values under sorted column names).
+
+Float-valued aggregates are rounded to 4 decimals on BOTH sides so
+summation-order differences between Ray and DuckDB cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from geomesa_nifi_ray import dedup as dd
+from geomesa_nifi_ray.convert import FieldSpec, RecordConverter
+from geomesa_nifi_ray.engine import CDCEngine
+from geomesa_nifi_ray.schema import project_to_schema
+from geomesa_nifi_ray.synth import BinlogSpec, write_binlog
+from geomesa_nifi_ray.textstats import LangIdStage, QualityStage
+from geomesa_nifi_ray.upsert import lww_dedupe
+
+CDC_ROOT = os.environ.get("GRAFT_CDC_ROOT", "/tmp/graft_cdc")
+
+# binlog sizing per sf directory basename
+_BINLOG_SPECS = {
+    "sf0.001": BinlogSpec(num_events=4_000, num_urls=800, num_epochs=3),
+    "sf0.01": BinlogSpec(num_events=20_000, num_urls=4_000, num_epochs=4),
+    "sf0.1": BinlogSpec(num_events=200_000, num_urls=40_000, num_epochs=5),
+}
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def binlog_dir(sf_dir: str) -> str:
+    return os.path.join(CDC_ROOT, _sf_name(sf_dir), "binlog")
+
+
+def get_binlog(sf_dir: str) -> dict:
+    """Deterministic change-event binlog for an sf tier (idempotent)."""
+    name = _sf_name(sf_dir)
+    spec = _BINLOG_SPECS.get(name, _BINLOG_SPECS["sf0.01"])
+    return write_binlog(binlog_dir(sf_dir), spec)
+
+
+SNAPSHOT_COLS = ["url", "warc_ts", "text", "lang", "content_hash", "offset"]
+
+
+def _lake_key(meta: dict) -> str:
+    """Key lake dirs by binlog spec + kernel version so a code change can't
+    silently reuse a stale lake built by an older engine."""
+    import hashlib
+    import json
+
+    from geomesa_nifi_ray.text import TEXT_KERNEL_VERSION
+
+    payload = json.dumps([meta["spec"], TEXT_KERNEL_VERSION], sort_keys=True)
+    return hashlib.md5(payload.encode()).hexdigest()[:10]
+
+
+def run_cdc_replay(sf_dir: str, lake_root: str | None = None, num_buckets: int = 32) -> CDCEngine:
+    """Full exactly-once replay of the sf tier's binlog into a lake."""
+    meta = get_binlog(sf_dir)
+    if lake_root is None:
+        lake_root = os.path.join(CDC_ROOT, _sf_name(sf_dir), f"lake-{_lake_key(meta)}")
+    eng = CDCEngine(lake_root, num_buckets=num_buckets)
+    eng.replay_binlog(meta)
+    return eng
+
+
+# ------------------------------------------------------------ CDC queries --
+
+
+def q_cdc_replay_snapshot(sf_dir: str):
+    eng = run_cdc_replay(sf_dir)
+    return eng.table.snapshot_table().select(SNAPSHOT_COLS)
+
+
+def q_cdc_lww_dedup(sf_dir: str):
+    """One-shot LWW dedup over the whole binlog (no lake): the standalone
+    dedup operator path — combiner per batch + per-bucket final reduce."""
+    import ray.data
+
+    meta = get_binlog(sf_dir)
+    from geomesa_nifi_ray.engine import PAGE_SCHEMA, make_convert_fn
+
+    convert = make_convert_fn(PAGE_SCHEMA, 32, "url", ["warc_ts", "offset"])
+    ds = ray.data.read_parquet([e["path"] for e in meta["epochs"]])
+    # drop the heavy html payload before the shuffle: the snapshot output
+    # doesn't need it, so the exchange moves text+metadata only
+    ds = ds.map_batches(
+        lambda t: convert(t).select(SNAPSHOT_COLS + ["bucket"]), batch_format="pyarrow"
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        return lww_dedupe(t, "url", ["warc_ts", "offset"]).to_pandas()
+
+    out = ds.groupby("bucket").map_groups(final, batch_format="pandas")
+    return out.select_columns(SNAPSHOT_COLS)
+
+
+def q_cdc_update_partial(sf_dir: str):
+    """Epoch 0 upserted, epoch 1 applied in partial-update mode
+    (UpdateGeoMesaRecord semantics: no inserts, unmatched keys skipped)."""
+    meta = get_binlog(sf_dir)
+    lake_root = os.path.join(CDC_ROOT, _sf_name(sf_dir), f"lake_update-{_lake_key(meta)}")
+    eng = CDCEngine(lake_root, num_buckets=16)
+    e0, e1 = meta["epochs"][0], meta["epochs"][1]
+    eng.apply_epoch(e0["path"], 0, (e0["offset_min"], e0["offset_max"]))
+    eng.apply_epoch(e1["path"], 1, (e1["offset_min"], e1["offset_max"]), mode="update")
+    return eng.table.snapshot_table().select(SNAPSHOT_COLS)
+
+
+_CDC_SNAPSHOT_SQL = """
+WITH ranked AS (
+  SELECT url, warc_ts, text, lang, "offset",
+         md5(url || chr(31) || CAST(epoch_us(warc_ts) AS VARCHAR)
+                 || chr(31) || text || chr(31) || lang) AS content_hash,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, "offset" DESC) AS rn
+  FROM read_parquet('{glob}')
+  WHERE html IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
+)
+SELECT url, warc_ts, text, lang, content_hash, "offset" FROM ranked WHERE rn = 1
+"""
+
+_CDC_UPDATE_SQL = """
+WITH e0 AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, "offset" DESC) rn
+  FROM read_parquet('{epoch0}') WHERE html IS NOT NULL
+), base AS (SELECT url, warc_ts, text, lang, "offset" FROM e0 WHERE rn = 1),
+e1 AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, "offset" DESC) rn
+  FROM read_parquet('{epoch1}') WHERE html IS NOT NULL
+), chg AS (SELECT url, warc_ts, text, lang, "offset" FROM e1 WHERE rn = 1)
+SELECT b.url,
+       coalesce(c.warc_ts, b.warc_ts) AS warc_ts,
+       coalesce(c.text, b.text) AS text,
+       coalesce(c.lang, b.lang) AS lang,
+       md5(b.url || chr(31)
+           || CAST(epoch_us(coalesce(c.warc_ts, b.warc_ts)) AS VARCHAR) || chr(31)
+           || coalesce(c.text, b.text) || chr(31) || coalesce(c.lang, b.lang)) AS content_hash,
+       coalesce(c."offset", b."offset") AS "offset"
+FROM base b LEFT JOIN chg c USING (url)
+"""
+
+
+# ------------------------------------------------------ relational queries --
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate: vectorized derived columns in
+    map_batches, partial-friendly groupby aggregate."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_shipdate"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
+        t = t.append_column("disc_price", disc)
+        return t.append_column("charge", charge)
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("charge", alias_name="sum_charge"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+        out[c] = out[c].round(4)
+    return out
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customer_orders(sf_dir: str):
+    """Broadcast hash join (small customer side via ray.put) + grouped
+    revenue + top-10 — the broadcast-join pattern, no shuffle join."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    cust_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist())))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def join_name(t: pa.Table) -> pa.Table:
+        lookup = ray.get(cust_ref)
+        names = [lookup.get(k) for k in t["o_custkey"].to_pylist()]
+        return t.append_column("c_name", pa.array(names, type=pa.string()))
+
+    out = (
+        orders.map_batches(join_name, batch_format="pyarrow")
+        .groupby(["o_custkey", "c_name"])
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+        .sort(["revenue", "o_custkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(4)
+    return out
+
+
+_TOP_CUSTOMER_SQL = """
+SELECT o_custkey, c_name, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name
+ORDER BY revenue DESC, o_custkey ASC
+LIMIT 10
+"""
+
+
+def q_events_windowed(sf_dir: str):
+    """Tumbling 1-hour window aggregate per event_type (streaming-window
+    analog: GROUP BY key, floor(ts/size))."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def window(t: pa.Table) -> pa.Table:
+        w = pc.floor(pc.divide(pc.cast(pc.cast(t["ts"], pa.int64()), pa.float64()), 3.6e9))
+        return t.append_column("hour_window", pc.cast(w, pa.int64()))
+
+    out = (
+        ds.map_batches(window, batch_format="pyarrow")
+        .groupby(["event_type", "hour_window"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+_EVENTS_WINDOWED_SQL = """
+SELECT event_type, CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_window,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_lww_latest_events(sf_dir: str):
+    """LWW operator parity on the events view: latest event per user by
+    (ts, event_id) — per-batch combiner + per-key final reduce."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ds = ds.map_batches(
+        lambda t: lww_dedupe(t, "user_id", ["ts", "event_id"]), batch_format="pyarrow"
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        return lww_dedupe(t, "user_id", ["ts", "event_id"]).to_pandas()
+
+    out = ds.groupby("user_id").map_groups(final, batch_format="pandas")
+    return out.select_columns(["user_id", "event_id", "ts", "event_type", "value"])
+
+
+_LWW_EVENTS_SQL = """
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_upsert_events(sf_dir: str):
+    """Keyed partial-update over events: base = LWW of event_id < 500,
+    changes = LWW of the rest; value/ts overwritten on matched users, no
+    inserts (UpdateGeoMesaRecord semantics on the shared views)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+    def mark(t: pa.Table) -> pa.Table:
+        src = pc.if_else(pc.less(t["event_id"], pa.scalar(500)), pa.scalar("base"),
+                         pa.scalar("chg"))
+        return t.append_column("src", src)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        base = lww_dedupe(t.filter(pc.equal(t["src"], pa.scalar("base"))),
+                          "user_id", ["ts", "event_id"])
+        chg = lww_dedupe(t.filter(pc.equal(t["src"], pa.scalar("chg"))),
+                         "user_id", ["ts", "event_id"])
+        if base.num_rows == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "event_id": pd.Series([], dtype="int64"),
+                    "event_type": pd.Series([], dtype="object"),
+                    "value": pd.Series([], dtype="float64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "updated": pd.Series([], dtype="bool"),
+                }
+            )
+        b = base.to_pandas().set_index("user_id")
+        c = chg.to_pandas().set_index("user_id")
+        matched = b.index.intersection(c.index)
+        b["updated"] = False
+        b.loc[matched, "value"] = c.loc[matched, "value"]
+        b.loc[matched, "ts"] = c.loc[matched, "ts"]
+        b.loc[matched, "updated"] = True
+        out = b.reset_index()[["user_id", "event_id", "event_type", "value", "ts", "updated"]]
+        return out
+
+    return ds.map_batches(mark, batch_format="pyarrow").groupby("user_id").map_groups(
+        merge, batch_format="pandas"
+    )
+
+
+_UPSERT_EVENTS_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, event_type, value, ts FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE event_id < 500
+  ) WHERE rn = 1
+), chg AS (
+  SELECT user_id, value, ts FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE event_id >= 500
+  ) WHERE rn = 1
+)
+SELECT b.user_id, b.event_id, b.event_type,
+       coalesce(c.value, b.value) AS value,
+       coalesce(c.ts, b.ts) AS ts,
+       (c.user_id IS NOT NULL) AS updated
+FROM base b LEFT JOIN chg c USING (user_id)
+"""
+
+
+def q_convert_events_typed(sf_dir: str):
+    """Converter-DSL chain over the events view (cast/concat/upper/length)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    fields = [
+        FieldSpec("event_id", "$event_id"),
+        FieldSpec("key", "concat($event_type, '_', tostring($user_id))"),
+        FieldSpec("etype_upper", "upper($event_type)"),
+        FieldSpec("props_len", "length($props)"),
+    ]
+    return ds.map_batches(
+        RecordConverter,
+        fn_constructor_kwargs={"fields": fields},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
+_CONVERT_EVENTS_SQL = """
+SELECT event_id,
+       event_type || '_' || CAST(user_id AS VARCHAR) AS key,
+       upper(event_type) AS etype_upper,
+       length(props) AS props_len
+FROM events
+"""
+
+
+# ------------------------------------------------------------ text queries --
+
+
+def q_exact_dedup_documents(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    out = dd.exact_dedup(ds, ["text"], "doc_id")
+    return out.select_columns(["doc_id", "text", "lang", "source", "n_chars"])
+
+
+_EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS doc_id, text,
+       arg_min(lang, doc_id) AS lang,
+       arg_min(source, doc_id) AS source,
+       arg_min(n_chars, doc_id) AS n_chars
+FROM documents GROUP BY text
+"""
+
+
+def q_content_hash_documents(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = dd.add_content_hash(ds, ["text"])
+    return out.select_columns(["doc_id", "content_hash"])
+
+
+_CONTENT_HASH_SQL = "SELECT doc_id, md5(text) AS content_hash FROM documents"
+
+
+def q_token_stats_documents(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        import re
+
+        tok = re.compile(r"\S+")
+        texts = t["text"].to_pylist()
+        ws = pa.array(
+            [None if x is None else len(tok.findall(x)) for x in texts], type=pa.int64()
+        )
+        nc = pa.array([None if x is None else len(x) for x in texts], type=pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "ws_tokens": ws, "n_chars": nc})
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def q_quality_documents(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        import re
+
+        punct = re.compile(r"[.!?,;:]")
+        tok = re.compile(r"\S+")
+        texts = t["text"].to_pylist()
+        pc_ = pa.array(
+            [None if x is None else len(punct.findall(x)) for x in texts], type=pa.int64()
+        )
+        nt = pa.array(
+            [None if x is None else len(tok.findall(x)) for x in texts], type=pa.int64()
+        )
+        return pa.table({"doc_id": t["doc_id"], "punct_count": pc_, "n_tokens": nt})
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+_QUALITY_SQL = """
+SELECT doc_id,
+       CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct_count,
+       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_lang_distribution_documents(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    return (
+        ds.groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+    )
+
+
+_LANG_DIST_SQL = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars FROM documents GROUP BY lang
+"""
+
+
+def q_schema_project_documents(sf_dir: str):
+    """Existing-mode schema-adapter stage: reorder, cast, null-fill, drop."""
+    import ray.data
+
+    target = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("text", pa.string()),
+            pa.field("lang", pa.string()),
+            pa.field("content_type", pa.string()),   # null-filled (absent upstream)
+            pa.field("n_chars", pa.int64()),
+        ]
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return ds.map_batches(lambda t: project_to_schema(t, target), batch_format="pyarrow")
+
+
+_SCHEMA_PROJECT_SQL = """
+SELECT doc_id, text, lang, CAST(NULL AS VARCHAR) AS content_type, n_chars FROM documents
+"""
+
+
+# ----------------------------------------------------- embedding queries --
+
+
+def q_embedding_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the first 5 vectors as queries.
+    float64 math to match DuckDB's list_cosine_similarity."""
+    import ray.data
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(tbl["vec_id"].to_pylist())
+    qmask = ids < 5
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v, m in
+                     zip(tbl["embedding"].to_pylist(), qmask) if m])
+    qids = ids[qmask]
+    order = np.argsort(qids)
+    qmat, qids = qmat[order], qids[order]
+
+    import ray
+
+    def _norm(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    qn = _norm(qmat)
+    qref = ray.put(qn)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        vecs = _norm(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+        vids = np.asarray(batch["vec_id"].to_pylist())
+        scores = q @ vecs.T
+        kk = min(10, scores.shape[1])
+        top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        rows_q, rows_v, rows_s = [], [], []
+        for r in range(scores.shape[0]):
+            for c in top[r]:
+                rows_q.append(int(qids[r]))
+                rows_v.append(int(vids[c]))
+                rows_s.append(float(scores[r, c]))
+        return pa.table({"query_id": pa.array(rows_q, type=pa.int64()),
+                         "vec_id": pa.array(rows_v, type=pa.int64()),
+                         "cosine": pa.array(rows_s, type=pa.float64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cands = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(10)
+        return g[["query_id", "vec_id"]]
+
+    return cands.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+_EMBEDDING_TOPK_SQL = """
+SELECT query_id, vec_id FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS cosine,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                     e.vec_id ASC) AS rn
+  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN embeddings e
+) WHERE rn <= 10
+"""
+
+
+# -------------------------------------------------- rows-only (no SQL) ----
+
+
+def q_langid_documents(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def q_quality_score_documents(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(QualityStage, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "quality_score", "stopword_ratio", "alpha_ratio"])
+
+
+def q_minhash_dedup_documents(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dd.minhash_candidate_pairs(ds, threshold=0.8)
+
+
+def q_simhash_documents(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dd.simhash_candidate_pairs(ds, max_hamming=3)
+
+
+def q_ngram_dedup_documents(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dd.ngram_jaccard_pairs(ds, n=3, threshold=0.8)
+
+
+def q_fingerprint_documents(sf_dir: str):
+    import ray.data
+
+    from geomesa_nifi_ray.textstats import add_fingerprint
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return add_fingerprint(ds).select_columns(["doc_id", "fingerprint"])
+
+
+def q_embedding_neardup(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # testdata embeddings are near-orthogonal (max pairwise cosine ~0.51);
+    # tau=0.4 selects the close tail without exploding the pair count
+    return dd.embedding_neardup_pairs(ds, tau=0.4)
+
+
+def q_embedding_ivf_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geomesa_nifi_ray.similarity import IVFIndex, _normalize
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mat = _normalize(np.stack(tbl["embedding"].to_pylist()).astype(np.float32))
+    idx = IVFIndex(num_centroids=16).fit(mat[: min(4096, len(mat))])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return idx.search(idx.assign(ds), mat[:5], k=10, nprobe=4)
+
+
+# ------------------------------------------------------------- registries --
+
+QUERIES = {
+    # CDC core (synth binlog, BASELINE.json input_hint shape)
+    "cdc_replay_snapshot": q_cdc_replay_snapshot,
+    "cdc_lww_dedup": q_cdc_lww_dedup,
+    "cdc_update_partial": q_cdc_update_partial,
+    # relational / streaming-window / converter parity (registered views)
+    "pricing_summary": q_pricing_summary,
+    "top_customer_orders": q_top_customer_orders,
+    "events_windowed": q_events_windowed,
+    "lww_latest_events": q_lww_latest_events,
+    "upsert_events": q_upsert_events,
+    "convert_events_typed": q_convert_events_typed,
+    # training-data ops with SQL oracles
+    "exact_dedup_documents": q_exact_dedup_documents,
+    "content_hash_documents": q_content_hash_documents,
+    "token_stats_documents": q_token_stats_documents,
+    "quality_documents": q_quality_documents,
+    "lang_distribution_documents": q_lang_distribution_documents,
+    "schema_project_documents": q_schema_project_documents,
+    "embedding_topk": q_embedding_topk,
+    # rows-only (non-SQL-expressible: heuristic / sketch / index ops)
+    "langid_documents": q_langid_documents,
+    "quality_score_documents": q_quality_score_documents,
+    "minhash_dedup_documents": q_minhash_dedup_documents,
+    "simhash_documents": q_simhash_documents,
+    "ngram_dedup_documents": q_ngram_dedup_documents,
+    "fingerprint_documents": q_fingerprint_documents,
+    "embedding_neardup": q_embedding_neardup,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
+}
+
+
+def oracle_sql_for(sf_dir: str) -> dict[str, str]:
+    """Oracle SQL strings; CDC oracles reference the synthesized binlog
+    parquet for the given sf tier by absolute path."""
+    bdir = binlog_dir(sf_dir)
+    meta = get_binlog(sf_dir)
+    return {
+        "cdc_replay_snapshot": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*.parquet"),
+        "cdc_lww_dedup": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*.parquet"),
+        "cdc_update_partial": _CDC_UPDATE_SQL.format(
+            epoch0=meta["epochs"][0]["path"], epoch1=meta["epochs"][1]["path"]
+        ),
+        "pricing_summary": _PRICING_SQL,
+        "top_customer_orders": _TOP_CUSTOMER_SQL,
+        "events_windowed": _EVENTS_WINDOWED_SQL,
+        "lww_latest_events": _LWW_EVENTS_SQL,
+        "upsert_events": _UPSERT_EVENTS_SQL,
+        "convert_events_typed": _CONVERT_EVENTS_SQL,
+        "exact_dedup_documents": _EXACT_DEDUP_SQL,
+        "content_hash_documents": _CONTENT_HASH_SQL,
+        "token_stats_documents": _TOKEN_STATS_SQL,
+        "quality_documents": _QUALITY_SQL,
+        "lang_distribution_documents": _LANG_DIST_SQL,
+        "schema_project_documents": _SCHEMA_PROJECT_SQL,
+        "embedding_topk": _EMBEDDING_TOPK_SQL,
+    }
+
+
+ORACLE_SQL = None  # resolved lazily per sf in __ray_entry__

@@ -1,0 +1,100 @@
+"""Driver-contract check: every queries() entry runs; every oracle_sql()
+entry matches on row count + sorted-column values (the driver's compare)."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _to_pandas(result):
+    import pyarrow as pa
+
+    try:
+        import ray.data
+
+        if isinstance(result, ray.data.Dataset):
+            return result.to_pandas()
+    except ImportError:
+        pass
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        if pd.api.types.is_bool_dtype(df[c]) or df[c].dtype == object:
+            pass
+    df = df.sort_values(by=list(df.columns), kind="stable").reset_index(drop=True)
+    # unify integer dtypes
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        if pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+    return df
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__ as m
+
+    return m
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def test_entry_smoke(entrymod):
+    out = entrymod.entry()
+    assert out.num_rows > 0
+    assert "url" in out.schema.names and "content_hash" in out.schema.names
+
+
+def test_all_queries_run(entrymod):
+    qs = entrymod.queries()
+    assert len(qs) >= 20
+    for name, fn in qs.items():
+        res = _to_pandas(fn(SF))
+        assert res is not None and len(res.columns) > 0, name
+
+
+@pytest.mark.parametrize("name", [
+    "cdc_replay_snapshot", "cdc_lww_dedup", "cdc_update_partial",
+    "pricing_summary", "top_customer_orders", "events_windowed",
+    "lww_latest_events", "upsert_events", "convert_events_typed",
+    "exact_dedup_documents", "content_hash_documents", "token_stats_documents",
+    "quality_documents", "lang_distribution_documents",
+    "schema_project_documents", "embedding_topk",
+])
+def test_query_matches_oracle(entrymod, oracle_con, name):
+    qs = entrymod.queries()
+    sql = entrymod.oracle_sql()
+    ours = _normalize(_to_pandas(qs[name](SF)))
+    theirs = _normalize(oracle_con.execute(sql[name]).df())
+    assert list(ours.columns) == list(theirs.columns), (
+        f"{name} columns: {list(ours.columns)} vs {list(theirs.columns)}"
+    )
+    assert len(ours) == len(theirs), f"{name} rowcount {len(ours)} vs {len(theirs)}"
+    pd.testing.assert_frame_equal(ours, theirs, check_dtype=False, atol=1e-6,
+                                  obj=name)
