@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)``
+and print ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": "...", "num_cpus": N,
+     "cdc_events": N, "cdc_events_per_sec": X}
+
+``--scaling``: run the headline CDC replay twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and print throughput at both
+plus scaling efficiency (the in-sandbox evidence for the N->4N criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# queries timed in the default run (a representative spread; the full
+# registry is exercised by the driver's correctness pass)
+TIMED_QUERIES = [
+    "cdc_lww_dedup",
+    "pricing_summary",
+    "top_customer_orders",
+    "events_windowed",
+    "exact_dedup_documents",
+    "minhash_dedup_documents",
+    "embedding_topk",
+    "langid_documents",
+]
+
+
+def _consume(result) -> int:
+    """Force execution; return row count."""
+    try:
+        import ray.data
+
+        if isinstance(result, ray.data.Dataset):
+            return result.count()
+    except ImportError:
+        pass
+    import pyarrow as pa
+
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    return len(result)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from geomesa_nifi_ray.pipelines.queries import QUERIES, get_binlog, run_cdc_replay
+
+    # ---- headline: exactly-once CDC replay (fresh lake every run) --------
+    meta = get_binlog(SF_DIR)  # cached after first generation
+    n_events = meta["total_rows"]
+    lake_root = f"/tmp/graft_bench/lake_{NUM_CPUS}"
+    shutil.rmtree(lake_root, ignore_errors=True)
+
+    # warm page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    for e in meta["epochs"]:
+        pq.read_table(e["path"])
+
+    t0 = time.perf_counter()
+    eng = run_cdc_replay(SF_DIR, lake_root=lake_root, num_buckets=64)
+    headline = time.perf_counter() - t0
+    table_rows = sum(int(b["rows"]) for b in eng.table.manifest(
+        eng.table.committed_epoch())["buckets"].values())
+
+    # ---- per-query timings ----------------------------------------------
+    qtimes = {}
+    for name in TIMED_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _consume(fn(SF_DIR))
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "cdc_replay_wall_seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "cdc_events": n_events,
+        "cdc_events_per_sec": round(n_events / headline, 1),
+        "cdc_table_rows": table_rows,
+    }
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    tput_lo = r_lo["cdc_events_per_sec"]
+    tput_hi = r_hi["cdc_events_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "events_per_sec_lo": tput_lo,
+        "events_per_sec_hi": tput_hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+        "cdc_events": r_hi["cdc_events"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

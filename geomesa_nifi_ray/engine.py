@@ -123,15 +123,22 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict], mode
     deterministic path, and returns one lineage row. This is the actor-held
     ``FeatureWriters`` analog (``mixins/FeatureWriters.scala``) with the
     pooled-writer flush replaced by epoch-scoped files.
+
+    The live-file map (one entry per bucket; can be large at high P) is
+    broadcast once via ``ray.put`` rather than captured in the task
+    closure, so it ships to each node once, not once per task.
     """
+    import ray
+
     stored_schema = table.schema
     key, order = table.key, table.order
     sort_key = key
+    live_ref = ray.put(live)
 
     def merge_bucket(group: pa.Table) -> pa.Table:
         bucket = group["bucket"][0].as_py()
         changes = group.drop_columns(["bucket"])
-        entry = live.get(bucket)
+        entry = ray.get(live_ref).get(bucket)
         base = None
         if entry is not None:
             base = project_to_schema(pq.read_table(table.abs_path(entry["file"])), stored_schema)

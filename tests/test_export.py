@@ -1,0 +1,60 @@
+"""Snapshot export formats (ConvertToGeoFile parity)."""
+
+import glob
+import gzip
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.ipc as paipc
+import pyarrow.parquet as pq
+import pytest
+
+from geomesa_nifi_ray.export import export_dataset
+
+
+@pytest.fixture(scope="module")
+def ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_parquet_export(ds, tmp_path):
+    out = export_dataset(ds, str(tmp_path / "pq"), "parquet")
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert files
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == 500
+
+
+def test_csv_export_roundtrip(ds, tmp_path):
+    lineage = export_dataset(ds, str(tmp_path / "csv"), "csv").to_pandas()
+    assert lineage.rows.sum() == 500
+    assert all(p.endswith(".csv") for p in lineage.path)
+
+
+def test_jsonl_gzip_export(ds, tmp_path):
+    lineage = export_dataset(ds, str(tmp_path / "jl"), "jsonl", gzip=True).to_pandas()
+    assert lineage.rows.sum() == 500
+    path = lineage.path.iloc[0]
+    assert path.endswith(".jsonl.gz")
+    with gzip.open(path, "rt") as f:
+        row = json.loads(f.readline())
+    assert "doc_id" in row
+
+
+def test_arrow_ipc_export(ds, tmp_path):
+    lineage = export_dataset(ds, str(tmp_path / "ar"), "arrow").to_pandas()
+    total = 0
+    for p in lineage.path:
+        with open(p, "rb") as f:
+            total += paipc.open_file(f).read_all().num_rows
+    assert total == 500
+
+
+def test_invalid_format(ds, tmp_path):
+    with pytest.raises(ValueError):
+        export_dataset(ds, str(tmp_path / "x"), "shapefile")
+    with pytest.raises(ValueError):
+        export_dataset(ds, str(tmp_path / "x"), "parquet", gzip=True)
