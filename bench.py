@@ -30,7 +30,6 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # queries timed in the default run (a representative spread; the full
 # registry is exercised by the driver's correctness pass)
 TIMED_QUERIES = [
-    "cdc_lww_dedup",
     "pricing_summary",
     "top_customer_orders",
     "events_windowed",
@@ -69,22 +68,33 @@ def run_bench() -> dict:
     from geomesa_nifi_ray.pipelines.queries import QUERIES, get_binlog, run_cdc_replay
 
     # ---- headline: exactly-once CDC replay (fresh lake every run) --------
-    meta = get_binlog(SF_DIR)  # cached after first generation
+    meta = get_binlog(SF_DIR)  # cached after first (parallel) generation
     n_events = meta["total_rows"]
-    lake_root = f"/tmp/graft_bench/lake_{NUM_CPUS}"
-    shutil.rmtree(lake_root, ignore_errors=True)
 
     # warm page cache so we measure compute+shuffle, not first disk read
     import pyarrow.parquet as pq
 
     for e in meta["epochs"]:
-        pq.read_table(e["path"])
+        for f in e.get("files", []):
+            pq.read_table(f)
 
+    # catch-up replay: all pending epochs of one schema in ONE pipeline +
+    # one atomic commit (LWW is associative; see CDCEngine.replay_binlog)
+    lake_root = f"/tmp/graft_bench/lake_catchup_{NUM_CPUS}"
+    shutil.rmtree(lake_root, ignore_errors=True)
     t0 = time.perf_counter()
-    eng = run_cdc_replay(SF_DIR, lake_root=lake_root, num_buckets=64)
+    eng = run_cdc_replay(SF_DIR, lake_root=lake_root, num_buckets=64, catchup=True)
     headline = time.perf_counter() - t0
     table_rows = sum(int(b["rows"]) for b in eng.table.manifest(
         eng.table.committed_epoch())["buckets"].values())
+
+    # sequential replay: one pipeline + one commit per epoch (the
+    # steady-state low-latency cadence)
+    lake_root2 = f"/tmp/graft_bench/lake_seq_{NUM_CPUS}"
+    shutil.rmtree(lake_root2, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_cdc_replay(SF_DIR, lake_root=lake_root2, num_buckets=64, catchup=False)
+    sequential = time.perf_counter() - t0
 
     # ---- per-query timings ----------------------------------------------
     qtimes = {}
@@ -104,6 +114,8 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "cdc_events": n_events,
         "cdc_events_per_sec": round(n_events / headline, 1),
+        "cdc_sequential_sec": round(sequential, 3),
+        "cdc_sequential_events_per_sec": round(n_events / sequential, 1),
         "cdc_table_rows": table_rows,
     }
 

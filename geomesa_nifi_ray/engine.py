@@ -49,6 +49,22 @@ from geomesa_nifi_ray.upsert import lww_dedupe, merge_update, merge_upsert
 
 logger = logging.getLogger(__name__)
 
+
+def _expand_parquet_paths(paths: list[str]) -> list[str]:
+    """Expand directories (epoch dirs of part files) into sorted file lists."""
+    import glob as _glob
+    import os as _os
+
+    out: list[str] = []
+    for p in paths:
+        if _os.path.isdir(p):
+            out.extend(sorted(_glob.glob(_os.path.join(p, "*.parquet"))))
+        else:
+            out.append(p)
+    if not out:
+        raise FileNotFoundError(f"no parquet files under {paths}")
+    return out
+
 # columns the engine computes; excluded from the input-vs-stored schema check
 COMPUTED_COLUMNS = ("text", "content_hash")
 
@@ -198,10 +214,23 @@ class CDCEngine:
         offset_range: tuple[int, int] | None = None,
         mode: str = "upsert",
         batch_size: int = 1024,
+        salted_reduce: bool = False,
+        salt_factor: int = 8,
+        epochs_covered: tuple[int, int] | None = None,
     ) -> EpochResult | None:
         """Apply one epoch of change events. ``source`` is a parquet path
         (str or list) or a ``ray.data.Dataset``. Idempotent: an epoch at or
-        below the committed cursor is skipped."""
+        below the committed cursor is skipped.
+
+        ``salted_reduce`` inserts a salted pre-shuffle LWW reduce
+        (SURVEY.md §7.4): rows are first grouped on ``salt =
+        crc32(url) % (P * salt_factor)`` — a *function of the url*, so all
+        copies of a url share a salt, but the urls of one hot bucket spread
+        over ``salt_factor``× more reducers — and collapsed to one row per
+        url before the bucket exchange. At bench scale the extra shuffle
+        costs more than it saves (per-batch partial LWW already combines);
+        at 10^10 events with heavy per-url duplication it bounds the rows
+        any single bucket-merge task receives. Off by default."""
         import ray.data
 
         committed = self.table.committed_epoch()
@@ -209,14 +238,16 @@ class CDCEngine:
             logger.info("epoch %d already committed; skipping", epoch)
             return None
         expected = 0 if committed is None else committed + 1
-        if epoch != expected:
-            raise SchemaError(f"epoch {epoch} out of order; next expected {expected}")
+        first_epoch = epochs_covered[0] if epochs_covered else epoch
+        if first_epoch != expected:
+            raise SchemaError(f"epoch {first_epoch} out of order; next expected {expected}")
 
         if isinstance(source, (str, list)):
             paths = [source] if isinstance(source, str) else list(source)
-            incoming_schema = pq.read_schema(paths[0])
-            rows_in = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
-            ds = ray.data.read_parquet(paths)
+            files = _expand_parquet_paths(paths)
+            incoming_schema = pq.read_schema(files[0])
+            rows_in = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+            ds = ray.data.read_parquet(files)
         else:
             ds = source
             incoming_schema = pa.schema(ds.schema().base_schema)
@@ -237,11 +268,26 @@ class CDCEngine:
         convert = make_convert_fn(stored_schema, self.table.num_buckets, self.table.key, self.table.order)
         merger = make_bucket_merger(self.table, epoch, live, mode=mode)
 
-        lineage_ds = (
-            ds.map_batches(convert, batch_format="pyarrow", batch_size=batch_size)
-            .groupby("bucket")
-            .map_groups(merger, batch_format="pyarrow")
-        )
+        converted = ds.map_batches(convert, batch_format="pyarrow", batch_size=batch_size)
+        if salted_reduce:
+            num_salts = self.table.num_buckets * salt_factor
+            key, order = self.table.key, self.table.order
+
+            def add_salt(t: pa.Table) -> pa.Table:
+                from geomesa_nifi_ray.hashing import bucket_ids
+
+                salts = bucket_ids(t[key].to_pylist(), num_salts)
+                return t.append_column("salt", pa.array(salts, type=pa.int32()))
+
+            def salted_lww(g: pa.Table) -> pa.Table:
+                return lww_dedupe(g, key, order).drop_columns(["salt"])
+
+            converted = (
+                converted.map_batches(add_salt, batch_format="pyarrow")
+                .groupby("salt")
+                .map_groups(salted_lww, batch_format="pyarrow")
+            )
+        lineage_ds = converted.groupby("bucket").map_groups(merger, batch_format="pyarrow")
         lineage = lineage_ds.take_all()  # one small row per touched bucket
 
         touched = {r["bucket"]: r for r in lineage}
@@ -272,6 +318,7 @@ class CDCEngine:
             offset_range = (-1, -1)
         manifest = {
             "epoch": epoch,
+            "epochs_covered": list(epochs_covered) if epochs_covered else [epoch, epoch],
             "table": self.table_name,
             "offset_min": int(offset_range[0]),
             "offset_max": int(offset_range[1]),
@@ -298,17 +345,78 @@ class CDCEngine:
 
     # -- replay / resume ----------------------------------------------------
 
-    def replay_binlog(self, binlog_meta: dict, mode: str = "upsert") -> list[EpochResult]:
+    def replay_binlog(
+        self,
+        binlog_meta: dict,
+        mode: str = "upsert",
+        catchup: bool = False,
+        max_batch_epochs: int | None = None,
+        **apply_kwargs,
+    ) -> list[EpochResult]:
         """Run all uncommitted epochs of a binlog (resume-aware). The
         descriptor is the dict written by ``synth.write_binlog`` or any
-        object with ``epochs: [{epoch, path, offset_min, offset_max}]``."""
-        results = []
-        for e in binlog_meta["epochs"]:
+        object with ``epochs: [{epoch, path, offset_min, offset_max}]``.
+
+        ``catchup=True`` (upsert mode only) batches consecutive pending
+        epochs that share an input schema into ONE pipeline + ONE commit.
+        This is legal because LWW under the total order ``(warc_ts,
+        offset)`` is associative: applying epochs [i..j] at once yields the
+        same table as applying them one by one — the batched manifest
+        records ``epochs_covered=[i, j]`` and a crash replays the whole
+        range deterministically. This is how a real CDC tailer drains a
+        backlog: the per-epoch commit cadence is a *latency* choice, not a
+        correctness one. Schema-evolution epochs always start a new batch
+        (evolution only happens at a commit boundary, SURVEY.md §7.5);
+        partial-update mode is order-sensitive and never batched.
+        """
+        committed = self.table.committed_epoch()
+        pending = [
+            e for e in binlog_meta["epochs"]
+            if committed is None or int(e["epoch"]) > committed
+        ]
+        results: list[EpochResult] = []
+        if not catchup or mode != "upsert":
+            for e in pending:
+                r = self.apply_epoch(
+                    e.get("files", e["path"]),
+                    epoch=int(e["epoch"]),
+                    offset_range=(e["offset_min"], e["offset_max"]),
+                    mode=mode,
+                    **apply_kwargs,
+                )
+                if r is not None:
+                    results.append(r)
+            return results
+
+        # group consecutive pending epochs by input schema fingerprint
+        groups: list[list[dict]] = []
+        last_schema = None
+        for e in pending:
+            files = _expand_parquet_paths(
+                e["files"] if "files" in e else [e["path"]]
+            )
+            sch = pq.read_schema(files[0])
+            if (
+                groups
+                and last_schema is not None
+                and sch.equals(last_schema)
+                and (max_batch_epochs is None or len(groups[-1]) < max_batch_epochs)
+            ):
+                groups[-1].append(e)
+            else:
+                groups.append([e])
+            last_schema = sch
+        for g in groups:
+            files = []
+            for e in g:
+                files.extend(e["files"] if "files" in e else [e["path"]])
             r = self.apply_epoch(
-                e["path"],
-                epoch=int(e["epoch"]),
-                offset_range=(e["offset_min"], e["offset_max"]),
+                files,
+                epoch=int(g[-1]["epoch"]),
+                offset_range=(g[0]["offset_min"], g[-1]["offset_max"]),
                 mode=mode,
+                epochs_covered=(int(g[0]["epoch"]), int(g[-1]["epoch"])),
+                **apply_kwargs,
             )
             if r is not None:
                 results.append(r)

@@ -176,7 +176,10 @@ class LakeTable:
             # idempotent replay of an already-committed epoch: results are
             # deterministic, nothing to do
             return
-        if epoch > expected:
+        # a catch-up batch commits one manifest for a contiguous range
+        # [first, epoch]; it is valid iff the range starts at the cursor
+        first = int(manifest.get("epochs_covered", [epoch, epoch])[0])
+        if first > expected:
             raise SchemaError(f"cannot commit epoch {epoch}; next expected is {expected}")
         _atomic_write_json(self._log_path(epoch), manifest)
 

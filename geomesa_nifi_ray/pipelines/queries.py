@@ -34,7 +34,9 @@ CDC_ROOT = os.environ.get("GRAFT_CDC_ROOT", "/tmp/graft_cdc")
 _BINLOG_SPECS = {
     "sf0.001": BinlogSpec(num_events=4_000, num_urls=800, num_epochs=3),
     "sf0.01": BinlogSpec(num_events=20_000, num_urls=4_000, num_epochs=4),
-    "sf0.1": BinlogSpec(num_events=200_000, num_urls=40_000, num_epochs=5),
+    # bench tier: large enough that per-epoch compute dominates the fixed
+    # pipeline/shuffle overhead at 32 CPUs (scaling-efficiency evidence)
+    "sf0.1": BinlogSpec(num_events=1_000_000, num_urls=150_000, num_epochs=5),
 }
 
 
@@ -68,13 +70,14 @@ def _lake_key(meta: dict) -> str:
     return hashlib.md5(payload.encode()).hexdigest()[:10]
 
 
-def run_cdc_replay(sf_dir: str, lake_root: str | None = None, num_buckets: int = 32) -> CDCEngine:
+def run_cdc_replay(sf_dir: str, lake_root: str | None = None, num_buckets: int = 32,
+                   catchup: bool = False) -> CDCEngine:
     """Full exactly-once replay of the sf tier's binlog into a lake."""
     meta = get_binlog(sf_dir)
     if lake_root is None:
         lake_root = os.path.join(CDC_ROOT, _sf_name(sf_dir), f"lake-{_lake_key(meta)}")
     eng = CDCEngine(lake_root, num_buckets=num_buckets)
-    eng.replay_binlog(meta)
+    eng.replay_binlog(meta, catchup=catchup)
     return eng
 
 
@@ -95,7 +98,8 @@ def q_cdc_lww_dedup(sf_dir: str):
     from geomesa_nifi_ray.engine import PAGE_SCHEMA, make_convert_fn
 
     convert = make_convert_fn(PAGE_SCHEMA, 32, "url", ["warc_ts", "offset"])
-    ds = ray.data.read_parquet([e["path"] for e in meta["epochs"]])
+    files = [f for e in meta["epochs"] for f in e["files"]]
+    ds = ray.data.read_parquet(files)
     # drop the heavy html payload before the shuffle: the snapshot output
     # doesn't need it, so the exchange moves text+metadata only
     ds = ds.map_batches(
@@ -701,10 +705,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     bdir = binlog_dir(sf_dir)
     meta = get_binlog(sf_dir)
     return {
-        "cdc_replay_snapshot": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*.parquet"),
-        "cdc_lww_dedup": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*.parquet"),
+        "cdc_replay_snapshot": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
+        "cdc_lww_dedup": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_update_partial": _CDC_UPDATE_SQL.format(
-            epoch0=meta["epochs"][0]["path"], epoch1=meta["epochs"][1]["path"]
+            epoch0=os.path.join(meta["epochs"][0]["path"], "*.parquet"),
+            epoch1=os.path.join(meta["epochs"][1]["path"], "*.parquet"),
         ),
         "pricing_summary": _PRICING_SQL,
         "top_customer_orders": _TOP_CUSTOMER_SQL,

@@ -38,7 +38,8 @@ def binlog(tmp_path_factory):
 
 
 def _oracle_snapshot(binlog_meta) -> pa.Table:
-    pattern = os.path.join(os.path.dirname(binlog_meta["epochs"][0]["path"]), "epoch-*.parquet")
+    root = os.path.dirname(binlog_meta["epochs"][0]["path"])
+    pattern = os.path.join(root, "epoch-*", "*.parquet")
     con = duckdb.connect()
     out = con.execute(ORACLE_SQL.format(glob=pattern)).arrow()
     con.close()
@@ -124,6 +125,36 @@ def test_crash_resume_bit_identical(ray_session, tmp_path, binlog):
     ma = eng_a.table.manifest(2)
     mb = eng_b2.table.manifest(2)
     assert ma == mb
+
+
+def test_catchup_batch_equals_sequential(ray_session, tmp_path, binlog):
+    """Catch-up mode (all pending epochs in one pipeline + one commit) must
+    produce the identical table: LWW under (warc_ts, offset) is associative."""
+    seq = CDCEngine(str(tmp_path / "lk_seq"), num_buckets=16)
+    seq.replay_binlog(binlog)
+    bat = CDCEngine(str(tmp_path / "lk_bat"), num_buckets=16)
+    results = bat.replay_binlog(binlog, catchup=True)
+    assert len(results) == 1                       # single schema -> one batch
+    assert bat.table.committed_epoch() == 2
+    m = bat.table.manifest(2)
+    assert m["epochs_covered"] == [0, 2]
+    assert m["offset_min"] == binlog["epochs"][0]["offset_min"]
+    assert m["offset_max"] == binlog["epochs"][2]["offset_max"]
+    assert seq.table.snapshot_table().equals(bat.table.snapshot_table())
+    # resume after a catch-up commit: nothing pending
+    assert bat.replay_binlog(binlog, catchup=True) == []
+
+
+def test_catchup_respects_schema_boundaries(ray_session, tmp_path):
+    spec = BinlogSpec(num_events=600, num_urls=120, num_epochs=3, seed=7,
+                      extra_column_from_epoch=2)
+    bl = write_binlog(str(tmp_path / "evo_b"), spec)
+    eng = CDCEngine(str(tmp_path / "lk_evo_b"), num_buckets=8,
+                    compatibility=CompatibilityMode.UPDATE)
+    results = eng.replay_binlog(bl, catchup=True)
+    # epochs 0-1 share a schema (one batch); epoch 2 adds content_type
+    assert [r.manifest["epochs_covered"] for r in results] == [[0, 1], [2, 2]]
+    assert "content_type" in eng.table.schema.names
 
 
 def test_replay_is_idempotent(ray_session, tmp_path, binlog):

@@ -57,7 +57,16 @@ def test_extra_column_epochs(tmp_path):
     m = write_binlog(str(tmp_path / "b2"), spec)
     import pyarrow.parquet as pq
 
-    s0 = pq.read_schema(m["epochs"][0]["path"])
-    s1 = pq.read_schema(m["epochs"][1]["path"])
+    s0 = pq.read_schema(m["epochs"][0]["files"][0])
+    s1 = pq.read_schema(m["epochs"][1]["files"][0])
     assert "content_type" not in s0.names
     assert "content_type" in s1.names
+
+
+def test_parallel_serial_identical(tmp_path, ray_session):
+    spec = BinlogSpec(num_events=1000, num_urls=200, num_epochs=2)
+    m_ser = write_binlog(str(tmp_path / "ser"), spec, parallel=False)
+    m_par = write_binlog(str(tmp_path / "par"), spec, parallel=True)
+    for es, ep in zip(m_ser["epochs"], m_par["epochs"]):
+        for fs, fp in zip(es["files"], ep["files"]):
+            assert open(fs, "rb").read() == open(fp, "rb").read()
