@@ -78,6 +78,12 @@ def run_bench() -> dict:
         for f in e.get("files", []):
             pq.read_table(f)
 
+    # warm the Ray worker pool (process fork/import costs otherwise land in
+    # the first timed pipeline)
+    import ray.data as rd
+
+    rd.range(200_000).map_batches(lambda b: b).count()
+
     # catch-up replay: all pending epochs of one schema in ONE pipeline +
     # one atomic commit (LWW is associative; see CDCEngine.replay_binlog)
     lake_root = f"/tmp/graft_bench/lake_catchup_{NUM_CPUS}"

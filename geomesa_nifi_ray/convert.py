@@ -260,6 +260,10 @@ def _compile_call(node: Node, error_mode: str):
             arr = _as_array(inner(batch, ctx), batch.num_rows)
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
+            # reader may have pre-parsed the column (csv type inference):
+            # temporal input just casts, string input parses with the format
+            if pa.types.is_temporal(arr.type):
+                return pc.cast(arr, pa.timestamp("us"))
             try:
                 return pc.strptime(arr, format=fmt, unit="us")
             except pa.ArrowInvalid:
