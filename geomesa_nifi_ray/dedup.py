@@ -154,10 +154,13 @@ class MinHashStage:
         return minhash_signature(sh, self.a, self.b)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Emit (doc_id, band_id, band_hash, signature) — one row per band."""
+        """Emit (doc_id, band_id, band_hash, shard, signature) — one row per
+        band. ``shard`` coarsens the bucket key so the downstream exchange
+        groups 64 shards instead of millions of tiny band buckets (the
+        per-group Python dispatch would otherwise dominate)."""
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        out_id, out_band, out_hash, out_sig = [], [], [], []
+        out_id, out_band, out_hash, out_shard, out_sig = [], [], [], [], []
         r = self.rows_per_band
         for i, t in zip(ids, texts):
             sig = self.signature(t)
@@ -167,12 +170,14 @@ class MinHashStage:
                 out_id.append(i)
                 out_band.append(bnd)
                 out_hash.append(h)
+                out_shard.append(zlib.crc32(f"{bnd}:{h}".encode()) % 64)
                 out_sig.append(sig_bytes)
         return pa.table(
             {
                 "doc_id": pa.array(out_id),
                 "band_id": pa.array(out_band, type=pa.int32()),
                 "band_hash": pa.array(out_hash, type=pa.string()),
+                "shard": pa.array(out_shard, type=pa.int32()),
                 "signature": pa.array(out_sig, type=pa.binary()),
             }
         )
@@ -188,29 +193,36 @@ def minhash_candidate_pairs(ds, *, max_bucket: int = 64, threshold: float = 0.7,
     banded = ds.map_batches(MinHashStage, fn_constructor_kwargs=stage_kw,
                             batch_format="pyarrow", concurrency=2)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_bucket)
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-        ids = g["doc_id"].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["signature"]])
+    def shard_pairs(shard: pd.DataFrame) -> pd.DataFrame:
+        """One call per shard (64 total): vectorized pandas groupby over the
+        shard's band buckets; pair enumeration only inside multi-doc buckets."""
         rows = []
-        for i in range(n):
-            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            for j, e in enumerate(eq, start=i + 1):
-                if e >= threshold:
-                    rows.append((ids[i], ids[j], float(e)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+        for _, g in shard.groupby(["band_id", "band_hash"], sort=False):
+            g = g.drop_duplicates("doc_id")
+            n = len(g)
+            if n < 2:
+                continue
+            g = g.sort_values("doc_id").head(max_bucket)
+            ids = g["doc_id"].to_numpy()
+            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["signature"]])
+            for i in range(len(g)):
+                eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+                for j, e in enumerate(eq, start=i + 1):
+                    if e >= threshold:
+                        rows.append((ids[i], ids[j], float(e)))
+        out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+        out["pair_shard"] = (
+            pd.util.hash_pandas_object(out["doc_a"].astype(str) + "|" + out["doc_b"].astype(str),
+                                       index=False) % 64
+        ).astype("int64") if len(out) else pd.Series([], dtype="int64")
+        return out
 
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = banded.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def dedup_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["pair_shard"])
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup_pairs, batch_format="pandas")
+    return pairs.groupby("pair_shard").map_groups(dedup_shard, batch_format="pandas")
 
 
 def assign_duplicate_clusters(pairs_df: pd.DataFrame, rounds: int = 8) -> pd.DataFrame:
@@ -264,18 +276,21 @@ class SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         hashes = [self.simhash(t) for t in batch[self.text_col].to_pylist()]
-        out_id, out_band, out_key, out_h = [], [], [], []
+        out_id, out_band, out_key, out_shard, out_h = [], [], [], [], []
         for i, h in zip(ids, hashes):
             for bnd in range(4):
+                key = (h >> (16 * bnd)) & 0xFFFF
                 out_id.append(i)
                 out_band.append(bnd)
-                out_key.append((h >> (16 * bnd)) & 0xFFFF)
+                out_key.append(key)
+                out_shard.append((bnd * 16381 + key) % 64)
                 out_h.append(h)
         return pa.table(
             {
                 "doc_id": pa.array(out_id),
                 "band_id": pa.array(out_band, type=pa.int32()),
                 "band_key": pa.array(out_key, type=pa.int32()),
+                "shard": pa.array(out_shard, type=pa.int32()),
                 "simhash": pa.array(out_h, type=pa.uint64()),
             }
         )
@@ -285,24 +300,33 @@ def simhash_candidate_pairs(ds, *, max_hamming: int = 3, max_bucket: int = 64, *
     banded = ds.map_batches(SimHashStage, fn_constructor_kwargs=kw,
                             batch_format="pyarrow", concurrency=2)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_bucket)
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
+    def shard_pairs(shard: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for i in range(len(g)):
-            x = hs[i + 1 :] ^ hs[i]
-            d = np.array([bin(int(v)).count("1") for v in x])
-            for j, dist in enumerate(d, start=i + 1):
-                if dist <= max_hamming:
-                    rows.append((ids[i], ids[j], int(dist)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+        for _, g in shard.groupby(["band_id", "band_key"], sort=False):
+            g = g.drop_duplicates("doc_id")
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id").head(max_bucket)
+            ids = g["doc_id"].to_numpy()
+            hs = g["simhash"].to_numpy().astype(np.uint64)
+            for i in range(len(g)):
+                x = hs[i + 1 :] ^ hs[i]
+                d = np.array([bin(int(v)).count("1") for v in x])
+                for j, dist in enumerate(d, start=i + 1):
+                    if dist <= max_hamming:
+                        rows.append((ids[i], ids[j], int(dist)))
+        out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+        out["pair_shard"] = (
+            pd.util.hash_pandas_object(
+                out["doc_a"].astype(str) + "|" + out["doc_b"].astype(str), index=False
+            ) % 64
+        ).astype("int64") if len(out) else pd.Series([], dtype="int64")
+        return out
 
-    pairs = banded.groupby(["band_id", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    pairs = banded.groupby("shard").map_groups(shard_pairs, batch_format="pandas")
+    return pairs.groupby("pair_shard").map_groups(
+        lambda g: g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["pair_shard"]),
+        batch_format="pandas",
     )
 
 
@@ -322,38 +346,45 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
     def sig_stage(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
-        keys, grams = [], []
+        keys, shards, grams = [], [], []
         for t in texts:
             g = _word_shingle_hashes(t or "", n)
             u = np.unique(g)
-            keys.append(int(u.min()))
+            k = int(u.min())
+            keys.append(k)
+            shards.append(k % 64)
             grams.append(u.tobytes())
         return pa.table(
             {
                 "doc_id": pa.array(ids),
                 "block": pa.array(keys, type=pa.int64()),
+                "shard": pa.array(shards, type=pa.int32()),
                 "grams": pa.array(grams, type=pa.binary()),
             }
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_bucket)
-        ids = g["doc_id"].to_numpy()
-        sets = [set(np.frombuffer(b, dtype=np.uint64).tolist()) for b in g["grams"]]
+    def verify_shard(shard: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                inter = len(sets[i] & sets[j])
-                union = len(sets[i] | sets[j])
-                jac = inter / union if union else 0.0
-                if jac >= threshold:
-                    rows.append((ids[i], ids[j], jac))
+        for _, g in shard.groupby("block", sort=False):
+            g = g.drop_duplicates("doc_id")
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id").head(max_bucket)
+            ids = g["doc_id"].to_numpy()
+            sets = [set(np.frombuffer(b, dtype=np.uint64).tolist()) for b in g["grams"]]
+            for i in range(len(g)):
+                for j in range(i + 1, len(g)):
+                    inter = len(sets[i] & sets[j])
+                    union = len(sets[i] | sets[j])
+                    jac = inter / union if union else 0.0
+                    if jac >= threshold:
+                        rows.append((ids[i], ids[j], jac))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
     return (
         ds.map_batches(sig_stage, batch_format="pyarrow")
-        .groupby("block")
-        .map_groups(verify, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(verify_shard, batch_format="pandas")
     )
 
 
