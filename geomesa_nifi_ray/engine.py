@@ -213,7 +213,7 @@ class CDCEngine:
         epoch: int,
         offset_range: tuple[int, int] | None = None,
         mode: str = "upsert",
-        batch_size: int = 1024,
+        batch_size: int = 8192,
         salted_reduce: bool = False,
         salt_factor: int = 8,
         epochs_covered: tuple[int, int] | None = None,

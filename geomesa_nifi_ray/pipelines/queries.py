@@ -36,7 +36,7 @@ _BINLOG_SPECS = {
     "sf0.01": BinlogSpec(num_events=20_000, num_urls=4_000, num_epochs=4),
     # bench tier: large enough that per-epoch compute dominates the fixed
     # pipeline/shuffle overhead at 32 CPUs (scaling-efficiency evidence)
-    "sf0.1": BinlogSpec(num_events=1_000_000, num_urls=150_000, num_epochs=5),
+    "sf0.1": BinlogSpec(num_events=3_000_000, num_urls=450_000, num_epochs=5),
 }
 
 
