@@ -234,6 +234,39 @@ class LakeTable:
             lambda t, s=schema: project_to_schema(t, s), batch_format="pyarrow"
         )
 
+    def epoch_changes_dataset(self, epoch: int):
+        """CDC egress: the net row-level changes epoch ``epoch`` produced —
+        rows of the table-as-of-``epoch`` whose winning ``offset`` falls in
+        the epoch's offset range. The change-stream-to-records path of
+        ``GetGeoMesaKafkaRecord`` re-expressed over manifests: only bucket
+        files the epoch touched are read, then a vectorized offset filter.
+        """
+        import pyarrow.compute as _pc
+
+        import ray.data
+
+        m = self.manifest(epoch)
+        lo, hi = int(m["offset_min"]), int(m["offset_max"])
+        files = [
+            self.abs_path(e["file"])
+            for e in m["buckets"].values()
+            if int(e["rows_changed"]) > 0
+        ]
+        schema = self.schema
+        if not files:
+            return ray.data.from_arrow(schema.empty_table())
+        ds = ray.data.read_parquet(files)
+
+        def stage(t: pa.Table) -> pa.Table:
+            t = project_to_schema(t, schema)
+            mask = _pc.and_(
+                _pc.greater_equal(t["offset"], pa.scalar(lo)),
+                _pc.less_equal(t["offset"], pa.scalar(hi)),
+            )
+            return t.filter(mask)
+
+        return ds.map_batches(stage, batch_format="pyarrow")
+
     def snapshot_table(self, epoch: int | None = None) -> pa.Table:
         """Driver-side snapshot as one Arrow table — tests / small tables only."""
         files = self.snapshot_files(epoch)

@@ -138,6 +138,30 @@ WITH ranked AS (
 SELECT url, warc_ts, text, lang, content_hash, "offset" FROM ranked WHERE rn = 1
 """
 
+def q_cdc_egress_epoch(sf_dir: str):
+    """CDC egress: net row-level changes produced by epoch 1 (the
+    change-stream-to-records path), read from manifests + touched bucket
+    files only."""
+    eng = run_cdc_replay(sf_dir)
+    return eng.table.epoch_changes_dataset(1).map_batches(
+        lambda t: t.select(SNAPSHOT_COLS), batch_format="pyarrow"
+    )
+
+
+_CDC_EGRESS_SQL = """
+WITH ranked AS (
+  SELECT url, warc_ts, text, lang, "offset",
+         md5(url || chr(31) || CAST(epoch_us(warc_ts) AS VARCHAR)
+                 || chr(31) || text || chr(31) || lang) AS content_hash,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, "offset" DESC) AS rn
+  FROM read_parquet(['{epoch0}', '{epoch1}'])
+  WHERE html IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
+)
+SELECT url, warc_ts, text, lang, content_hash, "offset"
+FROM ranked WHERE rn = 1 AND "offset" BETWEEN {lo} AND {hi}
+"""
+
+
 _CDC_UPDATE_SQL = """
 WITH e0 AS (
   SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, "offset" DESC) rn
@@ -672,6 +696,7 @@ QUERIES = {
     "cdc_replay_snapshot": q_cdc_replay_snapshot,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_update_partial": q_cdc_update_partial,
+    "cdc_egress_epoch": q_cdc_egress_epoch,
     # relational / streaming-window / converter parity (registered views)
     "pricing_summary": q_pricing_summary,
     "top_customer_orders": q_top_customer_orders,
@@ -710,6 +735,12 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "cdc_update_partial": _CDC_UPDATE_SQL.format(
             epoch0=os.path.join(meta["epochs"][0]["path"], "*.parquet"),
             epoch1=os.path.join(meta["epochs"][1]["path"], "*.parquet"),
+        ),
+        "cdc_egress_epoch": _CDC_EGRESS_SQL.format(
+            epoch0=os.path.join(meta["epochs"][0]["path"], "*.parquet"),
+            epoch1=os.path.join(meta["epochs"][1]["path"], "*.parquet"),
+            lo=meta["epochs"][1]["offset_min"],
+            hi=meta["epochs"][1]["offset_max"],
         ),
         "pricing_summary": _PRICING_SQL,
         "top_customer_orders": _TOP_CUSTOMER_SQL,
