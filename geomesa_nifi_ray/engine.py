@@ -287,6 +287,12 @@ class CDCEngine:
                 .groupby("salt")
                 .map_groups(salted_lww, batch_format="pyarrow")
             )
+        # Coalesce the (post-combiner) change set to P blocks before the
+        # exchange: Ray's sort-based shuffle creates one output partition
+        # per input block, so leaving ~n/batch_size small blocks makes the
+        # all-to-all move O(blocks²) tiny objects. P blocks bound the
+        # exchange at P×P and align sort partitions with merge groups.
+        converted = converted.repartition(self.table.num_buckets)
         lineage_ds = converted.groupby("bucket").map_groups(merger, batch_format="pyarrow")
         lineage = lineage_ds.take_all()  # one small row per touched bucket
 
