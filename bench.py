@@ -95,23 +95,28 @@ def run_bench() -> dict:
         eng.table.committed_epoch())["buckets"].values())
 
     # sequential replay: one pipeline + one commit per epoch (the
-    # steady-state low-latency cadence)
-    lake_root2 = f"/tmp/graft_bench/lake_seq_{NUM_CPUS}"
-    shutil.rmtree(lake_root2, ignore_errors=True)
-    t0 = time.perf_counter()
-    run_cdc_replay(SF_DIR, lake_root=lake_root2, num_buckets=64, catchup=False)
-    sequential = time.perf_counter() - t0
+    # steady-state low-latency cadence). Skipped in headline-only mode
+    # (the --scaling subprocesses time the headline alone).
+    headline_only = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") == "1"
+    sequential = None
+    if not headline_only:
+        lake_root2 = f"/tmp/graft_bench/lake_seq_{NUM_CPUS}"
+        shutil.rmtree(lake_root2, ignore_errors=True)
+        t0 = time.perf_counter()
+        run_cdc_replay(SF_DIR, lake_root=lake_root2, num_buckets=64, catchup=False)
+        sequential = time.perf_counter() - t0
 
     # ---- per-query timings ----------------------------------------------
     qtimes = {}
-    for name in TIMED_QUERIES:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        _consume(fn(SF_DIR))
-        qtimes[name] = round(time.perf_counter() - t0, 3)
+    if not headline_only:
+        for name in TIMED_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            _consume(fn(SF_DIR))
+            qtimes[name] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()
-    return {
+    out = {
         "metric": "cdc_replay_wall_seconds",
         "value": round(headline, 3),
         "unit": "sec",
@@ -120,17 +125,19 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "cdc_events": n_events,
         "cdc_events_per_sec": round(n_events / headline, 1),
-        "cdc_sequential_sec": round(sequential, 3),
-        "cdc_sequential_events_per_sec": round(n_events / sequential, 1),
         "cdc_table_rows": table_rows,
     }
+    if sequential is not None:
+        out["cdc_sequential_sec"] = round(sequential, 3)
+        out["cdc_sequential_events_per_sec"] = round(n_events / sequential, 1)
+    return out
 
 
 def run_scaling() -> dict:
     lo, hi = 8, 32
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

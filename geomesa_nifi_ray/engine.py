@@ -204,6 +204,10 @@ class CDCEngine:
             self.table = LakeTable.load(lake_root, table_name)
         else:
             self.table = LakeTable.create(lake_root, table_name, schema, num_buckets)
+        from geomesa_nifi_ray.metrics import EpochCounters
+
+        self._counters = EpochCounters(table_name)
+        self.last_stats: str | None = None
 
     # -- epoch application --------------------------------------------------
 
@@ -295,6 +299,7 @@ class CDCEngine:
         converted = converted.repartition(self.table.num_buckets)
         lineage_ds = converted.groupby("bucket").map_groups(merger, batch_format="pyarrow")
         lineage = lineage_ds.take_all()  # one small row per touched bucket
+        self.last_stats = lineage_ds.stats()  # per-stage wall/cpu breakdown
 
         touched = {r["bucket"]: r for r in lineage}
         buckets: dict[str, dict] = {}
@@ -338,6 +343,7 @@ class CDCEngine:
             "buckets": buckets,
         }
         self.table.commit_epoch(manifest)
+        self._counters.record(rows_applied, rows_failed)
         return EpochResult(
             epoch=epoch,
             rows_in=rows_in,
