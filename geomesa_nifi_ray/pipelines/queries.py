@@ -162,6 +162,40 @@ FROM ranked WHERE rn = 1 AND "offset" BETWEEN {lo} AND {hi}
 """
 
 
+def q_cdc_enrich_tokens(sf_dir: str):
+    """Composition: CDC snapshot -> text-analysis enrichment (whitespace
+    token + char counts per winning page) — lake read feeding a vectorized
+    stats stage."""
+    eng = run_cdc_replay(sf_dir)
+    ds = eng.table.snapshot_dataset(columns=["url", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        import re
+
+        tok = re.compile(r"\S+")
+        texts = t["text"].to_pylist()
+        ws = pa.array([None if x is None else len(tok.findall(x)) for x in texts],
+                      type=pa.int64())
+        nc = pa.array([None if x is None else len(x) for x in texts], type=pa.int64())
+        return pa.table({"url": t["url"], "ws_tokens": ws, "n_chars": nc})
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+_CDC_ENRICH_SQL = """
+WITH ranked AS (
+  SELECT url, text,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, "offset" DESC) AS rn
+  FROM read_parquet('{glob}')
+  WHERE html IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
+)
+SELECT url,
+       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM ranked WHERE rn = 1
+"""
+
+
 _CDC_UPDATE_SQL = """
 WITH e0 AS (
   SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, "offset" DESC) rn
@@ -697,6 +731,7 @@ QUERIES = {
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_update_partial": q_cdc_update_partial,
     "cdc_egress_epoch": q_cdc_egress_epoch,
+    "cdc_enrich_tokens": q_cdc_enrich_tokens,
     # relational / streaming-window / converter parity (registered views)
     "pricing_summary": q_pricing_summary,
     "top_customer_orders": q_top_customer_orders,
@@ -736,6 +771,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             epoch0=os.path.join(meta["epochs"][0]["path"], "*.parquet"),
             epoch1=os.path.join(meta["epochs"][1]["path"], "*.parquet"),
         ),
+        "cdc_enrich_tokens": _CDC_ENRICH_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_egress_epoch": _CDC_EGRESS_SQL.format(
             epoch0=os.path.join(meta["epochs"][0]["path"], "*.parquet"),
             epoch1=os.path.join(meta["epochs"][1]["path"], "*.parquet"),
