@@ -22,6 +22,20 @@ import pyarrow.ipc as paipc
 FORMATS = ("parquet", "csv", "tsv", "jsonl", "arrow")
 
 
+def egress_epoch(table, epoch: int, out_dir: str, format: str = "jsonl",
+                 gzip: bool = False, columns: list[str] | None = None):
+    """Change-stream egress to files: the ``GetGeoMesaKafkaRecord`` ->
+    record-writer path (tail change stream, batch, serialize with per-batch
+    record counts) re-expressed as: epoch's net row changes (from
+    manifests) -> per-block encoder shards with a lineage row (path, rows,
+    bytes) per shard."""
+    ds = table.epoch_changes_dataset(epoch)
+    if columns:
+        ds = ds.map_batches(lambda t, c=tuple(columns): t.select(list(c)),
+                            batch_format="pyarrow")
+    return export_dataset(ds, out_dir, format=format, gzip=gzip)
+
+
 def export_dataset(ds, out_dir: str, format: str = "parquet", gzip: bool = False):
     """Write a Dataset to ``out_dir`` in the requested format; returns a
     small lineage table (shard path, rows, bytes) for non-parquet formats

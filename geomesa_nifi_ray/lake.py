@@ -204,10 +204,25 @@ class LakeTable:
 
     def write_bucket_file(self, table: pa.Table, bucket: int, epoch: int) -> str:
         """Write one bucket's merged state atomically; returns the relative
-        path. Deterministic content + deterministic path = idempotent replay."""
+        path. Deterministic content + deterministic path = idempotent replay.
+
+        Table-level user data (key column, LWW order, schema/kernel
+        versions) is embedded in the parquet schema metadata — the analog
+        of the SFT user-data map / GeoAvro's schema-embedding writer
+        (``GeoAvroRecordSetWriterFactory.scala:34-49``)."""
         rel = self.bucket_file(bucket, epoch)
         path = self.abs_path(rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        meta = self.meta
+        user_data = {
+            b"lake.key": meta["key"].encode(),
+            b"lake.order": ",".join(meta["order"]).encode(),
+            b"lake.schema_version": str(meta["schema_version"]).encode(),
+            b"lake.kernel_version": meta["kernel_version"].encode(),
+            b"lake.bucket": str(bucket).encode(),
+            b"lake.epoch": str(epoch).encode(),
+        }
+        table = table.replace_schema_metadata({**(table.schema.metadata or {}), **user_data})
         tmp = f"{path}.tmp.{os.getpid()}"
         pq.write_table(table, tmp, compression="zstd", write_statistics=True)
         os.replace(tmp, path)

@@ -53,6 +53,41 @@ def test_arrow_ipc_export(ds, tmp_path):
     assert total == 500
 
 
+def test_egress_epoch_to_jsonl(ray_session, tmp_path):
+    from geomesa_nifi_ray.engine import CDCEngine
+    from geomesa_nifi_ray.export import egress_epoch
+    from geomesa_nifi_ray.synth import BinlogSpec, write_binlog
+
+    bl = write_binlog(str(tmp_path / "bl"), BinlogSpec(num_events=800, num_urls=150,
+                                                       num_epochs=2, seed=5))
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=4)
+    eng.replay_binlog(bl)
+    lineage = egress_epoch(eng.table, 1, str(tmp_path / "out"), format="jsonl",
+                           columns=["url", "offset", "lang"]).to_pandas()
+    assert lineage.rows.sum() > 0
+    with open(lineage.path.iloc[0]) as f:
+        row = json.loads(f.readline())
+    assert set(row) == {"url", "offset", "lang"}
+    lo, hi = bl["epochs"][1]["offset_min"], bl["epochs"][1]["offset_max"]
+    assert lo <= row["offset"] <= hi
+
+
+def test_bucket_file_user_data(ray_session, tmp_path):
+    """Parquet schema metadata carries the SFT-user-data analog."""
+    from geomesa_nifi_ray.engine import CDCEngine
+    from geomesa_nifi_ray.synth import BinlogSpec, write_binlog
+
+    bl = write_binlog(str(tmp_path / "bl2"), BinlogSpec(num_events=300, num_urls=60,
+                                                        num_epochs=1, seed=6))
+    eng = CDCEngine(str(tmp_path / "lake2"), num_buckets=2)
+    eng.replay_binlog(bl)
+    f = eng.table.snapshot_files()[0]
+    md = pq.read_schema(f).metadata
+    assert md[b"lake.key"] == b"url"
+    assert md[b"lake.order"] == b"warc_ts,offset"
+    assert b"lake.kernel_version" in md
+
+
 def test_invalid_format(ds, tmp_path):
     with pytest.raises(ValueError):
         export_dataset(ds, str(tmp_path / "x"), "shapefile")
