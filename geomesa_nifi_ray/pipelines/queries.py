@@ -162,6 +162,44 @@ FROM ranked WHERE rn = 1 AND "offset" BETWEEN {lo} AND {hi}
 """
 
 
+def _evo_spec(sf_dir: str) -> BinlogSpec:
+    import dataclasses
+
+    base = _BINLOG_SPECS.get(_sf_name(sf_dir), _BINLOG_SPECS["sf0.01"])
+    return dataclasses.replace(base, extra_column_from_epoch=1)
+
+
+def q_cdc_schema_evolution(sf_dir: str):
+    """Additive schema evolution under Update mode (F4): epoch 1 adds
+    ``content_type``; the lake widens at the epoch boundary and pre-evolution
+    winners read back null-filled."""
+    from geomesa_nifi_ray.schema import CompatibilityMode
+
+    spec = _evo_spec(sf_dir)
+    bdir = os.path.join(CDC_ROOT, _sf_name(sf_dir), "binlog_evo")
+    meta = write_binlog(bdir, spec)
+    lake_root = os.path.join(
+        CDC_ROOT, _sf_name(sf_dir), f"lake_evo-{_lake_key(meta)}"
+    )
+    eng = CDCEngine(lake_root, num_buckets=16, compatibility=CompatibilityMode.UPDATE)
+    eng.replay_binlog(meta)
+    return eng.table.snapshot_table().select(SNAPSHOT_COLS + ["content_type"])
+
+
+_CDC_EVOLUTION_SQL = """
+WITH ranked AS (
+  SELECT url, warc_ts, text, lang, "offset", content_type,
+         md5(url || chr(31) || CAST(epoch_us(warc_ts) AS VARCHAR)
+                 || chr(31) || text || chr(31) || lang) AS content_hash,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, "offset" DESC) AS rn
+  FROM read_parquet('{glob}', union_by_name=true)
+  WHERE html IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
+)
+SELECT url, warc_ts, text, lang, content_hash, "offset", content_type
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_cdc_enrich_tokens(sf_dir: str):
     """Composition: CDC snapshot -> text-analysis enrichment (whitespace
     token + char counts per winning page) — lake read feeding a vectorized
@@ -732,6 +770,7 @@ QUERIES = {
     "cdc_update_partial": q_cdc_update_partial,
     "cdc_egress_epoch": q_cdc_egress_epoch,
     "cdc_enrich_tokens": q_cdc_enrich_tokens,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
     # relational / streaming-window / converter parity (registered views)
     "pricing_summary": q_pricing_summary,
     "top_customer_orders": q_top_customer_orders,
@@ -772,6 +811,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             epoch1=os.path.join(meta["epochs"][1]["path"], "*.parquet"),
         ),
         "cdc_enrich_tokens": _CDC_ENRICH_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
+        "cdc_schema_evolution": _CDC_EVOLUTION_SQL.format(
+            glob=os.path.join(CDC_ROOT, _sf_name(sf_dir), "binlog_evo", "epoch-*", "*.parquet")
+        ),
         "cdc_egress_epoch": _CDC_EGRESS_SQL.format(
             epoch0=os.path.join(meta["epochs"][0]["path"], "*.parquet"),
             epoch1=os.path.join(meta["epochs"][1]["path"], "*.parquet"),

@@ -80,7 +80,7 @@ def test_all_queries_run(entrymod):
 
 
 @pytest.mark.parametrize("name", [
-    "cdc_replay_snapshot", "cdc_lww_dedup", "cdc_update_partial", "cdc_egress_epoch", "cdc_enrich_tokens",
+    "cdc_replay_snapshot", "cdc_lww_dedup", "cdc_update_partial", "cdc_egress_epoch", "cdc_enrich_tokens", "cdc_schema_evolution",
     "pricing_summary", "top_customer_orders", "events_windowed",
     "lww_latest_events", "upsert_events", "convert_events_typed",
     "exact_dedup_documents", "content_hash_documents", "token_stats_documents",
