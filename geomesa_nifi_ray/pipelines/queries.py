@@ -497,6 +497,144 @@ FROM events
 """
 
 
+def q_events_sessionized(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user — the
+    streaming-session analog: sort within key group, gap-split, aggregate."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        new_s = (g["ts"].diff() > pd.Timedelta(minutes=30)) | g["ts"].diff().isna()
+        g["session_id"] = new_s.cumsum().astype("int64")
+        out = (
+            g.groupby("session_id")
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("event_id", "count"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index()
+        )
+        out["sum_value"] = out["sum_value"].round(4)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_id", "session_start", "session_end",
+                    "n_events", "sum_value"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+_SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value, event_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_events_distinct_users(sf_dir: str):
+    """Distinct operator (ds.unique — a shuffle) on the events key."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    vals = sorted(ds.unique("user_id"))
+    return pd.DataFrame({"user_id": pd.Series(vals, dtype="int64")})
+
+
+_DISTINCT_USERS_SQL = "SELECT DISTINCT user_id FROM events"
+
+
+def q_orders_semi_join(sf_dir: str):
+    """Broadcast semi-join: orders whose customer sits in region EUROPE.
+    The small side (region⨝nation⨝customer key set) is built driver-side
+    and broadcast once via ray.put; orders stream through a vectorized
+    membership filter — no shuffle."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    rkeys = region.loc[region.r_name == "EUROPE", "r_regionkey"]
+    nkeys = nation.loc[nation.n_regionkey.isin(rkeys), "n_nationkey"]
+    custkeys = np.asarray(cust.loc[cust.c_nationkey.isin(nkeys), "c_custkey"])
+    kref = ray.put(custkeys)
+
+    def stage(t: pa.Table) -> pa.Table:
+        keys = ray.get(kref)
+        mask = pc.is_in(t["o_custkey"], value_set=pa.array(keys))
+        return t.filter(mask)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+_SEMI_JOIN_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE')
+"""
+
+
+def q_cdc_backfill_rewrite(sf_dir: str):
+    """Lake-wide rewrite epoch (UPDATE-WHERE / backfill): uppercase ``lang``
+    across every bucket, content hashes recomputed, committed as one new
+    epoch. Idempotent per sf tier."""
+    import pyarrow.compute as _pc
+
+    meta = get_binlog(sf_dir)
+    lake_root = os.path.join(CDC_ROOT, _sf_name(sf_dir), f"lake_rw-{_lake_key(meta)}")
+    eng = CDCEngine(lake_root, num_buckets=16)
+    eng.replay_binlog(meta)
+    last_binlog_epoch = meta["epochs"][-1]["epoch"]
+    if eng.table.committed_epoch() == last_binlog_epoch:  # rewrite not yet applied
+        def upper_lang(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.schema.get_field_index("lang"), "lang", _pc.utf8_upper(t["lang"])
+            )
+
+        eng.rewrite_epoch(upper_lang)
+    return eng.table.snapshot_table().select(["url", "warc_ts", "lang", "content_hash", "offset"])
+
+
+_CDC_BACKFILL_SQL = """
+WITH ranked AS (
+  SELECT url, warc_ts, text, upper(lang) AS lang, "offset",
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, "offset" DESC) AS rn
+  FROM read_parquet('{glob}')
+  WHERE html IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
+)
+SELECT url, warc_ts, lang,
+       md5(url || chr(31) || CAST(epoch_us(warc_ts) AS VARCHAR)
+               || chr(31) || text || chr(31) || lang) AS content_hash,
+       "offset"
+FROM ranked WHERE rn = 1
+"""
+
+
 # ------------------------------------------------------------ text queries --
 
 
@@ -778,6 +916,10 @@ QUERIES = {
     "lww_latest_events": q_lww_latest_events,
     "upsert_events": q_upsert_events,
     "convert_events_typed": q_convert_events_typed,
+    "events_sessionized": q_events_sessionized,
+    "events_distinct_users": q_events_distinct_users,
+    "orders_semi_join": q_orders_semi_join,
+    "cdc_backfill_rewrite": q_cdc_backfill_rewrite,
     # training-data ops with SQL oracles
     "exact_dedup_documents": q_exact_dedup_documents,
     "content_hash_documents": q_content_hash_documents,
@@ -826,6 +968,10 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "lww_latest_events": _LWW_EVENTS_SQL,
         "upsert_events": _UPSERT_EVENTS_SQL,
         "convert_events_typed": _CONVERT_EVENTS_SQL,
+        "events_sessionized": _SESSIONIZE_SQL,
+        "events_distinct_users": _DISTINCT_USERS_SQL,
+        "orders_semi_join": _SEMI_JOIN_SQL,
+        "cdc_backfill_rewrite": _CDC_BACKFILL_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         "exact_dedup_documents": _EXACT_DEDUP_SQL,
         "content_hash_documents": _CONTENT_HASH_SQL,
         "token_stats_documents": _TOKEN_STATS_SQL,

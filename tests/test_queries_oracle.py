@@ -83,6 +83,7 @@ def test_all_queries_run(entrymod):
     "cdc_replay_snapshot", "cdc_lww_dedup", "cdc_update_partial", "cdc_egress_epoch", "cdc_enrich_tokens", "cdc_schema_evolution",
     "pricing_summary", "top_customer_orders", "events_windowed",
     "lww_latest_events", "upsert_events", "convert_events_typed",
+    "events_sessionized", "events_distinct_users", "orders_semi_join", "cdc_backfill_rewrite",
     "exact_dedup_documents", "content_hash_documents", "token_stats_documents",
     "quality_documents", "lang_distribution_documents",
     "schema_project_documents", "embedding_topk",
