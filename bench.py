@@ -91,6 +91,12 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     eng = run_cdc_replay(SF_DIR, lake_root=lake_root, num_buckets=64, catchup=True)
     headline = time.perf_counter() - t0
+    if eng.last_stats:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_STATS.txt"), "w") as f:
+            f.write(f"# per-stage stats of the headline catch-up replay "
+                    f"(num_cpus={NUM_CPUS}, sf={SF_DIR})\n")
+            f.write(eng.last_stats)
     table_rows = sum(int(b["rows"]) for b in eng.table.manifest(
         eng.table.committed_epoch())["buckets"].values())
 
