@@ -1,0 +1,164 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+Usage (each command owns its Ray session; ``--num-cpus`` maps to the
+cluster-size knob of the two-cluster-size scaling protocol)::
+
+    python -m geomesa_nifi_ray synth  --out /tmp/binlog --events 100000 --urls 20000 --epochs 5
+    python -m geomesa_nifi_ray replay --binlog /tmp/binlog --lake /tmp/lake [--catchup] [--update]
+    python -m geomesa_nifi_ray status --lake /tmp/lake
+    python -m geomesa_nifi_ray snapshot --lake /tmp/lake --out /tmp/snap --format csv
+    python -m geomesa_nifi_ray egress --lake /tmp/lake --epoch 2 --out /tmp/changes --format jsonl
+    python -m geomesa_nifi_ray vacuum --lake /tmp/lake --retain 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="geomesa_nifi_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("synth")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--events", type=int, default=100_000)
+    sp.add_argument("--urls", type=int, default=20_000)
+    sp.add_argument("--epochs", type=int, default=5)
+    sp.add_argument("--seed", type=int, default=42)
+
+    rp = sub.add_parser("replay")
+    rp.add_argument("--binlog", required=True)
+    rp.add_argument("--lake", required=True)
+    rp.add_argument("--buckets", type=int, default=64)
+    rp.add_argument("--catchup", action="store_true")
+    rp.add_argument("--update", action="store_true", help="partial-update mode")
+    rp.add_argument("--compat", choices=["exact", "existing", "update"], default="existing")
+
+    st = sub.add_parser("status")
+    st.add_argument("--lake", required=True)
+
+    sn = sub.add_parser("snapshot")
+    sn.add_argument("--lake", required=True)
+    sn.add_argument("--out", required=True)
+    sn.add_argument("--format", default="parquet")
+
+    eg = sub.add_parser("egress")
+    eg.add_argument("--lake", required=True)
+    eg.add_argument("--epoch", type=int, required=True)
+    eg.add_argument("--out", required=True)
+    eg.add_argument("--format", default="jsonl")
+
+    vc = sub.add_parser("vacuum")
+    vc.add_argument("--lake", required=True)
+    vc.add_argument("--retain", type=int, default=2)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "synth":
+        from geomesa_nifi_ray.synth import BinlogSpec, write_binlog
+
+        try:
+            _ray_session(args.num_cpus)  # enables parallel generation
+        except ImportError:
+            pass
+        meta = write_binlog(
+            args.out,
+            BinlogSpec(num_events=args.events, num_urls=args.urls,
+                       num_epochs=args.epochs, seed=args.seed),
+        )
+        print(json.dumps({"binlog": args.out, "total_rows": meta["total_rows"],
+                          "epochs": len(meta["epochs"])}))
+        return 0
+
+    if args.cmd == "replay":
+        _ray_session(args.num_cpus)
+        from geomesa_nifi_ray.engine import CDCEngine
+        from geomesa_nifi_ray.schema import CompatibilityMode
+
+        with open(f"{args.binlog}/binlog.json") as f:
+            meta = json.load(f)
+        eng = CDCEngine(args.lake, num_buckets=args.buckets,
+                        compatibility=CompatibilityMode(args.compat))
+        results = eng.replay_binlog(
+            meta, mode="update" if args.update else "upsert", catchup=args.catchup
+        )
+        print(json.dumps({
+            "epochs_applied": [r.epoch for r in results],
+            "rows_in": sum(r.rows_in for r in results),
+            "rows_failed": sum(r.rows_failed for r in results),
+            "table_rows": results[-1].table_rows if results else None,
+            "committed_epoch": eng.table.committed_epoch(),
+        }))
+        return 0
+
+    if args.cmd == "status":
+        from geomesa_nifi_ray.lake import LakeTable
+        from geomesa_nifi_ray.metrics import skew_report
+
+        t = LakeTable.load(args.lake, "pages")
+        committed = t.committed_epoch()
+        sk = skew_report(t)
+        print(json.dumps({
+            "committed_epoch": committed,
+            "schema_version": t.meta["schema_version"],
+            "num_buckets": t.num_buckets,
+            "table_rows": int(sk.rows.sum()) if len(sk) else 0,
+            "hottest_bucket_share": round(float(sk.share.iloc[0]), 4) if len(sk) else 0,
+        }))
+        return 0
+
+    if args.cmd == "snapshot":
+        _ray_session(args.num_cpus)
+        from geomesa_nifi_ray.export import export_dataset
+        from geomesa_nifi_ray.lake import LakeTable
+
+        t = LakeTable.load(args.lake, "pages")
+        out = export_dataset(t.snapshot_dataset(), args.out, format=args.format)
+        if isinstance(out, str):
+            print(json.dumps({"out_dir": out, "format": args.format}))
+        else:
+            lineage = out.to_pandas()
+            print(json.dumps({"out_dir": args.out, "format": args.format,
+                              "shards": len(lineage), "rows": int(lineage.rows.sum())}))
+        return 0
+
+    if args.cmd == "egress":
+        _ray_session(args.num_cpus)
+        from geomesa_nifi_ray.export import egress_epoch
+        from geomesa_nifi_ray.lake import LakeTable
+
+        t = LakeTable.load(args.lake, "pages")
+        lineage = egress_epoch(t, args.epoch, args.out, format=args.format).to_pandas()
+        print(json.dumps({"shards": len(lineage), "rows": int(lineage.rows.sum())}))
+        return 0
+
+    if args.cmd == "vacuum":
+        from geomesa_nifi_ray.lake import LakeTable
+
+        t = LakeTable.load(args.lake, "pages")
+        deleted = t.vacuum(retain_epochs=args.retain)
+        print(json.dumps({"deleted_files": len(deleted)}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -87,9 +87,10 @@ class EpochResult:
     rows_in: int
     rows_applied: int          # change rows surviving dedup + merge input
     rows_failed: int           # dead-lettered (null key/ts/html) + no-match updates
-    buckets_touched: int
-    buckets_carried: int
-    table_rows: int
+    rows_collapsed: int = 0    # duplicates collapsed by the LWW combiner
+    buckets_touched: int = 0
+    buckets_carried: int = 0
+    table_rows: int = 0
     manifest: dict = field(repr=False, default_factory=dict)
 
 
@@ -107,25 +108,56 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str, order:
       5. per-batch partial LWW (combiner before the shuffle).
     """
     pre_hash_schema = pa.schema([f for f in stored_schema if f.name != "content_hash"])
+    out_cols = [f.name for f in stored_schema] + ["bucket", "_dead"]
 
     def convert(batch: pa.Table) -> pa.Table:
         valid = pc.and_(
             pc.and_(pc.is_valid(batch[key]), pc.is_valid(batch["warc_ts"])),
             pc.is_valid(batch["html"]),
         )
-        batch = batch.filter(valid)
-        if batch.num_rows == 0:
+        good = batch.filter(valid)
+        dead = batch.filter(pc.invert(valid))
+
+        parts = []
+        if good.num_rows:
+            text = extract_text_batch(good["html"])
+            if "text" in good.column_names:
+                good = good.drop_columns(["text"])
+            good = good.append_column("text", text)
+            good = project_to_schema(good, pre_hash_schema)
+            good = add_hash_and_bucket(good, num_buckets, url_col=key)
+            good = lww_dedupe(good, key, order)
+            good = good.append_column(
+                "_dead", pa.nulls(good.num_rows, pa.int8()).fill_null(0)
+            )
+            parts.append(good.select(out_cols))
+        if dead.num_rows:
+            # dead-letter skeletons ride to their bucket's merge task only to
+            # be counted there (exact single-pass failure accounting; the
+            # bad-record skip counters of PutGeoMesaRecord.scala:93-103).
+            # Payload columns are nulled so they add no shuffle weight.
+            import numpy as np
+
+            from geomesa_nifi_ray.hashing import bucket_ids
+
+            urls = dead[key].to_pylist()
+            buckets = bucket_ids([u if u is not None else "" for u in urls], num_buckets)
+            skel = pa.table(
+                {
+                    key: pa.array(urls, type=stored_schema.field(key).type),
+                    "bucket": pa.array(buckets, type=pa.int32()),
+                    "_dead": pa.array(np.ones(len(urls), dtype=np.int8)),
+                }
+            )
+            skel = project_to_schema(skel, stored_schema)
+            skel = skel.append_column("bucket", pa.array(buckets, type=pa.int32()))
+            skel = skel.append_column("_dead", pa.array(np.ones(len(urls), dtype=np.int8)))
+            parts.append(skel.select(out_cols))
+        if not parts:
             out = stored_schema.empty_table()
-            return out.append_column("bucket", pa.array([], type=pa.int32()))
-        text = extract_text_batch(batch["html"])
-        if "text" in batch.column_names:
-            batch = batch.drop_columns(["text"])
-        batch = batch.append_column("text", text)
-        batch = project_to_schema(batch, pre_hash_schema)
-        batch = add_hash_and_bucket(batch, num_buckets, url_col=key)
-        batch = lww_dedupe(batch, key, order)
-        # order columns to the stored schema + bucket
-        return batch.select([f.name for f in stored_schema] + ["bucket"])
+            out = out.append_column("bucket", pa.array([], type=pa.int32()))
+            return out.append_column("_dead", pa.array([], type=pa.int8()))
+        return pa.concat_tables(parts)
 
     return convert
 
@@ -154,17 +186,35 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict], mode
     def merge_bucket(group: pa.Table) -> pa.Table:
         bucket = group["bucket"][0].as_py()
         changes = group.drop_columns(["bucket"])
+        failed = 0
+        if "_dead" in changes.column_names:
+            dead_mask = pc.equal(changes["_dead"], pa.scalar(1, pa.int8()))
+            failed = pc.sum(pc.cast(dead_mask, pa.int64())).as_py() or 0
+            changes = changes.filter(pc.invert(dead_mask)).drop_columns(["_dead"])
         entry = ray.get(live_ref).get(bucket)
         base = None
         if entry is not None:
             base = project_to_schema(pq.read_table(table.abs_path(entry["file"])), stored_schema)
-        failed = 0
         if mode == "upsert":
             changes = project_to_schema(changes, stored_schema)
             merged = merge_upsert(base, changes, key, order)
         else:
-            merged, failed = merge_update(base, changes, key, order)
+            merged, unmatched = merge_update(base, changes, key, order)
+            failed += unmatched
             merged = project_to_schema(merged, stored_schema)
+        if merged.num_rows == 0 and base is None:
+            # bucket touched only by dead-letter skeletons: keep no file,
+            # report the failures
+            return pa.table(
+                {
+                    "bucket": pa.array([bucket], type=pa.int32()),
+                    "file": pa.array([None], type=pa.string()),
+                    "rows": pa.array([0], type=pa.int64()),
+                    "rows_changed": pa.array([0], type=pa.int64()),
+                    "rows_failed": pa.array([failed], type=pa.int64()),
+                    "digest": pa.array([""], type=pa.string()),
+                }
+            )
         merged = merged.take(pc.sort_indices(merged, sort_keys=[(sort_key, "ascending")]))
         rel = table.write_bucket_file(merged, bucket, epoch)
         digest = digest_of_hashes(merged["content_hash"].to_pylist())
@@ -173,7 +223,7 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict], mode
                 "bucket": pa.array([bucket], type=pa.int32()),
                 "file": pa.array([rel], type=pa.string()),
                 "rows": pa.array([merged.num_rows], type=pa.int64()),
-                "rows_changed": pa.array([group.num_rows], type=pa.int64()),
+                "rows_changed": pa.array([changes.num_rows], type=pa.int64()),
                 "rows_failed": pa.array([failed], type=pa.int64()),
                 "digest": pa.array([digest], type=pa.string()),
             }
@@ -280,11 +330,15 @@ class CDCEngine:
             def add_salt(t: pa.Table) -> pa.Table:
                 from geomesa_nifi_ray.hashing import bucket_ids
 
-                salts = bucket_ids(t[key].to_pylist(), num_salts)
+                urls = [u if u is not None else "" for u in t[key].to_pylist()]
+                salts = bucket_ids(urls, num_salts)
                 return t.append_column("salt", pa.array(salts, type=pa.int32()))
 
             def salted_lww(g: pa.Table) -> pa.Table:
-                return lww_dedupe(g, key, order).drop_columns(["salt"])
+                dead_mask = pc.equal(g["_dead"], pa.scalar(1, pa.int8()))
+                dead = g.filter(dead_mask)
+                good = lww_dedupe(g.filter(pc.invert(dead_mask)), key, order)
+                return pa.concat_tables([good, dead]).drop_columns(["salt"])
 
             converted = (
                 converted.map_batches(add_salt, batch_format="pyarrow")
@@ -304,6 +358,8 @@ class CDCEngine:
         touched = {r["bucket"]: r for r in lineage}
         buckets: dict[str, dict] = {}
         for b, r in touched.items():
+            if r["file"] is None:
+                continue  # bucket saw only dead-letter rows; counted below
             buckets[str(b)] = {
                 "file": r["file"],
                 "rows": int(r["rows"]),
@@ -312,7 +368,7 @@ class CDCEngine:
             }
         carried = 0
         for b, entry in live.items():
-            if b not in touched:
+            if str(b) not in buckets:
                 buckets[str(b)] = {
                     "file": entry["file"],
                     "rows": int(entry["rows"]),
@@ -321,10 +377,12 @@ class CDCEngine:
                 }
                 carried += 1
 
+        # rows_applied: change rows reaching the merge (post partial-LWW);
+        # rows_failed: dead-lettered rows (+ unmatched partial updates) —
+        # duplicates collapsed by LWW are neither (rows_collapsed)
         rows_applied = sum(int(r["rows_changed"]) for r in touched.values())
-        rows_failed = (rows_in - rows_applied) if mode == "upsert" else sum(
-            int(r["rows_failed"]) for r in touched.values()
-        )
+        rows_failed = sum(int(r["rows_failed"]) for r in touched.values())
+        rows_collapsed = max(0, rows_in - rows_applied - rows_failed)
         if offset_range is None:
             offset_range = (-1, -1)
         manifest = {
@@ -336,6 +394,7 @@ class CDCEngine:
             "rows_in": int(rows_in),
             "rows_applied": int(rows_applied),
             "rows_failed": int(rows_failed),
+            "rows_collapsed": int(rows_collapsed),
             "mode": mode,
             "schema_version": self.table.meta["schema_version"],
             "schema_fingerprint": self.table.schema_fingerprint(),
@@ -349,6 +408,7 @@ class CDCEngine:
             rows_in=rows_in,
             rows_applied=rows_applied,
             rows_failed=rows_failed,
+            rows_collapsed=rows_collapsed,
             buckets_touched=len(touched),
             buckets_carried=carried,
             table_rows=sum(int(e["rows"]) for e in buckets.values()),

@@ -228,6 +228,32 @@ class LakeTable:
         os.replace(tmp, path)
         return rel
 
+    def vacuum(self, retain_epochs: int = 2) -> list[str]:
+        """Delete data files not referenced by the manifests of the last
+        ``retain_epochs`` committed epochs (the writer-cache eviction /
+        cleanup analog; a lake table otherwise accumulates one file per
+        touched bucket per epoch forever). Returns deleted paths.
+
+        Safe by construction: readers resolve files only through manifests,
+        and every retained manifest's file set is kept — including files
+        carried forward from older epochs."""
+        committed = self.committed_epoch()
+        if committed is None:
+            return []
+        keep: set[str] = set()
+        for e in range(max(0, committed - retain_epochs + 1), committed + 1):
+            keep.update(entry["file"] for entry in self.manifest(e)["buckets"].values())
+        deleted = []
+        data_root = os.path.join(self.table_dir, DATA_DIR)
+        for dirpath, _, files in os.walk(data_root):
+            for name in files:
+                abs_path = os.path.join(dirpath, name)
+                rel = os.path.relpath(abs_path, self.table_dir)
+                if name.endswith(".parquet") and rel not in keep:
+                    os.remove(abs_path)
+                    deleted.append(rel)
+        return deleted
+
     # -- reads --------------------------------------------------------------
 
     def snapshot_files(self, epoch: int | None = None) -> list[str]:
@@ -256,8 +282,6 @@ class LakeTable:
         ``GetGeoMesaKafkaRecord`` re-expressed over manifests: only bucket
         files the epoch touched are read, then a vectorized offset filter.
         """
-        import pyarrow.compute as _pc
-
         import ray.data
 
         m = self.manifest(epoch)
@@ -270,17 +294,13 @@ class LakeTable:
         schema = self.schema
         if not files:
             return ray.data.from_arrow(schema.empty_table())
-        ds = ray.data.read_parquet(files)
+        # offset-range pushdown: pyarrow prunes row groups / rows at the scan
+        import pyarrow.dataset as _pds
 
-        def stage(t: pa.Table) -> pa.Table:
-            t = project_to_schema(t, schema)
-            mask = _pc.and_(
-                _pc.greater_equal(t["offset"], pa.scalar(lo)),
-                _pc.less_equal(t["offset"], pa.scalar(hi)),
-            )
-            return t.filter(mask)
-
-        return ds.map_batches(stage, batch_format="pyarrow")
+        ds = ray.data.read_parquet(
+            files, filter=(_pds.field("offset") >= lo) & (_pds.field("offset") <= hi)
+        )
+        return ds.map_batches(lambda t: project_to_schema(t, schema), batch_format="pyarrow")
 
     def snapshot_table(self, epoch: int | None = None) -> pa.Table:
         """Driver-side snapshot as one Arrow table — tests / small tables only."""

@@ -104,5 +104,7 @@ class EpochCounters:
 
     def record(self, applied: int, failed: int) -> None:
         if self._ok:  # pragma: no cover
-            self.events.inc(applied, self._tags)
-            self.failures.inc(failed, self._tags)
+            if applied > 0:  # ray Counter.inc rejects non-positive values
+                self.events.inc(applied, self._tags)
+            if failed > 0:
+                self.failures.inc(failed, self._tags)

@@ -101,10 +101,14 @@ def q_cdc_lww_dedup(sf_dir: str):
     files = [f for e in meta["epochs"] for f in e["files"]]
     ds = ray.data.read_parquet(files)
     # drop the heavy html payload before the shuffle: the snapshot output
-    # doesn't need it, so the exchange moves text+metadata only
-    ds = ds.map_batches(
-        lambda t: convert(t).select(SNAPSHOT_COLS + ["bucket"]), batch_format="pyarrow"
-    )
+    # doesn't need it, so the exchange moves text+metadata only; dead-letter
+    # skeletons are filtered here (this operator reports winners only)
+    def prep(t: pa.Table) -> pa.Table:
+        t = convert(t)
+        t = t.filter(pc.equal(t["_dead"], pa.scalar(0, pa.int8())))
+        return t.select(SNAPSHOT_COLS + ["bucket"])
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         t = pa.Table.from_pandas(g, preserve_index=False)

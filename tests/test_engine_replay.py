@@ -79,13 +79,18 @@ def test_failure_accounting(ray_session, tmp_lake, binlog):
     results = eng.replay_binlog(binlog)
     total_in = sum(r.rows_in for r in results)
     total_failed = sum(r.rows_failed for r in results)
+    total_collapsed = sum(r.rows_collapsed for r in results)
+    total_applied = sum(r.rows_applied for r in results)
     assert total_in == SPEC.num_events
-    # failed = null-html dead letters + rows collapsed by within-epoch LWW
+    # failed counts EXACTLY the dead-lettered rows (synth nulls only html);
+    # LWW-collapsed duplicates are accounted separately
     null_html = sum(
         pq.read_table(e["path"], columns=["html"])["html"].null_count
         for e in binlog["epochs"]
     )
-    assert total_failed >= null_html > 0
+    assert total_failed == null_html > 0
+    assert total_collapsed > 0
+    assert total_in == total_applied + total_failed + total_collapsed
 
 
 def test_crash_resume_bit_identical(ray_session, tmp_path, binlog):
