@@ -301,6 +301,24 @@ def _compile_call(node: Node, error_mode: str):
             )
         return md5_fn
 
+    if name == "json":
+        # nested list/map/struct cell -> JSON string (the gson serialization
+        # of SimpleFeatureRecordConverter.scala:503-514)
+        import json as _json
+
+        inner = args[0]
+
+        def json_fn(batch, ctx):
+            arr = _as_array(inner(batch, ctx), batch.num_rows)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            return pa.array(
+                [None if v is None else _json.dumps(v, default=str, sort_keys=True)
+                 for v in arr.to_pylist()],
+                type=pa.string(),
+            )
+        return json_fn
+
     if name == "replace":
         if node.args[1].kind != "lit" or node.args[2].kind != "lit":
             raise ConvertError("replace(expr, 'from', 'to') needs literals")

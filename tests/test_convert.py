@@ -97,6 +97,19 @@ def test_field_type_coercion():
     assert out["lon64"].type == pa.float64()
 
 
+def test_json_function():
+    t = pa.table(
+        {
+            "lst": pa.array([[1, 2], None], type=pa.list_(pa.int32())),
+            "mp": pa.array([{"b": 2, "a": 1}, {}], type=pa.map_(pa.string(), pa.int32())),
+        }
+    )
+    conv = RecordConverter([FieldSpec("j", "json($lst)"), FieldSpec("m", "json($mp)")])
+    out = conv.convert(t).table
+    assert out["j"].to_pylist() == ["[1, 2]", None]
+    assert out["m"][0].as_py() in ('[["b", 2], ["a", 1]]', '[["a", 1], ["b", 2]]')
+
+
 def test_parse_errors():
     with pytest.raises(ConvertError):
         parse_expr("nosuchtoken !!")
