@@ -890,6 +890,38 @@ def q_embedding_neardup(sf_dir: str):
     return dd.embedding_neardup_pairs(ds, tau=0.4)
 
 
+def q_minhash_clusters_documents(sf_dir: str):
+    """Near-dup cluster assignment: MinHash-LSH pairs -> connected
+    components (min-label propagation over the pair set)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = dd.minhash_candidate_pairs(ds, threshold=0.8).to_pandas()
+    return dd.assign_duplicate_clusters(pairs)
+
+
+def q_multimodal_features(sf_dir: str):
+    """Multimodal actor-pool plumbing: deterministic synthetic media rows
+    -> image-feature extraction (stub decoder; real Ray pipeline). The
+    media table is seeded so results are stable across runs."""
+    import ray.data
+
+    from geomesa_nifi_ray.multimodal import ImageDecodeStage, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(128, seed=3))
+    out = ds.map_batches(ImageDecodeStage, batch_format="pyarrow", batch_size=32,
+                         concurrency=2, fn_constructor_kwargs={"feature_dim": 16})
+
+    def summarize(t: pa.Table) -> pa.Table:
+        feats = t["image_features"].to_pylist()
+        mean = pa.array([float(np.mean(f)) if f else None for f in feats],
+                        type=pa.float64())
+        return pa.table({"media_id": t["media_id"], "feature_mean": mean,
+                         "feature_dim": pa.array([len(f) for f in feats], type=pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_embedding_ivf_topk(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data
@@ -941,6 +973,8 @@ QUERIES = {
     "fingerprint_documents": q_fingerprint_documents,
     "embedding_neardup": q_embedding_neardup,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "minhash_clusters_documents": q_minhash_clusters_documents,
+    "multimodal_features": q_multimodal_features,
 }
 
 
