@@ -44,10 +44,6 @@ class SchemaError(ValueError):
     schema under the configured compatibility mode."""
 
 
-# Safe widening casts applied silently on projection ("assignable" types).
-_WIDENINGS: dict[tuple[str, str], bool] = {}
-
-
 def _is_assignable(src: pa.DataType, dst: pa.DataType) -> bool:
     if src.equals(dst):
         return True
