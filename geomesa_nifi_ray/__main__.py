@@ -51,6 +51,13 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--update", action="store_true", help="partial-update mode")
     rp.add_argument("--compat", choices=["exact", "existing", "update"], default="existing")
 
+    tl = sub.add_parser("tail")
+    tl.add_argument("--binlog", required=True, help="directory of epoch-NNNNN/ dirs")
+    tl.add_argument("--lake", required=True)
+    tl.add_argument("--buckets", type=int, default=64)
+    tl.add_argument("--poll", type=float, default=1.0)
+    tl.add_argument("--max-idle", type=int, default=3)
+
     st = sub.add_parser("status")
     st.add_argument("--lake", required=True)
 
@@ -104,6 +111,19 @@ def main(argv: list[str] | None = None) -> int:
             "rows_in": sum(r.rows_in for r in results),
             "rows_failed": sum(r.rows_failed for r in results),
             "table_rows": results[-1].table_rows if results else None,
+            "committed_epoch": eng.table.committed_epoch(),
+        }))
+        return 0
+
+    if args.cmd == "tail":
+        _ray_session(args.num_cpus)
+        from geomesa_nifi_ray.engine import CDCEngine
+
+        eng = CDCEngine(args.lake, num_buckets=args.buckets)
+        results = eng.tail(args.binlog, poll_interval=args.poll,
+                           max_idle_polls=args.max_idle)
+        print(json.dumps({
+            "epochs_applied": [r.epoch for r in results],
             "committed_epoch": eng.table.committed_epoch(),
         }))
         return 0

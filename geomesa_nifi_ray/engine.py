@@ -30,6 +30,7 @@ prefixes across buckets because bucketing hashes the full url.
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass, field
 
 import pyarrow as pa
@@ -592,3 +593,80 @@ class CDCEngine:
 
     def snapshot(self, columns: list[str] | None = None):
         return self.table.snapshot_dataset(columns=columns)
+
+    # -- live tail ----------------------------------------------------------
+
+    def discover_epochs(self, binlog_dir: str) -> list[dict]:
+        """Discover epoch directories (``epoch-NNNNN/``) directly from the
+        filesystem — no descriptor needed, so a producer can drop epoch
+        dirs while the tailer runs. Offset ranges come from parquet column
+        statistics (min/max of ``offset``), read from footers only."""
+        import glob as _glob
+
+        out = []
+        for d in sorted(_glob.glob(os.path.join(binlog_dir, "epoch-*"))):
+            if not os.path.isdir(d):
+                continue
+            epoch = int(os.path.basename(d).split("-")[1])
+            files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+            if not files:
+                continue
+            lo, hi = None, None
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                idx = md.schema.to_arrow_schema().get_field_index("offset")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            out.append(
+                {
+                    "epoch": epoch,
+                    "path": d,
+                    "files": files,
+                    "offset_min": -1 if lo is None else int(lo),
+                    "offset_max": -1 if hi is None else int(hi),
+                }
+            )
+        return out
+
+    def tail(
+        self,
+        binlog_dir: str,
+        poll_interval: float = 1.0,
+        max_idle_polls: int = 3,
+        catchup: bool = True,
+        **apply_kwargs,
+    ) -> list[EpochResult]:
+        """Tail a growing binlog directory: poll for new epoch dirs, apply
+        pending ones (catch-up batched), commit, repeat; stop after
+        ``max_idle_polls`` consecutive polls with nothing new.
+
+        The driver-loop analog of the reference's Kafka consumer + poll
+        timeout + min/max batch envelope (``GetGeoMesaKafkaRecord.scala:
+        263-304``): arrival batching is epoch-granular, offsets advance
+        only at commit, and a crash at any poll boundary resumes exactly
+        (commit log cursor). Backpressure inside an epoch is Ray Data's
+        streaming executor; across epochs it's this loop's seriality.
+        """
+        import time as _time
+
+        results: list[EpochResult] = []
+        idle = 0
+        while idle < max_idle_polls:
+            pending_meta = {"epochs": self.discover_epochs(binlog_dir)}
+            committed = self.table.committed_epoch()
+            has_new = any(
+                committed is None or e["epoch"] > committed
+                for e in pending_meta["epochs"]
+            )
+            if has_new:
+                results.extend(
+                    self.replay_binlog(pending_meta, catchup=catchup, **apply_kwargs)
+                )
+                idle = 0
+            else:
+                idle += 1
+                _time.sleep(poll_interval)
+        return results
