@@ -51,12 +51,21 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--update", action="store_true", help="partial-update mode")
     rp.add_argument("--compat", choices=["exact", "existing", "update"], default="existing")
 
-    tl = sub.add_parser("tail")
+    tl = sub.add_parser(
+        "tail",
+        description="Tail a growing binlog directory. Producers MUST publish "
+        "each epoch-NNNNN dir atomically (write parts to a tmp dir, then one "
+        "rename), or write a _SUCCESS marker last and pass --require-marker: "
+        "an epoch is committed as soon as it is discovered, and parts landing "
+        "later in a committed epoch dir are skipped forever.",
+    )
     tl.add_argument("--binlog", required=True, help="directory of epoch-NNNNN/ dirs")
     tl.add_argument("--lake", required=True)
     tl.add_argument("--buckets", type=int, default=64)
     tl.add_argument("--poll", type=float, default=1.0)
     tl.add_argument("--max-idle", type=int, default=3)
+    tl.add_argument("--require-marker", action="store_true",
+                    help="only ingest epoch dirs containing a _SUCCESS marker")
 
     st = sub.add_parser("status")
     st.add_argument("--lake", required=True)
@@ -121,7 +130,8 @@ def main(argv: list[str] | None = None) -> int:
 
         eng = CDCEngine(args.lake, num_buckets=args.buckets)
         results = eng.tail(args.binlog, poll_interval=args.poll,
-                           max_idle_polls=args.max_idle)
+                           max_idle_polls=args.max_idle,
+                           require_marker=args.require_marker)
         print(json.dumps({
             "epochs_applied": [r.epoch for r in results],
             "committed_epoch": eng.table.committed_epoch(),

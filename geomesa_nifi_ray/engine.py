@@ -596,16 +596,27 @@ class CDCEngine:
 
     # -- live tail ----------------------------------------------------------
 
-    def discover_epochs(self, binlog_dir: str) -> list[dict]:
+    def discover_epochs(self, binlog_dir: str, require_marker: bool = False) -> list[dict]:
         """Discover epoch directories (``epoch-NNNNN/``) directly from the
         filesystem — no descriptor needed, so a producer can drop epoch
         dirs while the tailer runs. Offset ranges come from parquet column
-        statistics (min/max of ``offset``), read from footers only."""
+        statistics (min/max of ``offset``), read from footers only.
+
+        **Producers must publish epoch dirs atomically** (write the part
+        files into a hidden tmp dir, then one ``os.rename`` to the final
+        ``epoch-NNNNN`` name): an epoch is committed as soon as it is seen,
+        and part files that appear in an already-committed epoch dir are
+        skipped forever (``epoch <= committed`` filter). Producers that
+        cannot rename atomically should instead write a ``_SUCCESS`` marker
+        as their last file and run the tailer with ``require_marker=True``,
+        which ignores epoch dirs until the marker exists."""
         import glob as _glob
 
         out = []
         for d in sorted(_glob.glob(os.path.join(binlog_dir, "epoch-*"))):
             if not os.path.isdir(d):
+                continue
+            if require_marker and not os.path.exists(os.path.join(d, "_SUCCESS")):
                 continue
             epoch = int(os.path.basename(d).split("-")[1])
             files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
@@ -637,11 +648,16 @@ class CDCEngine:
         poll_interval: float = 1.0,
         max_idle_polls: int = 3,
         catchup: bool = True,
+        require_marker: bool = False,
         **apply_kwargs,
     ) -> list[EpochResult]:
         """Tail a growing binlog directory: poll for new epoch dirs, apply
         pending ones (catch-up batched), commit, repeat; stop after
         ``max_idle_polls`` consecutive polls with nothing new.
+
+        Epoch dirs must be published atomically (tmp dir + rename), or the
+        producer writes a ``_SUCCESS`` marker last and the tailer runs with
+        ``require_marker=True`` — see :meth:`discover_epochs`.
 
         The driver-loop analog of the reference's Kafka consumer + poll
         timeout + min/max batch envelope (``GetGeoMesaKafkaRecord.scala:
@@ -655,7 +671,9 @@ class CDCEngine:
         results: list[EpochResult] = []
         idle = 0
         while idle < max_idle_polls:
-            pending_meta = {"epochs": self.discover_epochs(binlog_dir)}
+            pending_meta = {
+                "epochs": self.discover_epochs(binlog_dir, require_marker=require_marker)
+            }
             committed = self.table.committed_epoch()
             has_new = any(
                 committed is None or e["epoch"] > committed

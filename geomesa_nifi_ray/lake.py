@@ -153,15 +153,22 @@ class LakeTable:
     def _log_path(self, epoch: int) -> str:
         return os.path.join(self.table_dir, LOG_DIR, f"epoch-{epoch:05d}.json")
 
-    def committed_epoch(self) -> int | None:
+    def manifest_epochs(self) -> list[int]:
+        """Epoch numbers with a manifest file present, ascending. Catch-up
+        batched commits cover a *range* of epochs with one manifest, so the
+        log is not necessarily contiguous — consumers must iterate this
+        list, never ``range(committed + 1)``."""
         log_dir = os.path.join(self.table_dir, LOG_DIR)
         if not os.path.isdir(log_dir):
-            return None
-        epochs = [
+            return []
+        return sorted(
             int(n[len("epoch-") : -len(".json")])
             for n in os.listdir(log_dir)
             if n.startswith("epoch-") and n.endswith(".json")
-        ]
+        )
+
+    def committed_epoch(self) -> int | None:
+        epochs = self.manifest_epochs()
         return max(epochs) if epochs else None
 
     def manifest(self, epoch: int) -> dict:
@@ -237,11 +244,14 @@ class LakeTable:
         Safe by construction: readers resolve files only through manifests,
         and every retained manifest's file set is kept — including files
         carried forward from older epochs."""
-        committed = self.committed_epoch()
-        if committed is None:
+        epochs = self.manifest_epochs()
+        if not epochs:
             return []
         keep: set[str] = set()
-        for e in range(max(0, committed - retain_epochs + 1), committed + 1):
+        # keep the file sets of the last N manifests that actually exist —
+        # catch-up commits leave gaps in the epoch numbering, so the log is
+        # enumerated, never assumed contiguous
+        for e in epochs[-retain_epochs:]:
             keep.update(entry["file"] for entry in self.manifest(e)["buckets"].values())
         deleted = []
         data_root = os.path.join(self.table_dir, DATA_DIR)

@@ -23,33 +23,40 @@ def lineage_table(table: LakeTable) -> pa.Table:
     epoch, bucket, file, rows, rows_changed, digest, offset range, rows_in,
     rows_failed, schema/kernel versions. This is the north-star
     "per-partition lineage (epoch, offset range, row counts, content
-    hashes)" as a queryable Arrow table."""
-    committed = table.committed_epoch()
+    hashes)" as a queryable Arrow table.
+
+    Only manifests that exist are read: catch-up batched commits write one
+    manifest covering an epoch *range*, so the log can have numbering gaps;
+    ``epoch_first``/``epoch_last`` expose each manifest's covered range."""
     rows = []
-    if committed is not None:
-        for e in range(committed + 1):
-            m = table.manifest(e)
-            for b, entry in m["buckets"].items():
-                rows.append(
-                    {
-                        "epoch": e,
-                        "bucket": int(b),
-                        "file": entry["file"],
-                        "rows": int(entry["rows"]),
-                        "rows_changed": int(entry["rows_changed"]),
-                        "digest": entry["digest"],
-                        "offset_min": int(m["offset_min"]),
-                        "offset_max": int(m["offset_max"]),
-                        "rows_in": int(m["rows_in"]),
-                        "rows_failed": int(m["rows_failed"]),
-                        "schema_version": int(m["schema_version"]),
-                        "kernel_version": m["kernel_version"],
-                    }
-                )
+    for e in table.manifest_epochs():
+        m = table.manifest(e)
+        covered = m.get("epochs_covered", [e, e])
+        for b, entry in m["buckets"].items():
+            rows.append(
+                {
+                    "epoch": e,
+                    "epoch_first": int(covered[0]),
+                    "epoch_last": int(covered[1]),
+                    "bucket": int(b),
+                    "file": entry["file"],
+                    "rows": int(entry["rows"]),
+                    "rows_changed": int(entry["rows_changed"]),
+                    "digest": entry["digest"],
+                    "offset_min": int(m["offset_min"]),
+                    "offset_max": int(m["offset_max"]),
+                    "rows_in": int(m["rows_in"]),
+                    "rows_failed": int(m["rows_failed"]),
+                    "schema_version": int(m["schema_version"]),
+                    "kernel_version": m["kernel_version"],
+                }
+            )
     if not rows:
         return pa.table(
             {
                 "epoch": pa.array([], type=pa.int64()),
+                "epoch_first": pa.array([], type=pa.int64()),
+                "epoch_last": pa.array([], type=pa.int64()),
                 "bucket": pa.array([], type=pa.int64()),
                 "file": pa.array([], type=pa.string()),
                 "rows": pa.array([], type=pa.int64()),

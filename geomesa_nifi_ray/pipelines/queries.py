@@ -321,16 +321,17 @@ def q_top_customer_orders(sf_dir: str):
     import pyarrow.parquet as pq
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    cust_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist())))
+    cust_ref = ray.put(cust.combine_chunks())
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
     def join_name(t: pa.Table) -> pa.Table:
-        lookup = ray.get(cust_ref)
-        names = [lookup.get(k) for k in t["o_custkey"].to_pylist()]
-        return t.append_column("c_name", pa.array(names, type=pa.string()))
+        lookup = ray.get(cust_ref)  # broadcast Arrow table, fetched once per node
+        pos = pc.index_in(t["o_custkey"], value_set=lookup["c_custkey"])
+        names = lookup["c_name"].take(pos)
+        return t.append_column("c_name", names)
 
     out = (
         orders.map_batches(join_name, batch_format="pyarrow")
@@ -739,7 +740,8 @@ def q_lang_distribution_documents(sf_dir: str):
 
 
 _LANG_DIST_SQL = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars FROM documents GROUP BY lang
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
 """
 
 

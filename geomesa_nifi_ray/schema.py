@@ -123,7 +123,18 @@ def merge_schemas(
         return result
 
     # UPDATE: widen stored schema — append new nullable columns, apply
-    # widening type changes, never remove.
+    # widening type changes, never remove. Every new/retyped column type
+    # must survive the _table.json round-trip; reject BEFORE the caller
+    # persists the widened schema (a post-write failure would leave the
+    # table metadata permanently unloadable).
+    for name in extra + retyped:
+        try:
+            type_to_json(incoming_fields[name].type)
+        except SchemaError as err:
+            raise SchemaError(
+                f"cannot evolve schema: column '{name}' has unsupported type "
+                f"{incoming_fields[name].type} ({err})"
+            ) from err
     new_fields = []
     for f in stored:
         if f.name in retyped:
@@ -173,27 +184,85 @@ def schema_fingerprint(schema: pa.Schema) -> str:
 
 
 def schema_to_json(schema: pa.Schema) -> list[dict]:
-    return [{"name": f.name, "type": str(f.type)} for f in schema]
+    return [{"name": f.name, "type": type_to_json(f.type)} for f in schema]
 
 
+# scalar types by their str() name — the readable JSON form; nested and
+# parameterized types serialize as structured dicts (see type_to_json)
 _TYPE_PARSERS = {
     "string": pa.string(), "large_string": pa.large_string(),
     "binary": pa.binary(), "large_binary": pa.large_binary(),
     "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(), "int64": pa.int64(),
+    "uint8": pa.uint8(), "uint16": pa.uint16(),
+    "uint32": pa.uint32(), "uint64": pa.uint64(),
     "float": pa.float32(), "float32": pa.float32(),
     "double": pa.float64(), "float64": pa.float64(),
-    "bool": pa.bool_(),
-    "timestamp[us]": pa.timestamp("us"),
+    "bool": pa.bool_(), "null": pa.null(),
+    "date32[day]": pa.date32(), "date32": pa.date32(),
+    "date64[ms]": pa.date64(), "date64": pa.date64(),
+    "time32[s]": pa.time32("s"), "time32[ms]": pa.time32("ms"),
+    "time64[us]": pa.time64("us"), "time64[ns]": pa.time64("ns"),
+    "timestamp[s]": pa.timestamp("s"),
     "timestamp[ms]": pa.timestamp("ms"),
+    "timestamp[us]": pa.timestamp("us"),
+    "timestamp[ns]": pa.timestamp("ns"),
     "timestamp[us, tz=UTC]": pa.timestamp("us", tz="UTC"),
 }
 
 
-def schema_from_json(fields: list[dict]) -> pa.Schema:
-    out = []
-    for f in fields:
-        t = _TYPE_PARSERS.get(f["type"])
+def type_to_json(t: pa.DataType) -> str | dict:
+    """Lossless JSON form of a lake column type. Scalars serialize to their
+    readable ``str(type)`` name; timestamps with zones and nested types
+    (list / large_list / map / struct — ``SimpleFeatureRecordConverter.scala:
+    467-528``'s List/Map/nested-record analog) serialize structurally.
+    Raises :class:`SchemaError` for anything the lake cannot round-trip, so
+    evolution is rejected *before* ``_table.json`` is written."""
+    s = str(t)
+    if s in _TYPE_PARSERS and _TYPE_PARSERS[s].equals(t):
+        return s
+    if pa.types.is_timestamp(t):
+        return {"kind": "timestamp", "unit": t.unit, "tz": t.tz}
+    if pa.types.is_list(t):
+        return {"kind": "list", "item": type_to_json(t.value_type)}
+    if pa.types.is_large_list(t):
+        return {"kind": "large_list", "item": type_to_json(t.value_type)}
+    if pa.types.is_map(t):
+        return {"kind": "map", "key": type_to_json(t.key_type),
+                "item": type_to_json(t.item_type)}
+    if pa.types.is_struct(t):
+        return {"kind": "struct",
+                "fields": [{"name": f.name, "type": type_to_json(f.type)} for f in t]}
+    if pa.types.is_decimal(t):
+        return {"kind": "decimal128", "precision": t.precision, "scale": t.scale}
+    raise SchemaError(f"unsupported lake column type {t}")
+
+
+def type_from_json(v: str | dict) -> pa.DataType:
+    if isinstance(v, str):
+        t = _TYPE_PARSERS.get(v)
         if t is None:
-            raise SchemaError(f"cannot parse stored type {f['type']!r}")
-        out.append(pa.field(f["name"], t, nullable=True))
-    return pa.schema(out)
+            raise SchemaError(f"cannot parse stored type {v!r}")
+        return t
+    kind = v["kind"]
+    if kind == "timestamp":
+        return pa.timestamp(v["unit"], tz=v.get("tz"))
+    if kind == "list":
+        return pa.list_(type_from_json(v["item"]))
+    if kind == "large_list":
+        return pa.large_list(type_from_json(v["item"]))
+    if kind == "map":
+        return pa.map_(type_from_json(v["key"]), type_from_json(v["item"]))
+    if kind == "struct":
+        return pa.struct(
+            [pa.field(f["name"], type_from_json(f["type"]), nullable=True)
+             for f in v["fields"]]
+        )
+    if kind == "decimal128":
+        return pa.decimal128(v["precision"], v["scale"])
+    raise SchemaError(f"cannot parse stored type {v!r}")
+
+
+def schema_from_json(fields: list[dict]) -> pa.Schema:
+    return pa.schema(
+        [pa.field(f["name"], type_from_json(f["type"]), nullable=True) for f in fields]
+    )

@@ -131,7 +131,13 @@ def merge_update(
         col = base[name]
         if name in update_cols:
             new_vals = changes[name].take(pa.array(safe_idx))
-            col = pc.if_else(mask, col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col, new_vals)
+            if isinstance(new_vals, pa.ChunkedArray):
+                new_vals = new_vals.combine_chunks()
+            # per-column coalesce (UpdateGeoMesaRecord semantics, matching
+            # the oracle's coalesce(c.x, b.x)): a null change value keeps
+            # the base value, it never nulls an existing attribute
+            keep = pc.or_(mask, pc.is_null(new_vals))
+            col = pc.if_else(keep, col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col, new_vals)
         arrays.append(col)
         names.append(name)
     return pa.table(dict(zip(names, arrays))), unmatched
