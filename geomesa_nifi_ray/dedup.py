@@ -80,47 +80,57 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _char_shingle_hashes(text: str, k: int) -> np.ndarray:
-    """crc32 of each k-char shingle (deterministic, fast)."""
-    if text is None or len(text) < k:
-        return np.array([zlib.crc32((text or "").encode("utf-8"))], dtype=np.uint64)
-    data = text.encode("utf-8", "replace")
-    # byte-level shingles approximate char shingles deterministically
-    out = np.empty(max(1, len(data) - k + 1), dtype=np.uint64)
-    crc = zlib.crc32
-    for i in range(len(out)):
-        out[i] = crc(data[i : i + k])
-    return out
+    """32-bit hash of every k-byte shingle, fully vectorized (numpy rolling
+    polynomial hash + splitmix64 finalizer; byte-level shingles approximate
+    char shingles deterministically). 32-bit outputs keep the downstream
+    ``a*x + b`` minhash arithmetic exact in uint64."""
+    from geomesa_nifi_ray.text import _mix64, rolling_window_hashes
+
+    data = np.frombuffer((text or "").encode("utf-8", "replace"), dtype=np.uint8)
+    h = rolling_window_hashes(data + np.uint64(1), k)
+    return _mix64(h) >> np.uint64(32)
 
 
 def _word_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """32-bit hash of every k-word shingle: per-word siphash via
+    ``pd.util.hash_array`` (C kernel, deterministic fixed key), then the
+    vectorized rolling combine over the word-hash sequence — no per-window
+    string joining."""
+    from geomesa_nifi_ray.text import _mix64, rolling_window_hashes
+
     words = (text or "").split()
-    if len(words) < k:
-        return np.array([zlib.crc32((text or "").encode())], dtype=np.uint64)
-    crc = zlib.crc32
-    return np.fromiter(
-        (crc(" ".join(words[i : i + k]).encode("utf-8")) for i in range(len(words) - k + 1)),
-        dtype=np.uint64,
-        count=len(words) - k + 1,
-    )
+    if not words:
+        return _char_shingle_hashes(text or "", k)
+    wh = pd.util.hash_array(np.asarray(words, dtype=object))
+    h = rolling_window_hashes(wh, k)
+    return _mix64(h) >> np.uint64(32)
 
 
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    # a < 2^29 and shingle hashes < 2^32 keep a*x + b < 2^62: exact uint64
-    # arithmetic, fully vectorized (no bigint fallback)
+    """Per-permutation odd multipliers + offsets (uint64). The hash is
+    ``mix64(a*x + b)`` with natural mod-2^64 wraparound: multiply-shift by
+    an odd constant then a splitmix64 finalizer — near-uniform over uint64,
+    so the per-permutation minimum behaves like a random permutation's.
+    (A plain ``(a*x+b) mod p`` with small ``a`` is piecewise *monotonic* in
+    x — at most one wrap — and badly violates min-wise independence: two
+    sets with Jaccard 0.85 measured signature agreement ~0.5.)"""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << 29, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = (rng.randint(0, 1 << 62, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=num_perm, dtype=np.uint64)
     return a, b
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_perm minima of (a*x + b) mod 2^61-1 over the shingle set."""
+    """num_perm minima of ``mix64(a*x + b)`` (mod 2^64) over the shingle set."""
+    from geomesa_nifi_ray.text import _mix64
+
     x = np.unique(shingles)
-    sig = np.full(len(a), np.uint64(_MERSENNE), dtype=np.uint64)
-    for lo in range(0, len(x), 8192):  # chunk the outer product for huge docs
-        chunk = x[lo : lo + 8192]
-        v = (chunk[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-        np.minimum(sig, v.min(axis=0), out=sig)
+    sig = np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for lo in range(0, len(x), 8192):  # chunk the outer product for huge docs
+            chunk = x[lo : lo + 8192]
+            v = _mix64(chunk[:, None] * a[None, :] + b[None, :])
+            np.minimum(sig, v.min(axis=0), out=sig)
     return sig
 
 
@@ -157,33 +167,41 @@ class MinHashStage:
         """Emit (doc_id, band_id, band_hash, shard, signature) — one row per
         band. ``shard`` coarsens the bucket key so the downstream exchange
         groups 64 shards instead of millions of tiny band buckets (the
-        per-group Python dispatch would otherwise dominate)."""
-        ids = batch[self.id_col].to_pylist()
+        per-group Python dispatch would otherwise dominate). Band hashing is
+        one vectorized xor-mix chain over the whole batch (no per-row md5)."""
+        from geomesa_nifi_ray.text import _mix64
+
         texts = batch[self.text_col].to_pylist()
-        out_id, out_band, out_hash, out_shard, out_sig = [], [], [], [], []
+        n = len(texts)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = self.signature(t)
         r = self.rows_per_band
-        for i, t in zip(ids, texts):
-            sig = self.signature(t)
-            sig_bytes = sig.tobytes()
-            for bnd in range(self.bands):
-                h = hashlib.md5(sig[bnd * r : (bnd + 1) * r].tobytes()).hexdigest()[:16]
-                out_id.append(i)
-                out_band.append(bnd)
-                out_hash.append(h)
-                out_shard.append(zlib.crc32(f"{bnd}:{h}".encode()) % 64)
-                out_sig.append(sig_bytes)
+        bands = sigs.reshape(n, self.bands, r)
+        with np.errstate(over="ignore"):
+            h = np.broadcast_to(
+                np.arange(self.bands, dtype=np.uint64)[None, :], (n, self.bands)
+            ).copy()  # band-id salt so identical band contents across bands differ
+            for j in range(r):
+                h = _mix64(h ^ bands[:, :, j])
+        idx = np.repeat(np.arange(n), self.bands)
+        doc_id = batch[self.id_col].take(pa.array(idx))
+        sig_bytes = np.repeat(
+            np.fromiter((s.tobytes() for s in sigs), dtype=object, count=n), self.bands
+        )
         return pa.table(
             {
-                "doc_id": pa.array(out_id),
-                "band_id": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.string()),
-                "shard": pa.array(out_shard, type=pa.int32()),
-                "signature": pa.array(out_sig, type=pa.binary()),
+                "doc_id": doc_id,
+                "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+                "band_hash": pa.array(h.reshape(-1), type=pa.uint64()),
+                "shard": pa.array((h.reshape(-1) % np.uint64(64)).astype(np.int32)),
+                "signature": pa.array(sig_bytes, type=pa.binary()),
             }
         )
 
 
-def minhash_candidate_pairs(ds, *, max_bucket: int = 64, threshold: float = 0.7, **stage_kw):
+def minhash_candidate_pairs(ds, *, max_bucket: int = 64, threshold: float = 0.7,
+                            concurrency: int = 8, **stage_kw):
     """docs Dataset -> verified near-dup pairs (doc_a, doc_b, est_jaccard).
 
     Pipeline: map_batches(MinHashStage, actor pool) -> groupby(band key)
@@ -191,25 +209,47 @@ def minhash_candidate_pairs(ds, *, max_bucket: int = 64, threshold: float = 0.7,
     agreement -> filter >= threshold -> distinct pairs.
     """
     banded = ds.map_batches(MinHashStage, fn_constructor_kwargs=stage_kw,
-                            batch_format="pyarrow", concurrency=2)
+                            batch_format="pyarrow", concurrency=(1, concurrency))
 
     def shard_pairs(shard: pd.DataFrame) -> pd.DataFrame:
-        """One call per shard (64 total): vectorized pandas groupby over the
-        shard's band buckets; pair enumeration only inside multi-doc buckets."""
-        rows = []
-        for _, g in shard.groupby(["band_id", "band_hash"], sort=False):
-            g = g.drop_duplicates("doc_id")
-            n = len(g)
-            if n < 2:
-                continue
-            g = g.sort_values("doc_id").head(max_bucket)
-            ids = g["doc_id"].to_numpy()
-            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["signature"]])
-            for i in range(len(g)):
-                eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-                for j, e in enumerate(eq, start=i + 1):
-                    if e >= threshold:
-                        rows.append((ids[i], ids[j], float(e)))
+        """One call per shard (64 total), pure numpy: one decode pass for
+        all signatures, lexsort group runs for the band buckets (no pandas
+        per-group dispatch), an identical-bucket memo (a dup *cluster*
+        re-forms the same bucket in every band — verify it once), and a
+        vectorized n×n signature-agreement matrix per bucket."""
+        rows: list[tuple] = []
+        if len(shard):
+            bh = shard["band_hash"].to_numpy(dtype=np.uint64, copy=False)
+            ids = shard["doc_id"].to_numpy()
+            idh = pd.util.hash_array(ids)
+            sig_mat = np.frombuffer(
+                b"".join(shard["signature"]), dtype=np.uint64
+            ).reshape(len(shard), -1)
+            order = np.lexsort((idh, bh))
+            bh_s, ids_s, idh_s, sig_s = bh[order], ids[order], idh[order], sig_mat[order]
+            bounds = np.flatnonzero(np.r_[True, bh_s[1:] != bh_s[:-1], True])
+            seen: set[int] = set()
+            for s0, s1 in zip(bounds[:-1], bounds[1:]):
+                if s1 - s0 < 2:
+                    continue
+                gh, gi = idh_s[s0:s1], ids_s[s0:s1]
+                um = np.r_[True, gh[1:] != gh[:-1]]  # sorted -> consecutive dups
+                gi, gh, gs = gi[um], gh[um], sig_s[s0:s1][um]
+                n = len(gi)
+                if n < 2:
+                    continue
+                if n > max_bucket:
+                    gi, gh, gs, n = gi[:max_bucket], gh[:max_bucket], gs[:max_bucket], max_bucket
+                memo = (int(np.bitwise_xor.reduce(gh)) << 8) ^ n
+                if memo in seen:
+                    continue
+                seen.add(memo)
+                eq = (gs[:, None, :] == gs[None, :, :]).mean(axis=2)
+                iu, ju = np.triu_indices(n, k=1)
+                hit = eq[iu, ju] >= threshold
+                for i, j, e in zip(iu[hit], ju[hit], eq[iu, ju][hit]):
+                    a, b = (gi[i], gi[j]) if gi[i] < gi[j] else (gi[j], gi[i])
+                    rows.append((a, b, float(e)))
         out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
         out["pair_shard"] = (
             pd.util.hash_pandas_object(out["doc_a"].astype(str) + "|" + out["doc_b"].astype(str),
@@ -250,28 +290,32 @@ def assign_duplicate_clusters(pairs_df: pd.DataFrame, rounds: int = 8) -> pd.Dat
 # ----------------------------------------------------------------- simhash --
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (np.bitwise_count needs numpy>=2)."""
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
 class SimHashStage:
     """64-bit SimHash over word tokens; candidates via 4×16-bit band buckets."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id", seed: int = 99):
         self.text_col, self.id_col = text_col, id_col
         self.seed = seed
+        self._bitpos = np.arange(64, dtype=np.uint64)
 
     def simhash(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for w in (text or "").split():
-            h = int.from_bytes(
-                hashlib.blake2b(w.encode("utf-8"), digest_size=8,
-                                key=self.seed.to_bytes(4, "little")).digest(),
-                "little",
-            )
-            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-            acc += bits * 2 - 1
-        v = 0
-        for i in range(64):
-            if acc[i] > 0:
-                v |= 1 << i
-        return v
+        """Vectorized: per-word siphash (C kernel) xor-mixed with the seed,
+        bit matrix unpacked and summed in one numpy pass."""
+        from geomesa_nifi_ray.text import _mix64
+
+        words = (text or "").split()
+        if not words:
+            return 0
+        wh = pd.util.hash_array(np.asarray(words, dtype=object))
+        wh = _mix64(wh ^ np.uint64(self.seed))
+        bits = ((wh[:, None] >> self._bitpos[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = 2 * bits.sum(axis=0) - len(wh)
+        return int(((acc > 0).astype(np.uint64) << self._bitpos).sum(dtype=np.uint64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
@@ -296,25 +340,49 @@ class SimHashStage:
         )
 
 
-def simhash_candidate_pairs(ds, *, max_hamming: int = 3, max_bucket: int = 64, **kw):
+def simhash_candidate_pairs(ds, *, max_hamming: int = 3, max_bucket: int = 64,
+                            concurrency: int = 8, **kw):
     banded = ds.map_batches(SimHashStage, fn_constructor_kwargs=kw,
-                            batch_format="pyarrow", concurrency=2)
+                            batch_format="pyarrow", concurrency=(1, concurrency))
 
     def shard_pairs(shard: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, g in shard.groupby(["band_id", "band_key"], sort=False):
-            g = g.drop_duplicates("doc_id")
-            if len(g) < 2:
-                continue
-            g = g.sort_values("doc_id").head(max_bucket)
-            ids = g["doc_id"].to_numpy()
-            hs = g["simhash"].to_numpy().astype(np.uint64)
-            for i in range(len(g)):
-                x = hs[i + 1 :] ^ hs[i]
-                d = np.array([bin(int(v)).count("1") for v in x])
-                for j, dist in enumerate(d, start=i + 1):
-                    if dist <= max_hamming:
-                        rows.append((ids[i], ids[j], int(dist)))
+        """Pure-numpy bucket runs (see minhash shard_pairs): combined
+        (band_id, band_key) run key, identical-bucket memo, vectorized
+        pairwise hamming via popcount of the xor matrix."""
+        rows: list[tuple] = []
+        if len(shard):
+            key = (
+                shard["band_id"].to_numpy(dtype=np.int64) * 65536
+                + shard["band_key"].to_numpy(dtype=np.int64)
+            ).astype(np.uint64)
+            ids = shard["doc_id"].to_numpy()
+            idh = pd.util.hash_array(ids)
+            hs = shard["simhash"].to_numpy().astype(np.uint64)
+            order = np.lexsort((idh, key))
+            key_s, ids_s, idh_s, hs_s = key[order], ids[order], idh[order], hs[order]
+            bounds = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1], True])
+            seen: set[int] = set()
+            for s0, s1 in zip(bounds[:-1], bounds[1:]):
+                if s1 - s0 < 2:
+                    continue
+                gh, gi = idh_s[s0:s1], ids_s[s0:s1]
+                um = np.r_[True, gh[1:] != gh[:-1]]
+                gi, gh, gv = gi[um], gh[um], hs_s[s0:s1][um]
+                n = len(gi)
+                if n < 2:
+                    continue
+                if n > max_bucket:
+                    gi, gh, gv, n = gi[:max_bucket], gh[:max_bucket], gv[:max_bucket], max_bucket
+                memo = (int(np.bitwise_xor.reduce(gh)) << 8) ^ n
+                if memo in seen:
+                    continue
+                seen.add(memo)
+                iu, ju = np.triu_indices(n, k=1)
+                d = _popcount64(gv[iu] ^ gv[ju])
+                hit = d <= max_hamming
+                for i, j, dist in zip(iu[hit], ju[hit], d[hit]):
+                    a, b = (gi[i], gi[j]) if gi[i] < gi[j] else (gi[j], gi[i])
+                    rows.append((a, b, int(dist)))
         out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
         out["pair_shard"] = (
             pd.util.hash_pandas_object(
@@ -364,21 +432,39 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
         )
 
     def verify_shard(shard: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, g in shard.groupby("block", sort=False):
-            g = g.drop_duplicates("doc_id")
-            if len(g) < 2:
-                continue
-            g = g.sort_values("doc_id").head(max_bucket)
-            ids = g["doc_id"].to_numpy()
-            sets = [set(np.frombuffer(b, dtype=np.uint64).tolist()) for b in g["grams"]]
-            for i in range(len(g)):
-                for j in range(i + 1, len(g)):
-                    inter = len(sets[i] & sets[j])
-                    union = len(sets[i] | sets[j])
-                    jac = inter / union if union else 0.0
-                    if jac >= threshold:
-                        rows.append((ids[i], ids[j], jac))
+        rows: list[tuple] = []
+        if len(shard):
+            blk = shard["block"].to_numpy(dtype=np.int64).astype(np.uint64)
+            ids = shard["doc_id"].to_numpy()
+            idh = pd.util.hash_array(ids)
+            grams = shard["grams"].to_numpy()
+            order = np.lexsort((idh, blk))
+            blk_s, ids_s, idh_s, gr_s = blk[order], ids[order], idh[order], grams[order]
+            bounds = np.flatnonzero(np.r_[True, blk_s[1:] != blk_s[:-1], True])
+            seen: set[int] = set()
+            for s0, s1 in zip(bounds[:-1], bounds[1:]):
+                if s1 - s0 < 2:
+                    continue
+                gh, gi = idh_s[s0:s1], ids_s[s0:s1]
+                um = np.r_[True, gh[1:] != gh[:-1]]
+                gi, gh, gg = gi[um], gh[um], gr_s[s0:s1][um]
+                n = len(gi)
+                if n < 2:
+                    continue
+                if n > max_bucket:
+                    gi, gh, gg, n = gi[:max_bucket], gh[:max_bucket], gg[:max_bucket], max_bucket
+                memo = (int(np.bitwise_xor.reduce(gh)) << 8) ^ n
+                if memo in seen:
+                    continue
+                seen.add(memo)
+                sets = [set(np.frombuffer(b, dtype=np.uint64).tolist()) for b in gg]
+                for i in range(n):
+                    for j in range(i + 1, n):
+                        union = len(sets[i] | sets[j])
+                        jac = len(sets[i] & sets[j]) / union if union else 0.0
+                        if jac >= threshold:
+                            a, b = (gi[i], gi[j]) if gi[i] < gi[j] else (gi[j], gi[i])
+                            rows.append((a, b, jac))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
     return (

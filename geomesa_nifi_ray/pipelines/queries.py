@@ -853,24 +853,33 @@ def q_quality_score_documents(sf_dir: str):
     return out.select_columns(["doc_id", "quality_score", "stopword_ratio", "alpha_ratio"])
 
 
+# The documents tables at test scales are small (500-5k rows); 16 blocks
+# keeps the two sort exchanges from paying 64x64 tiny-task overhead. At
+# real scale block count follows data volume and this override is dropped.
+_DOC_BLOCKS = 16
+
+
 def q_minhash_dedup_documents(sf_dir: str):
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                               override_num_blocks=_DOC_BLOCKS)
     return dd.minhash_candidate_pairs(ds, threshold=0.8)
 
 
 def q_simhash_documents(sf_dir: str):
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                               override_num_blocks=_DOC_BLOCKS)
     return dd.simhash_candidate_pairs(ds, max_hamming=3)
 
 
 def q_ngram_dedup_documents(sf_dir: str):
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                               override_num_blocks=_DOC_BLOCKS)
     return dd.ngram_jaccard_pairs(ds, n=3, threshold=0.8)
 
 
@@ -897,7 +906,8 @@ def q_minhash_clusters_documents(sf_dir: str):
     components (min-label propagation over the pair set)."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                               override_num_blocks=_DOC_BLOCKS)
     pairs = dd.minhash_candidate_pairs(ds, threshold=0.8).to_pandas()
     return dd.assign_duplicate_clusters(pairs)
 

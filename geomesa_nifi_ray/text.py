@@ -83,32 +83,71 @@ def bpe_token_count(text: str | None) -> int | None:
     return len(_BPE_RE.findall(text))
 
 
-def rolling_fingerprint(text: str | None, window: int = 16, mod: int = 1 << 61) -> int | None:
-    """Rabin-Karp style rolling-hash document fingerprint: min of window
-    hashes (a cheap, deterministic locality-sensitive fingerprint)."""
+# --- vectorized rolling polynomial hash (shared by fingerprint + minhash) --
+#
+# Window hash over a uint64 value sequence, arithmetic mod 2^64 (natural
+# numpy wraparound). The classic prefix trick needs division by base^i;
+# an ODD base is invertible mod 2^64, so the whole computation is three
+# cumulative numpy passes — no Python loop over positions. A splitmix64
+# finalizer decorrelates the raw polynomial structure.
+
+FINGERPRINT_VERSION = "fp-v2"  # v2: vectorized mod-2^64 kernel (new values)
+
+_POLY_BASE = np.uint64(0x9E3779B97F4A7C15)            # odd -> invertible
+_POLY_BASE_INV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def rolling_window_hashes(vals: np.ndarray, k: int) -> np.ndarray:
+    """All k-window polynomial hashes of ``vals`` (order-sensitive), one
+    uint64 per window start, fully vectorized. ``len(vals) < k`` (or empty)
+    degrades to a single hash of the whole sequence."""
+    with np.errstate(over="ignore"):
+        vals = vals.astype(np.uint64, copy=False)
+        n = len(vals)
+        if n == 0:
+            return np.zeros(1, dtype=np.uint64)
+        base = np.full(n, _POLY_BASE, dtype=np.uint64)
+        base[0] = 1
+        powers = np.cumprod(base)                       # base^i mod 2^64
+        prefix = np.concatenate(
+            [np.zeros(1, np.uint64), np.cumsum(vals * powers, dtype=np.uint64)]
+        )
+        if n <= k:
+            return prefix[-1:].copy()                   # one whole-sequence hash
+        m = n - k + 1
+        inv = np.full(m, _POLY_BASE_INV, dtype=np.uint64)
+        inv[0] = 1
+        inv_powers = np.cumprod(inv)                    # base^-i mod 2^64
+        return (prefix[k:] - prefix[:-k]) * inv_powers
+
+
+def rolling_fingerprint(text: str | None, window: int = 16) -> int | None:
+    """Rolling-hash document fingerprint: min of mixed window hashes (a
+    cheap, deterministic locality-sensitive fingerprint), 63-bit so it fits
+    int64 columns. Scalar convenience wrapper over the vectorized kernel."""
     if text is None:
         return None
-    data = text.encode("utf-8")
-    if len(data) <= window:
-        h = 0
-        for b in data:
-            h = (h * 257 + b + 1) % mod
-        return h
-    base = 257
-    power = pow(base, window - 1, mod)
-    h = 0
-    for b in data[:window]:
-        h = (h * base + b + 1) % mod
-    best = h
-    for i in range(window, len(data)):
-        h = ((h - (data[i - window] + 1) * power) * base + data[i] + 1) % mod
-        if h < best:
-            best = h
-    return best
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    h = _mix64(rolling_window_hashes(data + np.uint64(1), window))
+    return int(h.min() >> np.uint64(1))
 
 
 def fingerprints_np(texts: list[str | None], window: int = 16) -> np.ndarray:
-    return np.array(
-        [rolling_fingerprint(t, window) if t is not None else -1 for t in texts],
-        dtype=np.int64,
-    )
+    """Vectorized per-doc fingerprints (-1 for null). The per-doc inner loop
+    is pure numpy; only the doc iteration is Python."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t is None:
+            out[i] = -1
+            continue
+        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        h = _mix64(rolling_window_hashes(data + np.uint64(1), window))
+        out[i] = int(h.min() >> np.uint64(1))
+    return out
