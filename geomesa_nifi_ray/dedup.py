@@ -250,7 +250,8 @@ def minhash_candidate_pairs(ds, *, max_bucket: int = 64, threshold: float = 0.7,
                 for i, j, e in zip(iu[hit], ju[hit], eq[iu, ju][hit]):
                     a, b = (gi[i], gi[j]) if gi[i] < gi[j] else (gi[j], gi[i])
                     rows.append((a, b, float(e)))
-        out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+        out = _pairs_df(rows, "est_jaccard", "float64",
+                        id_dtype=shard["doc_id"].dtype if len(shard) else "int64")
         out["pair_shard"] = (
             pd.util.hash_pandas_object(out["doc_a"].astype(str) + "|" + out["doc_b"].astype(str),
                                        index=False) % 64
@@ -285,6 +286,21 @@ def assign_duplicate_clusters(pairs_df: pd.DataFrame, rounds: int = 8) -> pd.Dat
         if not changed:
             break
     return pd.DataFrame({"doc_id": list(label), "cluster": [label[d] for d in label]})
+
+
+def _pairs_df(rows: list[tuple], val_col: str, val_dtype: str,
+              id_dtype="int64") -> pd.DataFrame:
+    """Pair rows -> typed DataFrame; empty results carry explicit dtypes so
+    Ray block schemas stay consistent across empty and non-empty shards."""
+    if rows:
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", val_col])
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype=id_dtype),
+            "doc_b": pd.Series([], dtype=id_dtype),
+            val_col: pd.Series([], dtype=val_dtype),
+        }
+    )
 
 
 # ----------------------------------------------------------------- simhash --
@@ -383,7 +399,8 @@ def simhash_candidate_pairs(ds, *, max_hamming: int = 3, max_bucket: int = 64,
                 for i, j, dist in zip(iu[hit], ju[hit], d[hit]):
                     a, b = (gi[i], gi[j]) if gi[i] < gi[j] else (gi[j], gi[i])
                     rows.append((a, b, int(dist)))
-        out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+        out = _pairs_df(rows, "hamming", "int64",
+                        id_dtype=shard["doc_id"].dtype if len(shard) else "int64")
         out["pair_shard"] = (
             pd.util.hash_pandas_object(
                 out["doc_a"].astype(str) + "|" + out["doc_b"].astype(str), index=False
@@ -465,7 +482,8 @@ def ngram_jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.5,
                         if jac >= threshold:
                             a, b = (gi[i], gi[j]) if gi[i] < gi[j] else (gi[j], gi[i])
                             rows.append((a, b, jac))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+        return _pairs_df(rows, "jaccard", "float64",
+                         id_dtype=shard["doc_id"].dtype if len(shard) else "int64")
 
     return (
         ds.map_batches(sig_stage, batch_format="pyarrow")
@@ -512,41 +530,88 @@ def embedding_neardup_pairs(ds, *, tau: float = 0.95, vec_col: str = "embedding"
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
-def embedding_lsh_neardup_pairs(ds, *, tau: float = 0.9, planes: int = 16,
-                                vec_col: str = "embedding", id_col: str = "vec_id",
-                                seed: int = 31, max_bucket: int = 512):
-    """Scale path: random-hyperplane LSH bucketing, exact cosine verify
-    within buckets — one groupby shuffle over (bucket, id, vector)."""
-    def sig_stage(batch: pa.Table) -> pa.Table:
-        vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float32)
+class _LshSignStage:
+    """Actor-pool stage for multi-table hyperplane LSH: the ``tables`` ×
+    ``planes`` projection matrices are drawn ONCE per actor in ``__init__``
+    (deterministic seed), not per batch. Emits one row per (vector, table):
+    combined bucket key + normalized vector bytes."""
+
+    def __init__(self, dim: int, vec_col: str, id_col: str,
+                 planes: int, tables: int, seed: int):
         rng = np.random.RandomState(seed)
-        proj = rng.standard_normal((vecs.shape[1], planes)).astype(np.float32)
-        bits = (vecs @ proj) > 0
-        keys = bits.dot(1 << np.arange(planes, dtype=np.int64))
+        self.proj = rng.standard_normal((tables, dim, planes)).astype(np.float32)
+        self.vec_col, self.id_col = vec_col, id_col
+        self.planes, self.tables = planes, tables
+        self._pow2 = 1 << np.arange(planes, dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(np.stack(batch[self.vec_col].to_pylist()).astype(np.float32))
+        n = len(vecs)
+        keys = np.empty((self.tables, n), dtype=np.int64)
+        for t in range(self.tables):
+            bits = (vecs @ self.proj[t]) > 0
+            keys[t] = bits.dot(self._pow2) + (t << self.planes)
+        idx = np.tile(np.arange(n), self.tables)
+        vec_bytes = np.fromiter((v.tobytes() for v in vecs), dtype=object, count=n)
         return pa.table(
             {
-                "vec_id": batch[id_col],
-                "bucket": pa.array(keys, type=pa.int64()),
-                "vec": pa.array([v.tobytes() for v in _normalize(vecs)], type=pa.binary()),
+                "vec_id": batch[self.id_col].take(pa.array(idx)),
+                "bucket": pa.array(keys.reshape(-1), type=pa.int64()),
+                "vec": pa.array(np.tile(vec_bytes, self.tables), type=pa.binary()),
             }
         )
 
+
+def embedding_lsh_neardup_pairs(ds, *, tau: float = 0.9, planes: int = 8,
+                                tables: int = 8, vec_col: str = "embedding",
+                                id_col: str = "vec_id", seed: int = 31,
+                                max_bucket: int = 512, concurrency: int = 8):
+    """Scale path for embedding near-dup: multi-table random-hyperplane LSH
+    bucketing, exact cosine verify within buckets, pair dedup across tables.
+    One groupby shuffle over (bucket, id, vector) × ``tables`` plus a tiny
+    pair-dedup shuffle; no driver-side materialization, no all-pairs pass.
+
+    Recall per pair at angle θ is ``1-(1-(1-θ/π)^planes)^tables``: pick
+    more planes / fewer tables for high tau (true near-dups), fewer planes /
+    more tables to chase a low-tau tail. Emitted pairs are always exact
+    (soundness holds regardless of parameters); ``max_bucket`` caps
+    degenerate buckets and is the only recall-losing truncation."""
+    # probe the vector dimension from one row (list schemas don't carry
+    # lengths); a 1-row take, not a materialization
+    first = ds.limit(1).take_batch(1, batch_format="pyarrow")
+    dim = len(first[vec_col][0])
+
+    banded = ds.map_batches(
+        _LshSignStage,
+        fn_constructor_kwargs=dict(dim=dim, vec_col=vec_col, id_col=id_col,
+                                   planes=planes, tables=tables, seed=seed),
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("vec_id").sort_values("vec_id").head(max_bucket)
-        ids = g["vec_id"].to_numpy()
-        mat = np.stack([np.frombuffer(b, dtype=np.float32) for b in g["vec"]])
-        scores = mat @ mat.T
         rows = []
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                if scores[i, j] >= tau:
-                    rows.append((ids[i], ids[j], float(scores[i, j])))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "cosine"])
+        if len(g) >= 2:
+            ids = g["vec_id"].to_numpy()
+            mat = np.frombuffer(b"".join(g["vec"]), dtype=np.float32).reshape(len(g), -1)
+            scores = mat @ mat.T
+            iu, ju = np.triu_indices(len(g), k=1)
+            hit = scores[iu, ju] >= tau
+            rows = [(ids[i], ids[j], float(scores[i, j]))
+                    for i, j in zip(iu[hit], ju[hit])]
+        out = _pairs_df(rows, "cosine", "float64",
+                        id_dtype=g["vec_id"].dtype if len(g) else "int64")
+        out["pair_shard"] = (
+            pd.util.hash_pandas_object(out["doc_a"].astype(str) + "|" + out["doc_b"].astype(str),
+                                       index=False) % 64
+        ).astype("int64") if len(out) else pd.Series([], dtype="int64")
+        return out
 
-    return (
-        ds.map_batches(sig_stage, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
+    pairs = banded.groupby("bucket").map_groups(verify, batch_format="pandas")
+    return pairs.groupby("pair_shard").map_groups(
+        lambda g: g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["pair_shard"]),
+        batch_format="pandas",
     )
 
 

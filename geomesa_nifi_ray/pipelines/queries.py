@@ -770,20 +770,28 @@ SELECT doc_id, text, lang, CAST(NULL AS VARCHAR) AS content_type, n_chars FROM d
 # ----------------------------------------------------- embedding queries --
 
 
+def _query_vectors(sf_dir: str, n: int = 5):
+    """The n query vectors via a FILTERED parquet read — predicate + column
+    pruning at the scan, never the whole embeddings table on the driver."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
+    )
+    qids = np.asarray(tbl["vec_id"].to_pylist())
+    qmat = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
+    order = np.argsort(qids)
+    return qmat[order], qids[order]
+
+
 def q_embedding_topk(sf_dir: str):
     """Brute-force cosine top-10 for the first 5 vectors as queries.
     float64 math to match DuckDB's list_cosine_similarity."""
     import ray.data
-    import pyarrow.parquet as pq
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = np.asarray(tbl["vec_id"].to_pylist())
-    qmask = ids < 5
-    qmat = np.stack([np.asarray(v, dtype=np.float64) for v, m in
-                     zip(tbl["embedding"].to_pylist(), qmask) if m])
-    qids = ids[qmask]
-    order = np.argsort(qids)
-    qmat, qids = qmat[order], qids[order]
+    qmat, qids = _query_vectors(sf_dir, 5)
 
     import ray
 
@@ -893,12 +901,44 @@ def q_fingerprint_documents(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
+    """Registered neardup = the LSH scale path (no driver materialization,
+    no all-pairs). testdata embeddings are near-orthogonal (max pairwise
+    cosine ~0.51), so tau=0.4 selects the close tail; planes=4 × tables=32
+    gives ≥99% recall at that low-tau regime (recall formula in the
+    operator docstring). The broadcast baseline
+    (dd.embedding_neardup_pairs) remains for small corpora."""
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    # testdata embeddings are near-orthogonal (max pairwise cosine ~0.51);
-    # tau=0.4 selects the close tail without exploding the pair count
-    return dd.embedding_neardup_pairs(ds, tau=0.4)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               override_num_blocks=_DOC_BLOCKS)
+    pairs = dd.embedding_lsh_neardup_pairs(ds, tau=0.4, planes=4, tables=32)
+    # (doc_a, doc_b) only: the oracle recomputes exact cosine in float64;
+    # emitting our float32-matmul cosine would hash-mismatch on rounding
+    return pairs.select_columns(["doc_a", "doc_b"])
+
+
+_EMBEDDING_NEARDUP_SQL = """
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
+_NGRAM_DEDUP_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                        for i in range(1, len(l)-1)]) AS grams
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents)
+  WHERE len(l) >= 3
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / len(list_distinct(a.grams || b.grams)) AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.8
+"""
 
 
 def q_minhash_clusters_documents(sf_dir: str):
@@ -935,16 +975,29 @@ def q_multimodal_features(sf_dir: str):
 
 
 def q_embedding_ivf_topk(sf_dir: str):
-    import pyarrow.parquet as pq
+    """IVF fit on a RAY-SAMPLED subset (deterministic seed), query vectors
+    via filtered read — the driver never holds the full embeddings table."""
     import ray.data
 
-    from geomesa_nifi_ray.similarity import IVFIndex, _normalize
+    from geomesa_nifi_ray.similarity import IVFIndex
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    mat = _normalize(np.stack(tbl["embedding"].to_pylist()).astype(np.float32))
-    idx = IVFIndex(num_centroids=16).fit(mat[: min(4096, len(mat))])
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return idx.search(idx.assign(ds), mat[:5], k=10, nprobe=4)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               override_num_blocks=_DOC_BLOCKS)
+    n = ds.count()  # parquet metadata only, no scan
+    step = max(1, n // 4096)  # deterministic systematic sample, streamed
+
+    def systematic(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % step == 0))
+
+    sample = (
+        ds.map_batches(systematic, batch_format="pyarrow")
+        .limit(4096)
+        .take_batch(4096, batch_format="pyarrow")
+    )
+    idx = IVFIndex(num_centroids=16).fit(np.stack(sample["embedding"].to_pylist()))
+    qmat, _ = _query_vectors(sf_dir, 5)
+    return idx.search(idx.assign(ds), qmat.astype(np.float32), k=10, nprobe=4)
 
 
 # ------------------------------------------------------------- registries --
@@ -990,12 +1043,44 @@ QUERIES = {
 }
 
 
+# Queries whose output DuckDB cannot recompute (heuristic / sketch / index
+# ops): their oracle is a golden-snapshot fixture pinned by
+# tools/make_golden.py — a determinism / batch-layout-independence gate;
+# semantic correctness is covered by pytest (planted near-dups, recall vs
+# exact SQL, known-language docs).
+_GOLDEN_QUERIES = [
+    "langid_documents",
+    "quality_score_documents",
+    "minhash_dedup_documents",
+    "simhash_documents",
+    "minhash_clusters_documents",
+    "fingerprint_documents",
+    "multimodal_features",
+    "embedding_ivf_topk",
+]
+
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "golden",
+)
+
+
+def _golden_oracles(sf_dir: str) -> dict[str, str]:
+    out = {}
+    name = _sf_name(sf_dir)
+    for q in _GOLDEN_QUERIES:
+        p = os.path.join(GOLDEN_DIR, f"{q}__{name}.parquet")
+        if os.path.exists(p):
+            out[q] = f"SELECT * FROM read_parquet('{p}')"
+    return out
+
+
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     """Oracle SQL strings; CDC oracles reference the synthesized binlog
     parquet for the given sf tier by absolute path."""
     bdir = binlog_dir(sf_dir)
     meta = get_binlog(sf_dir)
-    return {
+    return _golden_oracles(sf_dir) | {
         "cdc_replay_snapshot": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_lww_dedup": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_update_partial": _CDC_UPDATE_SQL.format(
@@ -1029,6 +1114,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "lang_distribution_documents": _LANG_DIST_SQL,
         "schema_project_documents": _SCHEMA_PROJECT_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
+        "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+        "ngram_dedup_documents": _NGRAM_DEDUP_SQL,
     }
 
 
