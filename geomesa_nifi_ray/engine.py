@@ -163,26 +163,53 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str, order:
     return convert
 
 
-def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict], mode: str = "upsert"):
+def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
+                       mode: str = "upsert", max_deltas: int = 4):
     """Per-bucket merge task run inside ``groupby('bucket').map_groups``.
 
-    Each invocation owns one full bucket: it reads the bucket's current
-    lake file (if any), merges the epoch's change rows under LWW (or
-    partial-update) semantics, writes the new bucket file atomically at a
-    deterministic path, and returns one lineage row. This is the actor-held
-    ``FeatureWriters`` analog (``mixins/FeatureWriters.scala``) with the
-    pooled-writer flush replaced by epoch-scoped files.
+    Each invocation owns one bucket. Steady-state upsert epochs take the
+    **delta path**: read ONLY ``(key, order…)`` of the bucket's chain
+    (column-pruned footer-light scan), decide per change row whether it
+    beats the current winner (vectorized lexicographic compare), and write
+    just the winning rows as a ``delta-<epoch>.parquet`` — IO is
+    O(changes + keys·3cols), not O(bucket), and the bucket is never
+    rewritten wholesale (cf. the reference's incremental pooled-writer
+    flush, ``FeatureWriters.scala:197-260``). When the chain reaches
+    ``max_deltas`` (or for epoch-0 creation, partial-update mode, and
+    dead-only groups) the task **compacts**: full chain merge, url-sorted
+    rewrite, chain reset. Snapshot readers merge base+deltas per bucket
+    (LWW with position tiebreak), so logical state is identical either way.
 
-    The live-file map (one entry per bucket; can be large at high P) is
+    The live-entry map (one entry per bucket; can be large at high P) is
     broadcast once via ``ray.put`` rather than captured in the task
     closure, so it ships to each node once, not once per task.
     """
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
     import ray
+
+    from geomesa_nifi_ray.upsert import lex_ge, lww_indices
 
     stored_schema = table.schema
     key, order = table.key, table.order
-    sort_key = key
     live_ref = ray.put(live)
+
+    def _lineage_row(bucket, file, deltas, epoch_file, rows, rows_changed,
+                     failed, digest) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], type=pa.int32()),
+                "file": pa.array([file], type=pa.string()),
+                "deltas": pa.array([_json.dumps(deltas)], type=pa.string()),
+                "epoch_file": pa.array([epoch_file], type=pa.string()),
+                "rows": pa.array([rows], type=pa.int64()),
+                "rows_changed": pa.array([rows_changed], type=pa.int64()),
+                "rows_failed": pa.array([failed], type=pa.int64()),
+                "digest": pa.array([digest], type=pa.string()),
+            }
+        )
 
     def merge_bucket(group: pa.Table) -> pa.Table:
         bucket = group["bucket"][0].as_py()
@@ -193,9 +220,51 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict], mode
             failed = pc.sum(pc.cast(dead_mask, pa.int64())).as_py() or 0
             changes = changes.filter(pc.invert(dead_mask)).drop_columns(["_dead"])
         entry = ray.get(live_ref).get(bucket)
+        rows_changed = changes.num_rows
+        chain = [table.abs_path(f) for f in LakeTable.chain_files(entry)] if entry else []
+
+        use_delta = (
+            mode == "upsert"
+            and entry is not None
+            and changes.num_rows > 0
+            and len(entry.get("deltas", [])) < max_deltas
+        )
+        if use_delta:
+            changes = project_to_schema(changes, stored_schema)
+            changes = lww_dedupe(changes, key, order)
+            min_cols = [key] + order
+            cur = pa.concat_tables(
+                [pq.read_table(p, columns=min_cols).select(min_cols) for p in chain]
+            )
+            cur = cur.take(pa.array(np.sort(lww_indices(cur, key, order))))
+            cur_pd = cur.to_pandas()
+            ch_pd = changes.select(min_cols).to_pandas()
+            j = ch_pd.merge(cur_pd, on=key, how="left", suffixes=("", "_cur"))
+            have = j[f"{order[0]}_cur"].notna().to_numpy()
+            ge = lex_ge(
+                [j[c].to_numpy() for c in order],
+                [j[f"{c}_cur"].to_numpy() for c in order],
+            )
+            wins = ~have | ge  # ties go to the change row (concat-order parity)
+            inserts = int((wins & ~have).sum())
+            delta = changes.filter(pa.array(wins))
+            if delta.num_rows == 0:
+                # every change lost to the stored winners: chain unchanged
+                return _lineage_row(bucket, entry["file"], entry.get("deltas", []),
+                                    None, int(entry["rows"]), rows_changed, failed,
+                                    entry["digest"])
+            delta = delta.take(pc.sort_indices(delta, sort_keys=[(key, "ascending")]))
+            rel = table.write_bucket_file(delta, bucket, epoch, kind="delta")
+            digest = digest_of_hashes(delta["content_hash"].to_pylist())
+            return _lineage_row(bucket, entry["file"],
+                                entry.get("deltas", []) + [rel], rel,
+                                int(entry["rows"]) + inserts, rows_changed,
+                                failed, digest)
+
+        # full-merge path: epoch-0 creation, compaction, partial update
         base = None
-        if entry is not None:
-            base = project_to_schema(pq.read_table(table.abs_path(entry["file"])), stored_schema)
+        if chain:
+            base = table.merge_chain([pq.read_table(p) for p in chain], stored_schema)
         if mode == "upsert":
             changes = project_to_schema(changes, stored_schema)
             merged = merge_upsert(base, changes, key, order)
@@ -206,29 +275,12 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict], mode
         if merged.num_rows == 0 and base is None:
             # bucket touched only by dead-letter skeletons: keep no file,
             # report the failures
-            return pa.table(
-                {
-                    "bucket": pa.array([bucket], type=pa.int32()),
-                    "file": pa.array([None], type=pa.string()),
-                    "rows": pa.array([0], type=pa.int64()),
-                    "rows_changed": pa.array([0], type=pa.int64()),
-                    "rows_failed": pa.array([failed], type=pa.int64()),
-                    "digest": pa.array([""], type=pa.string()),
-                }
-            )
-        merged = merged.take(pc.sort_indices(merged, sort_keys=[(sort_key, "ascending")]))
+            return _lineage_row(bucket, None, [], None, 0, 0, failed, "")
+        merged = merged.take(pc.sort_indices(merged, sort_keys=[(key, "ascending")]))
         rel = table.write_bucket_file(merged, bucket, epoch)
         digest = digest_of_hashes(merged["content_hash"].to_pylist())
-        return pa.table(
-            {
-                "bucket": pa.array([bucket], type=pa.int32()),
-                "file": pa.array([rel], type=pa.string()),
-                "rows": pa.array([merged.num_rows], type=pa.int64()),
-                "rows_changed": pa.array([changes.num_rows], type=pa.int64()),
-                "rows_failed": pa.array([failed], type=pa.int64()),
-                "digest": pa.array([digest], type=pa.string()),
-            }
-        )
+        return _lineage_row(bucket, rel, [], rel, merged.num_rows, rows_changed,
+                            failed, digest)
 
     return merge_bucket
 
@@ -247,10 +299,12 @@ class CDCEngine:
         num_buckets: int = 64,
         compatibility: CompatibilityMode = CompatibilityMode.EXISTING,
         schema: pa.Schema = PAGE_SCHEMA,
+        max_deltas: int = 4,
     ):
         self.lake_root = lake_root
         self.table_name = table_name
         self.compatibility = compatibility
+        self.max_deltas = max_deltas
         if LakeTable.exists(lake_root, table_name):
             self.table = LakeTable.load(lake_root, table_name)
         else:
@@ -272,6 +326,7 @@ class CDCEngine:
         salted_reduce: bool = False,
         salt_factor: int = 8,
         epochs_covered: tuple[int, int] | None = None,
+        _converted=None,
     ) -> EpochResult | None:
         """Apply one epoch of change events. ``source`` is a parquet path
         (str or list) or a ``ray.data.Dataset``. Idempotent: an epoch at or
@@ -320,10 +375,19 @@ class CDCEngine:
         stored_schema = self.table.schema
 
         live = self.table.live_entries()
-        convert = make_convert_fn(stored_schema, self.table.num_buckets, self.table.key, self.table.order)
-        merger = make_bucket_merger(self.table, epoch, live, mode=mode)
+        merger = make_bucket_merger(self.table, epoch, live, mode=mode,
+                                    max_deltas=self.max_deltas)
 
-        converted = ds.map_batches(convert, batch_format="pyarrow", batch_size=batch_size)
+        if _converted is not None:
+            # pipelined replay pre-converted this epoch (with the SAME
+            # stored schema, asserted by the caller) while the previous
+            # epoch's exchange ran
+            converted = _converted
+        else:
+            convert = make_convert_fn(
+                stored_schema, self.table.num_buckets, self.table.key, self.table.order
+            )
+            converted = ds.map_batches(convert, batch_format="pyarrow", batch_size=batch_size)
         if salted_reduce:
             num_salts = self.table.num_buckets * salt_factor
             key, order = self.table.key, self.table.order
@@ -351,10 +415,15 @@ class CDCEngine:
         # per input block, so leaving ~n/batch_size small blocks makes the
         # all-to-all move O(blocks²) tiny objects. P blocks bound the
         # exchange at P×P and align sort partitions with merge groups.
-        converted = converted.repartition(self.table.num_buckets)
+        # Small epochs (steady-state cadence) skip the extra barrier: their
+        # block count is already ~P, so the coalesce would only add latency.
+        if rows_in > 2 * batch_size * self.table.num_buckets:
+            converted = converted.repartition(self.table.num_buckets)
         lineage_ds = converted.groupby("bucket").map_groups(merger, batch_format="pyarrow")
         lineage = lineage_ds.take_all()  # one small row per touched bucket
         self.last_stats = lineage_ds.stats()  # per-stage wall/cpu breakdown
+
+        import json as _json
 
         touched = {r["bucket"]: r for r in lineage}
         buckets: dict[str, dict] = {}
@@ -363,6 +432,8 @@ class CDCEngine:
                 continue  # bucket saw only dead-letter rows; counted below
             buckets[str(b)] = {
                 "file": r["file"],
+                "deltas": _json.loads(r["deltas"]),
+                "epoch_file": r["epoch_file"],
                 "rows": int(r["rows"]),
                 "rows_changed": int(r["rows_changed"]),
                 "digest": r["digest"],
@@ -372,6 +443,8 @@ class CDCEngine:
             if str(b) not in buckets:
                 buckets[str(b)] = {
                     "file": entry["file"],
+                    "deltas": entry.get("deltas", []),
+                    "epoch_file": None,
                     "rows": int(entry["rows"]),
                     "rows_changed": 0,
                     "digest": entry["digest"],
@@ -449,7 +522,11 @@ class CDCEngine:
             out_rows = []
             for bucket in batch["bucket"].to_pylist():
                 entry = ray.get(live_ref)[bucket]
-                base = project_to_schema(pq.read_table(table.abs_path(entry["file"])), stored_schema)
+                base = table.merge_chain(
+                    [pq.read_table(table.abs_path(f)) for f in LakeTable.chain_files(entry)],
+                    stored_schema,
+                )
+                base = base.take(pc.sort_indices(base, sort_keys=[(key, "ascending")]))
                 new = project_to_schema(fn(base), stored_schema)
                 if new[key].to_pylist() != base[key].to_pylist():
                     raise SchemaError("rewrite must not alter the key column")
@@ -479,6 +556,8 @@ class CDCEngine:
         buckets = {
             str(r["bucket"]): {
                 "file": r["file"],
+                "deltas": [],          # rewrite compacts: chain reset
+                "epoch_file": r["file"],
                 "rows": int(r["rows"]),
                 "rows_changed": int(r["rows_changed"]),
                 "digest": r["digest"],
@@ -520,6 +599,7 @@ class CDCEngine:
         mode: str = "upsert",
         catchup: bool = False,
         max_batch_epochs: int | None = None,
+        pipelined: bool = True,
         **apply_kwargs,
     ) -> list[EpochResult]:
         """Run all uncommitted epochs of a binlog (resume-aware). The
@@ -545,6 +625,8 @@ class CDCEngine:
         ]
         results: list[EpochResult] = []
         if not catchup or mode != "upsert":
+            if pipelined and len(pending) > 1:
+                return self._replay_pipelined(pending, mode, **apply_kwargs)
             for e in pending:
                 r = self.apply_epoch(
                     e.get("files", e["path"]),
@@ -589,6 +671,80 @@ class CDCEngine:
             )
             if r is not None:
                 results.append(r)
+        return results
+
+    def _replay_pipelined(self, pending: list[dict], mode: str,
+                          batch_size: int = 8192, **apply_kwargs) -> list[EpochResult]:
+        """Sequential per-epoch replay with convert/merge overlap: epoch
+        e+1's read+convert materializes on a background thread while epoch
+        e's exchange+merge+commit runs — the driver-side analog of the
+        reference's consumer-thread prefetch (``GetGeoMesaKafkaRecord.scala:
+        263-304``: Kafka threads accumulate the next batch while onTrigger
+        writes the current one). Commit order, schema-evolution boundaries
+        and crash semantics are untouched: conversion is pure, only commits
+        are serialized.
+
+        The stored-schema timeline is precomputed on the driver (schema
+        merging is deterministic), so a prefetched epoch converts with
+        exactly the schema it will see once its predecessor commits; a
+        mismatch (corrupted lake changed underneath) aborts the prefetch
+        path and falls back to in-line conversion.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        import ray.data
+
+        key, order = self.table.key, self.table.order
+        num_buckets = self.table.num_buckets
+
+        # deterministic stored-schema timeline across the pending epochs
+        plans = []
+        stored = self.table.schema
+        for e in pending:
+            files = _expand_parquet_paths(e["files"] if "files" in e else [e["path"]])
+            inc = pq.read_schema(files[0])
+            mr = merge_schemas(stored, inc, self.compatibility, ignore=COMPUTED_COLUMNS)
+            stored = mr.schema
+            plans.append((e, files, stored))
+
+        def build(files: list[str], schema: pa.Schema):
+            convert = make_convert_fn(schema, num_buckets, key, order)
+            return ray.data.read_parquet(files).map_batches(
+                convert, batch_format="pyarrow", batch_size=batch_size
+            )
+
+        try:  # warm thread-unsafe lazy imports before the background thread runs
+            import fsspec.implementations.http  # noqa: F401
+        except Exception:
+            pass
+
+        results: list[EpochResult] = []
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = None
+            for i, (e, files, schema_after) in enumerate(plans):
+                conv = fut.result() if fut is not None else build(files, schema_after).materialize()
+                fut = None
+                if i + 1 < len(plans):
+                    _, nfiles, nschema = plans[i + 1]
+                    # plan construction on the main thread (import safety);
+                    # only the blocking materialize runs in the background
+                    nds = build(nfiles, nschema)
+                    fut = ex.submit(nds.materialize)
+                r = self.apply_epoch(
+                    files,
+                    epoch=int(e["epoch"]),
+                    offset_range=(e["offset_min"], e["offset_max"]),
+                    mode=mode,
+                    batch_size=batch_size,
+                    _converted=conv,
+                    **apply_kwargs,
+                )
+                if r is not None:
+                    if not self.table.schema.equals(schema_after):
+                        raise SchemaError(
+                            "stored schema diverged from the precomputed timeline"
+                        )
+                    results.append(r)
         return results
 
     def snapshot(self, columns: list[str] | None = None):

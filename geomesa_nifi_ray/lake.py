@@ -192,9 +192,33 @@ class LakeTable:
 
     # -- data files ---------------------------------------------------------
 
-    def bucket_file(self, bucket: int, epoch: int) -> str:
-        """Deterministic relative path for a bucket's state as of an epoch."""
-        return os.path.join(DATA_DIR, f"bucket={bucket:05d}", f"epoch-{epoch:05d}.parquet")
+    def bucket_file(self, bucket: int, epoch: int, kind: str = "base") -> str:
+        """Deterministic relative path for a bucket's state as of an epoch.
+        ``kind='base'`` is a full bucket snapshot; ``kind='delta'`` holds only
+        the epoch's winning change rows (see chain semantics below)."""
+        name = f"epoch-{epoch:05d}.parquet" if kind == "base" else f"delta-{epoch:05d}.parquet"
+        return os.path.join(DATA_DIR, f"bucket={bucket:05d}", name)
+
+    @staticmethod
+    def chain_files(entry: dict) -> list[str]:
+        """A bucket's live file chain, oldest first: base + delta files.
+
+        Chain semantics: each delta contains complete rows for the keys it
+        won; merging = concat in chain order + per-key LWW with input
+        position as the final tiebreak, so a later file's row replaces an
+        earlier one even on equal ``(warc_ts, offset)`` (rewrites). A key
+        absent from every delta is served by the base row unchanged."""
+        return [entry["file"], *entry.get("deltas", [])]
+
+    def merge_chain(self, tables: list[pa.Table], schema: pa.Schema | None = None) -> pa.Table:
+        """Merge a bucket chain (base first) into its current state."""
+        from geomesa_nifi_ray.upsert import lww_dedupe
+
+        schema = schema or self.schema
+        parts = [project_to_schema(t, schema) for t in tables]
+        if len(parts) == 1:
+            return parts[0]
+        return lww_dedupe(pa.concat_tables(parts), self.key, self.order)
 
     def abs_path(self, rel: str) -> str:
         return os.path.join(self.table_dir, rel)
@@ -209,7 +233,8 @@ class LakeTable:
         m = self.manifest(epoch)
         return {int(b): e for b, e in m["buckets"].items()}
 
-    def write_bucket_file(self, table: pa.Table, bucket: int, epoch: int) -> str:
+    def write_bucket_file(self, table: pa.Table, bucket: int, epoch: int,
+                          kind: str = "base") -> str:
         """Write one bucket's merged state atomically; returns the relative
         path. Deterministic content + deterministic path = idempotent replay.
 
@@ -217,7 +242,7 @@ class LakeTable:
         versions) is embedded in the parquet schema metadata — the analog
         of the SFT user-data map / GeoAvro's schema-embedding writer
         (``GeoAvroRecordSetWriterFactory.scala:34-49``)."""
-        rel = self.bucket_file(bucket, epoch)
+        rel = self.bucket_file(bucket, epoch, kind)
         path = self.abs_path(rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         meta = self.meta
@@ -250,9 +275,11 @@ class LakeTable:
         keep: set[str] = set()
         # keep the file sets of the last N manifests that actually exist —
         # catch-up commits leave gaps in the epoch numbering, so the log is
-        # enumerated, never assumed contiguous
+        # enumerated, never assumed contiguous; a bucket's live set is its
+        # whole chain (base + deltas)
         for e in epochs[-retain_epochs:]:
-            keep.update(entry["file"] for entry in self.manifest(e)["buckets"].values())
+            for entry in self.manifest(e)["buckets"].values():
+                keep.update(self.chain_files(entry))
         deleted = []
         data_root = os.path.join(self.table_dir, DATA_DIR)
         for dirpath, _, files in os.walk(data_root):
@@ -267,23 +294,64 @@ class LakeTable:
     # -- reads --------------------------------------------------------------
 
     def snapshot_files(self, epoch: int | None = None) -> list[str]:
-        return [self.abs_path(e["file"]) for e in self.live_entries(epoch).values()]
+        return [
+            self.abs_path(f)
+            for e in self.live_entries(epoch).values()
+            for f in self.chain_files(e)
+        ]
 
     def snapshot_dataset(self, epoch: int | None = None, columns: list[str] | None = None):
-        """Lazy Ray Dataset over the live files, projected (null-fill) to the
-        current stored schema so pre-evolution files read uniformly."""
+        """Lazy Ray Dataset over the live table state, projected (null-fill)
+        to the current stored schema so pre-evolution files read uniformly.
+
+        Fast path (no bucket has pending deltas — steady state after
+        compaction): a plain parallel ``read_parquet``. Delta path: one task
+        per bucket reads its chain and merges (reads stay bucket-parallel;
+        nothing touches the driver)."""
         import ray.data
 
-        files = self.snapshot_files(epoch)
+        entries = self.live_entries(epoch)
         schema = self.schema
         if columns is not None:
             schema = pa.schema([schema.field(c) for c in columns])
-        if not files:
+        if not entries:
             return ray.data.from_arrow(schema.empty_table())
-        ds = ray.data.read_parquet(files, columns=list(columns) if columns else None)
-        return ds.map_batches(
-            lambda t, s=schema: project_to_schema(t, s), batch_format="pyarrow"
-        )
+        if all(not e.get("deltas") for e in entries.values()):
+            files = [self.abs_path(e["file"]) for e in entries.values()]
+            ds = ray.data.read_parquet(files, columns=list(columns) if columns else None)
+            return ds.map_batches(
+                lambda t, s=schema: project_to_schema(t, s), batch_format="pyarrow"
+            )
+
+        key, order = self.key, self.order
+        read_cols = None
+        if columns is not None:
+            # the merge needs key+order; project down afterwards
+            read_cols = sorted(set(list(columns) + [key] + order))
+        chains = [
+            [self.abs_path(f) for f in self.chain_files(e)] for e in entries.values()
+        ]
+        full_schema = self.schema
+
+        def read_chain(batch: pa.Table) -> pa.Table:
+            from geomesa_nifi_ray.upsert import lww_dedupe
+
+            out = []
+            for idx in batch["chain"].to_pylist():
+                tabs = [pq.read_table(p, columns=read_cols) for p in chains[idx]]
+                base = pa.schema([f for f in full_schema if read_cols is None or f.name in read_cols])
+                merged = pa.concat_tables([project_to_schema(t, base) for t in tabs])
+                if len(tabs) > 1:
+                    merged = lww_dedupe(merged, key, order)
+                out.append(project_to_schema(merged, schema))
+            return pa.concat_tables(out)
+
+        import ray.data
+
+        control = ray.data.from_arrow(
+            pa.table({"chain": pa.array(range(len(chains)), type=pa.int64())})
+        ).repartition(len(chains))
+        return control.map_batches(read_chain, batch_format="pyarrow")
 
     def epoch_changes_dataset(self, epoch: int):
         """CDC egress: the net row-level changes epoch ``epoch`` produced —
@@ -296,10 +364,15 @@ class LakeTable:
 
         m = self.manifest(epoch)
         lo, hi = int(m["offset_min"]), int(m["offset_max"])
+        # the files this epoch wrote: a delta holds exactly the epoch's
+        # winners; a base (epoch 0 / compaction / update / rewrite) holds
+        # older rows too — the offset filter prunes both to the epoch's net
+        # changes. Pre-delta manifests (no epoch_file key) fall back to the
+        # touched bucket file.
         files = [
-            self.abs_path(e["file"])
+            self.abs_path(e["epoch_file"] if "epoch_file" in e else e["file"])
             for e in m["buckets"].values()
-            if int(e["rows_changed"]) > 0
+            if int(e["rows_changed"]) > 0 and e.get("epoch_file", e["file"])
         ]
         schema = self.schema
         if not files:
@@ -314,11 +387,16 @@ class LakeTable:
 
     def snapshot_table(self, epoch: int | None = None) -> pa.Table:
         """Driver-side snapshot as one Arrow table — tests / small tables only."""
-        files = self.snapshot_files(epoch)
+        entries = self.live_entries(epoch)
         schema = self.schema
-        if not files:
+        if not entries:
             return schema.empty_table()
-        parts = [project_to_schema(pq.read_table(f), schema) for f in sorted(files)]
+        parts = [
+            self.merge_chain(
+                [pq.read_table(self.abs_path(f)) for f in self.chain_files(e)], schema
+            )
+            for _, e in sorted(entries.items())
+        ]
         out = pa.concat_tables(parts)
         import pyarrow.compute as pc
 

@@ -69,6 +69,16 @@ def lww_dedupe(table: pa.Table, key: str, order: list[str]) -> pa.Table:
     return table.take(pa.array(np.sort(lww_indices(table, key, order))))
 
 
+def lex_ge(a_cols: list[np.ndarray], b_cols: list[np.ndarray]) -> np.ndarray:
+    """Vectorized lexicographic ``a >= b`` over parallel column lists
+    (most-significant first). NaN/NaT comparisons yield False, so callers
+    must mask missing rows themselves."""
+    ge = np.ones(len(a_cols[0]), dtype=bool)
+    for a, b in zip(reversed(a_cols), reversed(b_cols)):
+        ge = (a > b) | ((a == b) & ge)
+    return ge
+
+
 def merge_upsert(
     base: pa.Table | None,
     changes: pa.Table,

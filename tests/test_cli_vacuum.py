@@ -26,15 +26,17 @@ def test_cli_synth_replay_status_egress_vacuum(tmp_path):
     binlog = str(tmp_path / "binlog")
     lake = str(tmp_path / "lake")
 
+    # 6 epochs cross the max_deltas=4 compaction threshold: epoch 5 rewrites
+    # touched buckets, orphaning their old base+delta chains for vacuum
     r = _run_cli("synth", "--out", binlog, "--events", "1500", "--urls", "300",
-                 "--epochs", "3")
-    assert r["total_rows"] == 1500 and r["epochs"] == 3
+                 "--epochs", "6")
+    assert r["total_rows"] == 1500 and r["epochs"] == 6
 
     r = _run_cli("replay", "--binlog", binlog, "--lake", lake, "--buckets", "8")
-    assert r["committed_epoch"] == 2 and r["rows_in"] == 1500
+    assert r["committed_epoch"] == 5 and r["rows_in"] == 1500
 
     r = _run_cli("status", "--lake", lake)
-    assert r["committed_epoch"] == 2 and r["table_rows"] > 0
+    assert r["committed_epoch"] == 5 and r["table_rows"] > 0
     assert 0 < r["hottest_bucket_share"] < 1
 
     r = _run_cli("egress", "--lake", lake, "--epoch", "1", "--out",
