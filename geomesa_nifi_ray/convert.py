@@ -319,6 +319,110 @@ def _compile_call(node: Node, error_mode: str):
             )
         return json_fn
 
+    if name == "uuid":
+        # UUID<->string converter (SimpleFeatureRecordConverter.scala:421-425):
+        # canonicalize to lowercase hyphenated form; invalid -> null (skip)
+        # or ConvertError (raise)
+        import uuid as _uuid
+
+        inner = args[0]
+
+        def uuid_fn(batch, ctx):
+            arr = pc.cast(_as_array(inner(batch, ctx), batch.num_rows), pa.string())
+            out = []
+            for v in arr.to_pylist():
+                if v is None:
+                    out.append(None)
+                    continue
+                try:
+                    out.append(str(_uuid.UUID(v)))
+                except ValueError:
+                    if error_mode == "raise":
+                        raise ConvertError(f"invalid UUID {v!r}")
+                    out.append(None)
+            return pa.array(out, type=pa.string())
+        return uuid_fn
+
+    # ---- nested (List/Map/nested-record) two-way converters — the analog
+    # of SimpleFeatureRecordConverter.scala:467-528 List/Map/Record support.
+    if name == "split":
+        if node.args[1].kind != "lit":
+            raise ConvertError("split(expr, 'sep') needs a literal separator")
+        sep = str(node.args[1].value)
+        inner = args[0]
+        return lambda batch, ctx: pc.split_pattern(
+            pc.cast(_as_array(inner(batch, ctx), batch.num_rows), pa.string()), sep
+        )
+
+    if name == "join":
+        if node.args[1].kind != "lit":
+            raise ConvertError("join(expr, 'sep') needs a literal separator")
+        sep = str(node.args[1].value)
+        inner = args[0]
+
+        def join_fn(batch, ctx):
+            arr = _as_array(inner(batch, ctx), batch.num_rows)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            return pc.binary_join(pc.cast(arr, pa.list_(pa.string())), sep)
+        return join_fn
+
+    if name == "list_len":
+        inner = args[0]
+
+        def list_len_fn(batch, ctx):
+            arr = _as_array(inner(batch, ctx), batch.num_rows)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            return pc.cast(pc.list_value_length(arr), pa.int64())
+        return list_len_fn
+
+    if name == "list_get":
+        if node.args[1].kind != "lit":
+            raise ConvertError("list_get(expr, i) needs a literal index")
+        idx = int(node.args[1].value)
+        inner = args[0]
+
+        def list_get_fn(batch, ctx):
+            arr = _as_array(inner(batch, ctx), batch.num_rows)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            # null-safe element access (pc.list_element raises on short lists)
+            lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+            vals = arr.to_pylist()
+            return pa.array(
+                [v[idx] if v is not None and lens[i] is not None and lens[i] > idx else None
+                 for i, v in enumerate(vals)]
+            )
+        return list_get_fn
+
+    if name == "map_get":
+        if node.args[1].kind != "lit":
+            raise ConvertError("map_get(expr, 'key') needs a literal key")
+        mkey = node.args[1].value
+        inner = args[0]
+
+        def map_get_fn(batch, ctx):
+            arr = _as_array(inner(batch, ctx), batch.num_rows)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            hit = pc.map_lookup(arr, query_key=mkey, occurrence="first")
+            return hit
+        return map_get_fn
+
+    if name == "struct_get":
+        if node.args[1].kind != "lit":
+            raise ConvertError("struct_get(expr, 'field') needs a literal name")
+        fname = str(node.args[1].value)
+        inner = args[0]
+
+        def struct_get_fn(batch, ctx):
+            arr = _as_array(inner(batch, ctx), batch.num_rows)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            return pc.struct_field(arr, fname)
+        return struct_get_fn
+
     if name == "replace":
         if node.args[1].kind != "lit" or node.args[2].kind != "lit":
             raise ConvertError("replace(expr, 'from', 'to') needs literals")

@@ -81,6 +81,18 @@ PAGE_SCHEMA = pa.schema(
     ]
 )
 
+# Per-row visibility label + user-data JSON (SURVEY §1.1's mapping of
+# SimpleFeatureRecordConverter.scala:79-116: the vis field and gson
+# user-data map become ordinary columns that ride ingest -> lake -> egress
+# unchanged). Tables wanting them are created with this schema; inputs
+# missing the columns read back null-filled like any other projection.
+VIS_COLUMN = "_vis"
+USERDATA_COLUMN = "_userdata"
+PAGE_SCHEMA_WITH_METADATA = pa.schema(
+    list(PAGE_SCHEMA)
+    + [pa.field(VIS_COLUMN, pa.string()), pa.field(USERDATA_COLUMN, pa.string())]
+)
+
 
 @dataclass
 class EpochResult:
@@ -164,7 +176,7 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str, order:
 
 
 def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
-                       mode: str = "upsert", max_deltas: int = 4):
+                       mode: str = "upsert", max_deltas: int = 4, sink=None):
     """Per-bucket merge task run inside ``groupby('bucket').map_groups``.
 
     Each invocation owns one bucket. Steady-state upsert epochs take the
@@ -192,6 +204,10 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
 
     from geomesa_nifi_ray.upsert import lex_ge, lww_indices
 
+    if sink is None:
+        from geomesa_nifi_ray.sinks import ParquetLakeSink
+
+        sink = ParquetLakeSink(table)
     stored_schema = table.schema
     key, order = table.key, table.order
     live_ref = ray.put(live)
@@ -221,7 +237,7 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
             changes = changes.filter(pc.invert(dead_mask)).drop_columns(["_dead"])
         entry = ray.get(live_ref).get(bucket)
         rows_changed = changes.num_rows
-        chain = [table.abs_path(f) for f in LakeTable.chain_files(entry)] if entry else []
+        chain = LakeTable.chain_files(entry) if entry else []
 
         use_delta = (
             mode == "upsert"
@@ -234,7 +250,7 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
             changes = lww_dedupe(changes, key, order)
             min_cols = [key] + order
             cur = pa.concat_tables(
-                [pq.read_table(p, columns=min_cols).select(min_cols) for p in chain]
+                [sink.read_partition(p, columns=min_cols).select(min_cols) for p in chain]
             )
             cur = cur.take(pa.array(np.sort(lww_indices(cur, key, order))))
             cur_pd = cur.to_pandas()
@@ -254,7 +270,7 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
                                     None, int(entry["rows"]), rows_changed, failed,
                                     entry["digest"])
             delta = delta.take(pc.sort_indices(delta, sort_keys=[(key, "ascending")]))
-            rel = table.write_bucket_file(delta, bucket, epoch, kind="delta")
+            rel = sink.write_partition(delta, bucket, epoch, kind="delta")
             digest = digest_of_hashes(delta["content_hash"].to_pylist())
             return _lineage_row(bucket, entry["file"],
                                 entry.get("deltas", []) + [rel], rel,
@@ -264,7 +280,7 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
         # full-merge path: epoch-0 creation, compaction, partial update
         base = None
         if chain:
-            base = table.merge_chain([pq.read_table(p) for p in chain], stored_schema)
+            base = table.merge_chain([sink.read_partition(p) for p in chain], stored_schema)
         if mode == "upsert":
             changes = project_to_schema(changes, stored_schema)
             merged = merge_upsert(base, changes, key, order)
@@ -277,7 +293,7 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
             # report the failures
             return _lineage_row(bucket, None, [], None, 0, 0, failed, "")
         merged = merged.take(pc.sort_indices(merged, sort_keys=[(key, "ascending")]))
-        rel = table.write_bucket_file(merged, bucket, epoch)
+        rel = sink.write_partition(merged, bucket, epoch)
         digest = digest_of_hashes(merged["content_hash"].to_pylist())
         return _lineage_row(bucket, rel, [], rel, merged.num_rows, rows_changed,
                             failed, digest)
@@ -300,7 +316,12 @@ class CDCEngine:
         compatibility: CompatibilityMode = CompatibilityMode.EXISTING,
         schema: pa.Schema = PAGE_SCHEMA,
         max_deltas: int = 4,
+        sink_factory=None,
     ):
+        """``sink_factory(table: LakeTable) -> Sink`` plugs an alternate
+        data-plane backend (the DataStoreService SPI analog); default is the
+        bucketed Parquet lake. The metadata plane (schema, commit log,
+        cursor) always lives in the LakeTable."""
         self.lake_root = lake_root
         self.table_name = table_name
         self.compatibility = compatibility
@@ -309,6 +330,12 @@ class CDCEngine:
             self.table = LakeTable.load(lake_root, table_name)
         else:
             self.table = LakeTable.create(lake_root, table_name, schema, num_buckets)
+        if sink_factory is None:
+            from geomesa_nifi_ray.sinks import ParquetLakeSink
+
+            self.sink = ParquetLakeSink(self.table)
+        else:
+            self.sink = sink_factory(self.table)
         from geomesa_nifi_ray.metrics import EpochCounters
 
         self._counters = EpochCounters(table_name)
@@ -376,7 +403,7 @@ class CDCEngine:
 
         live = self.table.live_entries()
         merger = make_bucket_merger(self.table, epoch, live, mode=mode,
-                                    max_deltas=self.max_deltas)
+                                    max_deltas=self.max_deltas, sink=self.sink)
 
         if _converted is not None:
             # pipelined replay pre-converted this epoch (with the SAME
@@ -475,7 +502,7 @@ class CDCEngine:
             "kernel_version": TEXT_KERNEL_VERSION,
             "buckets": buckets,
         }
-        self.table.commit_epoch(manifest)
+        self.sink.commit(manifest)
         self._counters.record(rows_applied, rows_failed)
         return EpochResult(
             epoch=epoch,
@@ -511,6 +538,7 @@ class CDCEngine:
         if epoch is None:
             epoch = committed + 1
         table = self.table
+        sink = self.sink
         stored_schema = table.schema
         key, order = table.key, table.order
         live = table.live_entries()
@@ -523,7 +551,7 @@ class CDCEngine:
             for bucket in batch["bucket"].to_pylist():
                 entry = ray.get(live_ref)[bucket]
                 base = table.merge_chain(
-                    [pq.read_table(table.abs_path(f)) for f in LakeTable.chain_files(entry)],
+                    [sink.read_partition(f) for f in LakeTable.chain_files(entry)],
                     stored_schema,
                 )
                 base = base.take(pc.sort_indices(base, sort_keys=[(key, "ascending")]))
@@ -534,7 +562,7 @@ class CDCEngine:
                 new = add_hash_and_bucket(new, num_buckets, url_col=key)
                 new = new.drop_columns(["bucket"]).select([f.name for f in stored_schema])
                 new = new.take(pc.sort_indices(new, sort_keys=[(key, "ascending")]))
-                rel = table.write_bucket_file(new, bucket, epoch)
+                rel = sink.write_partition(new, bucket, epoch)
                 out_rows.append(
                     {
                         "bucket": bucket,
@@ -579,7 +607,7 @@ class CDCEngine:
             "kernel_version": TEXT_KERNEL_VERSION,
             "buckets": buckets,
         }
-        self.table.commit_epoch(manifest)
+        self.sink.commit(manifest)
         return EpochResult(
             epoch=epoch,
             rows_in=manifest["rows_in"],

@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.csv as pacsv
 import pyarrow.ipc as paipc
 
-FORMATS = ("parquet", "csv", "tsv", "jsonl", "arrow")
+FORMATS = ("parquet", "csv", "tsv", "jsonl", "arrow", "avro")
 
 
 def egress_epoch(table, epoch: int, out_dir: str, format: str = "jsonl",
@@ -50,9 +50,30 @@ def export_dataset(ds, out_dir: str, format: str = "parquet", gzip: bool = False
         ds.write_parquet(out_dir)
         return out_dir
 
-    ext = {"csv": "csv", "tsv": "tsv", "jsonl": "jsonl", "arrow": "arrow"}[format]
+    ext = {"csv": "csv", "tsv": "tsv", "jsonl": "jsonl", "arrow": "arrow",
+           "avro": "avro"}[format]
     if gzip and format == "arrow":
         raise ValueError("arrow IPC files should use internal compression, not gzip")
+    if gzip and format == "avro":
+        # the reference exempts avro from gzip too (ConvertToGeoFile.scala:134-154)
+        raise ValueError("avro containers carry their own codec; gzip unsupported")
+
+    if format == "avro":
+        from geomesa_nifi_ray.avro_io import write_avro
+
+        def write_avro_shard(batch: pa.Table) -> pa.Table:
+            name = f"shard-{uuid.uuid4().hex}.avro"
+            path = os.path.join(out_dir, name)
+            write_avro(batch, path)
+            return pa.table(
+                {
+                    "path": pa.array([path]),
+                    "rows": pa.array([batch.num_rows], type=pa.int64()),
+                    "bytes": pa.array([os.path.getsize(path)], type=pa.int64()),
+                }
+            )
+
+        return ds.map_batches(write_avro_shard, batch_format="pyarrow")
 
     def encode_shard(batch: pa.Table) -> pa.Table:
         buf = io.BytesIO()

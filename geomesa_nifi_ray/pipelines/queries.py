@@ -767,6 +767,51 @@ SELECT doc_id, text, lang, CAST(NULL AS VARCHAR) AS content_type, n_chars FROM d
 """
 
 
+def _nested_pages_path(sf_dir: str) -> str:
+    from geomesa_nifi_ray.synth import write_nested_pages
+
+    return write_nested_pages(
+        os.path.join(CDC_ROOT, _sf_name(sf_dir), "nested_pages.parquet")
+    )
+
+
+def q_nested_pages_stats(sf_dir: str):
+    """Nested column types end-to-end (List/Map/nested-record converters,
+    ``SimpleFeatureRecordConverter.scala:467-528``): a converter-DSL chain
+    over list<string> / map<string,string> / struct columns — list length
+    and element access, map lookup, struct field — all pyarrow.compute
+    kernels, verified against DuckDB's native nested readers."""
+    import ray.data
+
+    path = _nested_pages_path(sf_dir)
+    ds = ray.data.read_parquet(path)
+    fields = [
+        FieldSpec("page_id", "$page_id"),
+        FieldSpec("n_links", "list_len($links)"),
+        FieldSpec("first_link", "list_get($links, 0)"),
+        FieldSpec("content_type", "map_get($headers, 'content-type')"),
+        FieldSpec("score", "struct_get($meta, 'score')"),
+        FieldSpec("tags_n", "list_len(struct_get($meta, 'tags'))"),
+    ]
+    return ds.map_batches(
+        RecordConverter,
+        fn_constructor_kwargs={"fields": fields},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
+_NESTED_PAGES_SQL = """
+SELECT page_id,
+       CAST(len(links) AS BIGINT) AS n_links,
+       links[1] AS first_link,
+       headers['content-type'][1] AS content_type,
+       meta.score AS score,
+       CAST(len(meta.tags) AS BIGINT) AS tags_n
+FROM read_parquet('{path}')
+"""
+
+
 # ----------------------------------------------------- embedding queries --
 
 
@@ -1019,6 +1064,7 @@ QUERIES = {
     "convert_events_typed": q_convert_events_typed,
     "events_sessionized": q_events_sessionized,
     "events_distinct_users": q_events_distinct_users,
+    "nested_pages_stats": q_nested_pages_stats,
     "orders_semi_join": q_orders_semi_join,
     "cdc_backfill_rewrite": q_cdc_backfill_rewrite,
     # training-data ops with SQL oracles
@@ -1116,6 +1162,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "ngram_dedup_documents": _NGRAM_DEDUP_SQL,
+        "nested_pages_stats": _NESTED_PAGES_SQL.format(path=_nested_pages_path(sf_dir)),
     }
 
 

@@ -10,8 +10,10 @@ schema (``AvroToPutGeoMesa.scala``). Here:
 - CSV/JSON record streams are read with ``ray.data.read_csv/read_json``
   and converted by a :class:`geomesa_nifi_ray.convert.RecordConverter`
   plan — :func:`read_records`;
-- Parquet is the schema-embedding format (GeoAvro analog);
-- Avro/XML readers are gated behind import-try (libs absent here).
+- Parquet is the lake's native schema-embedding format; Avro container
+  files (the GeoAvro analog, embedded schema) read via the pure-Python
+  codec in :mod:`geomesa_nifi_ray.avro_io` — one decode task per file;
+- XML readers are gated (no parser dependency worth carrying).
 """
 
 from __future__ import annotations
@@ -38,19 +40,47 @@ def read_records(paths, format: str = "csv", converter: RecordConverter | None =
         "json": ray.data.read_json,
         "parquet": ray.data.read_parquet,
     }
-    if format == "avro":  # pragma: no cover
-        raise NotImplementedError(
-            "avro reader requires fastavro (not in this container); "
-            "convert to parquet upstream or install fastavro"
-        )
-    if format == "xml":  # pragma: no cover
-        raise NotImplementedError("xml record reader not supported; use csv/json/parquet")
-    if format not in readers:
+    if format == "avro":
+        ds = read_avro_files(paths)
+    elif format == "xml":  # pragma: no cover
+        raise NotImplementedError("xml record reader not supported; use csv/json/parquet/avro")
+    elif format not in readers:
         raise ValueError(f"unknown record format {format!r}")
-    ds = readers[format](paths, **reader_kwargs)
+    else:
+        ds = readers[format](paths, **reader_kwargs)
     if converter is not None:
         ds = ds.map_batches(converter, batch_format="pyarrow")
     return ds
 
 
-__all__ = ["read_epoch", "read_records", "RecordConverter", "FieldSpec"]
+def read_avro_files(paths):
+    """Avro container files -> lazy Dataset, one decode task per file
+    (embedded schema; ``AvroToPutGeoMesa.scala:84-173`` ingest contract)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow as pa
+    import ray.data
+
+    from geomesa_nifi_ray.avro_io import read_avro
+
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if _os.path.isdir(p):
+            files.extend(sorted(_glob.glob(_os.path.join(p, "*.avro"))))
+        else:
+            files.append(p)
+    missing = [f for f in files if not _os.path.exists(f)]
+    if not files or missing:
+        raise FileNotFoundError(f"no avro files under {paths} (missing: {missing})")
+
+    def decode(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables([read_avro(p) for p in batch["path"].to_pylist()])
+
+    control = ray.data.from_arrow(pa.table({"path": pa.array(files)}))
+    return control.repartition(len(files)).map_batches(decode, batch_format="pyarrow")
+
+
+__all__ = ["read_epoch", "read_records", "read_avro_files", "RecordConverter", "FieldSpec"]

@@ -37,7 +37,7 @@ def test_read_json_records(ray_session, tmp_path):
 
 
 def test_unsupported_formats(ray_session):
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(FileNotFoundError):   # avro is supported; path missing
         read_records(["x"], format="avro")
     with pytest.raises(NotImplementedError):
         read_records(["x"], format="xml")
