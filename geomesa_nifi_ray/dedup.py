@@ -54,23 +54,24 @@ def exact_dedup(ds, cols: list[str], id_col: str, keep: str = "min"):
     """
     ds = add_content_hash(ds, cols)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        idx = (
-            df.groupby("content_hash")[id_col].idxmin()
-            if keep == "min"
-            else df.groupby("content_hash")[id_col].idxmax()
+    def reduce_one_per_hash(t: pa.Table) -> pa.Table:
+        """Arrow-native: sort by (hash, id) then keep the first/last row of
+        each hash run — used both as per-batch combiner and final reduce."""
+        order = "ascending" if keep == "min" else "descending"
+        idx = pc.sort_indices(
+            t, sort_keys=[("content_hash", "ascending"), (id_col, order)]
         )
-        return pa.Table.from_pandas(df.loc[sorted(idx)], preserve_index=False)
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        return g.head(1) if keep == "min" else g.tail(1)
+        t = t.take(idx)
+        codes = t["content_hash"].combine_chunks().dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        )
+        first_in_run = np.r_[True, codes[1:] != codes[:-1]]
+        return t.take(pa.array(np.flatnonzero(first_in_run)))
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(reduce_one_per_hash, batch_format="pyarrow")
         .groupby("content_hash")
-        .map_groups(final, batch_format="pandas")
+        .map_groups(reduce_one_per_hash, batch_format="pyarrow")
     )
 
 

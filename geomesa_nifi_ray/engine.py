@@ -301,6 +301,112 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
     return merge_bucket
 
 
+def run_late_exchange(converted_mat, merge_bucket, key: str, order: list[str],
+                      num_buckets: int) -> list[dict]:
+    """Late-materialized keyed exchange (the 100 TB shuffle design):
+
+    The sort-based exchange ships every change row's full payload (html!)
+    through two all-to-all copies; at 10M events that is ~20 GB of memcpy
+    through the object store and it saturates a node's memory bandwidth
+    long before its cores. But LWW only needs the *keys* to pick winners —
+    so:
+
+      phase 1 (split):  one task per converted block emits P tiny key
+                        slices ``(key, order…, bucket, _dead, _block,
+                        _row)`` — ~40 bytes/row instead of ~2 KB;
+      phase 2 (reduce): one task per bucket concatenates its key slices
+                        (deterministic block order), runs LWW against the
+                        stored minimal columns, fetches ONLY the winning
+                        rows from the materialized blocks (plasma reads
+                        are zero-copy on-node; cross-node each block ships
+                        to a node at most once), and runs the normal
+                        per-bucket merge/write.
+
+    Exchange volume becomes O(keys) + O(winner payloads) — proportional to
+    the deduped output, not the input. Dataset groupby cannot express this
+    (no late materialization), hence raw Ray tasks; determinism and
+    idempotence are unchanged (winner selection is a pure function of the
+    block list, and writes stay deterministic tmp+rename).
+    """
+    import numpy as np
+    import ray
+
+    refs = converted_mat.to_arrow_refs()
+    refs_handle = ray.put(refs)
+
+    @ray.remote
+    def split_keys(block: pa.Table, block_id: int) -> pa.Table:
+        """One bucket-sorted key table per block (a SINGLE return object:
+        per-bucket multi-returns put 200×P objects through the driver's
+        result path, which serializes the whole exchange). Consumers slice
+        their bucket range with two searchsorteds — zero-copy."""
+        cols = [key] + order + ["bucket", "_dead"]
+        kt = block.select(cols)
+        kt = kt.append_column(
+            "_block", pa.array(np.full(block.num_rows, block_id, dtype=np.int32))
+        )
+        kt = kt.append_column(
+            "_row", pa.array(np.arange(block.num_rows, dtype=np.int32))
+        )
+        buckets = kt["bucket"].to_numpy(zero_copy_only=False)
+        idx = np.argsort(buckets, kind="stable")
+        return kt.take(pa.array(idx))
+
+    slices = [split_keys.remote(r, i) for i, r in enumerate(refs)]
+
+    @ray.remote
+    def bucket_task(bucket: int, key_table_refs, refs_handle):
+        from geomesa_nifi_ray.upsert import lww_indices
+
+        import numpy as np
+        import ray as _ray
+
+        parts = []
+        for p in _ray.get(list(key_table_refs)):
+            bl = p["bucket"].to_numpy(zero_copy_only=False)
+            lo = int(np.searchsorted(bl, bucket, side="left"))
+            hi = int(np.searchsorted(bl, bucket, side="right"))
+            if hi > lo:
+                parts.append(p.slice(lo, hi - lo))
+        if not parts:
+            return None
+        kt = pa.concat_tables(parts)
+        if kt.num_rows == 0:
+            return None
+        dead_mask = pc.equal(kt["_dead"], pa.scalar(1, pa.int8()))
+        good = kt.filter(pc.invert(dead_mask))
+        dead = kt.filter(dead_mask)
+        wanted = []
+        if good.num_rows:
+            win = lww_indices(good, key, order)   # per-key winners (keys only)
+            wanted.append(good.take(pa.array(np.sort(win))))
+        if dead.num_rows:
+            wanted.append(dead)                   # dead skeletons: counted by merge
+        sel = pa.concat_tables(wanted)
+        blocks = sel["_block"].to_numpy(zero_copy_only=False)
+        rows = sel["_row"].to_numpy(zero_copy_only=False)
+        order_idx = np.lexsort((rows, blocks))    # deterministic fetch order
+        blocks, rows = blocks[order_idx], rows[order_idx]
+        # refs_handle (a top-level ObjectRef arg) was auto-resolved to the
+        # list; its ELEMENTS stay ObjectRefs — fetched per needed block only
+        all_refs = refs_handle
+        fetched = []
+        for b in np.unique(blocks):
+            blk = _ray.get(all_refs[int(b)])      # zero-copy plasma read
+            fetched.append(blk.take(pa.array(rows[blocks == b])))
+        group = pa.concat_tables(fetched)
+        return merge_bucket(group)
+
+    per_bucket = [
+        bucket_task.remote(b, slices, refs_handle) for b in range(num_buckets)
+    ]
+    out = []
+    for r in ray.get(per_bucket):
+        if r is not None:
+            out.extend(r.to_pylist())
+    return out
+
+
 class CDCEngine:
     """Driver-side orchestration: schema registry, epoch cursor, lineage.
 
@@ -336,6 +442,18 @@ class CDCEngine:
             self.sink = ParquetLakeSink(self.table)
         else:
             self.sink = sink_factory(self.table)
+        try:
+            # Ray Data's per-operator resource reservation starves a deep
+            # (read -> convert -> coalesce -> sort -> merge) pipeline when
+            # CPU slots are scarce: measured 214 s -> 56 s for the same 10M-
+            # event replay at num_cpus=8 (43% -> ~90% slot utilization) just
+            # by letting operators share slots greedily; neutral-to-better
+            # at 32 CPUs. Backpressure still applies (object-store limits).
+            from ray.data import DataContext
+
+            DataContext.get_current().op_resource_reservation_enabled = False
+        except Exception:  # pragma: no cover - ray absent in pure-unit tests
+            pass
         from geomesa_nifi_ray.metrics import EpochCounters
 
         self._counters = EpochCounters(table_name)
@@ -353,6 +471,8 @@ class CDCEngine:
         salted_reduce: bool = False,
         salt_factor: int = 8,
         epochs_covered: tuple[int, int] | None = None,
+        pre_shuffle_coalesce: bool | None = None,
+        exchange: str | None = None,
         _converted=None,
     ) -> EpochResult | None:
         """Apply one epoch of change events. ``source`` is a parquet path
@@ -437,18 +557,38 @@ class CDCEngine:
                 .groupby("salt")
                 .map_groups(salted_lww, batch_format="pyarrow")
             )
-        # Coalesce the (post-combiner) change set to P blocks before the
-        # exchange: Ray's sort-based shuffle creates one output partition
-        # per input block, so leaving ~n/batch_size small blocks makes the
-        # all-to-all move O(blocks²) tiny objects. P blocks bound the
-        # exchange at P×P and align sort partitions with merge groups.
-        # Small epochs (steady-state cadence) skip the extra barrier: their
-        # block count is already ~P, so the coalesce would only add latency.
-        if rows_in > 2 * batch_size * self.table.num_buckets:
-            converted = converted.repartition(self.table.num_buckets)
-        lineage_ds = converted.groupby("bucket").map_groups(merger, batch_format="pyarrow")
-        lineage = lineage_ds.take_all()  # one small row per touched bucket
-        self.last_stats = lineage_ds.stats()  # per-stage wall/cpu breakdown
+        # Exchange strategy. Large upsert epochs use the late-materialized
+        # keyed exchange (see run_late_exchange): keys-only shuffle + winner
+        # payload fetch — O(deduped output) bytes moved instead of O(input).
+        # Small epochs and partial-update mode use the Dataset sort exchange
+        # (cheap at small size; update-mode merges want every change row).
+        # Exchange default is the Dataset sort shuffle: on a single node the
+        # object store makes it near-zero-copy and it measures fastest. The
+        # late exchange ("late") is the multi-node configuration — its
+        # network traffic is O(keys + deduped output) instead of O(input
+        # payload) — and it requires the epoch's converted blocks to fit
+        # the object store (they spill and thrash otherwise).
+        large_epoch = rows_in > 2 * batch_size * self.table.num_buckets
+        use_late = exchange == "late" and mode == "upsert" and not salted_reduce
+        if use_late:
+            mat = converted.materialize()
+            self.last_stats = mat.stats()
+            lineage = run_late_exchange(
+                mat, merger, self.table.key, self.table.order, self.table.num_buckets
+            )
+        else:
+            # Coalesce the (post-combiner) change set to P blocks before the
+            # exchange: Ray's sort-based shuffle creates one output partition
+            # per input block, so many tiny blocks make the all-to-all move
+            # O(blocks²) small objects. Small epochs (steady-state cadence)
+            # skip the extra barrier: their block count is already ~P.
+            if pre_shuffle_coalesce is None:
+                pre_shuffle_coalesce = large_epoch
+            if pre_shuffle_coalesce:
+                converted = converted.repartition(self.table.num_buckets)
+            lineage_ds = converted.groupby("bucket").map_groups(merger, batch_format="pyarrow")
+            lineage = lineage_ds.take_all()  # one small row per touched bucket
+            self.last_stats = lineage_ds.stats()  # per-stage wall/cpu breakdown
 
         import json as _json
 
@@ -645,22 +785,33 @@ class CDCEngine:
         correctness one. Schema-evolution epochs always start a new batch
         (evolution only happens at a commit boundary, SURVEY.md §7.5);
         partial-update mode is order-sensitive and never batched.
+
+        **Dynamic write mode**: an epoch descriptor may carry its own
+        ``mode`` key (``upsert`` / ``update``) overriding the call-level
+        default — the per-epoch resolution of the reference's
+        attribute-driven append/modify switch (``FeatureWriters.
+        DynamicWriters:300-328``; SURVEY §2.9 maps per-batch dynamism to
+        epoch-boundary config on purpose). Mixed-mode runs fall back to the
+        serial per-epoch path; catch-up batches only consecutive
+        upsert-mode epochs.
         """
         committed = self.table.committed_epoch()
         pending = [
             e for e in binlog_meta["epochs"]
             if committed is None or int(e["epoch"]) > committed
         ]
+        epoch_modes = [e.get("mode", mode) for e in pending]
+        mixed_modes = len(set(epoch_modes)) > 1
         results: list[EpochResult] = []
-        if not catchup or mode != "upsert":
-            if pipelined and len(pending) > 1:
+        if not catchup or mode != "upsert" or mixed_modes:
+            if pipelined and len(pending) > 1 and not mixed_modes:
                 return self._replay_pipelined(pending, mode, **apply_kwargs)
-            for e in pending:
+            for e, e_mode in zip(pending, epoch_modes):
                 r = self.apply_epoch(
                     e.get("files", e["path"]),
                     epoch=int(e["epoch"]),
                     offset_range=(e["offset_min"], e["offset_max"]),
-                    mode=mode,
+                    mode=e_mode,
                     **apply_kwargs,
                 )
                 if r is not None:

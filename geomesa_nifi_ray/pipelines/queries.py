@@ -37,6 +37,10 @@ _BINLOG_SPECS = {
     # bench tier: large enough that per-epoch compute dominates the fixed
     # pipeline/shuffle overhead at 32 CPUs (scaling-efficiency evidence)
     "sf0.1": BinlogSpec(num_events=3_000_000, num_urls=450_000, num_epochs=5),
+    # scaling tier: sized so BOTH the 8-CPU and 32-CPU points sit above the
+    # pipeline's efficient floor (a 3M binlog at 8 CPUs was starved, making
+    # 8->32 superlinear and the efficiency number meaningless)
+    "scaling": BinlogSpec(num_events=10_000_000, num_urls=1_500_000, num_epochs=5),
 }
 
 
@@ -71,13 +75,13 @@ def _lake_key(meta: dict) -> str:
 
 
 def run_cdc_replay(sf_dir: str, lake_root: str | None = None, num_buckets: int = 32,
-                   catchup: bool = False) -> CDCEngine:
+                   catchup: bool = False, exchange: str | None = None) -> CDCEngine:
     """Full exactly-once replay of the sf tier's binlog into a lake."""
     meta = get_binlog(sf_dir)
     if lake_root is None:
         lake_root = os.path.join(CDC_ROOT, _sf_name(sf_dir), f"lake-{_lake_key(meta)}")
     eng = CDCEngine(lake_root, num_buckets=num_buckets)
-    eng.replay_binlog(meta, catchup=catchup)
+    eng.replay_binlog(meta, catchup=catchup, exchange=exchange)
     return eng
 
 
@@ -110,11 +114,10 @@ def q_cdc_lww_dedup(sf_dir: str):
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        t = pa.Table.from_pandas(g, preserve_index=False)
-        return lww_dedupe(t, "url", ["warc_ts", "offset"]).to_pandas()
+    def final(t: pa.Table) -> pa.Table:
+        return lww_dedupe(t, "url", ["warc_ts", "offset"])
 
-    out = ds.groupby("bucket").map_groups(final, batch_format="pandas")
+    out = ds.groupby("bucket").map_groups(final, batch_format="pyarrow")
     return out.select_columns(SNAPSHOT_COLS)
 
 
@@ -393,11 +396,10 @@ def q_lww_latest_events(sf_dir: str):
         lambda t: lww_dedupe(t, "user_id", ["ts", "event_id"]), batch_format="pyarrow"
     )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        t = pa.Table.from_pandas(g, preserve_index=False)
-        return lww_dedupe(t, "user_id", ["ts", "event_id"]).to_pandas()
+    def final(t: pa.Table) -> pa.Table:
+        return lww_dedupe(t, "user_id", ["ts", "event_id"])
 
-    out = ds.groupby("user_id").map_groups(final, batch_format="pandas")
+    out = ds.groupby("user_id").map_groups(final, batch_format="pyarrow")
     return out.select_columns(["user_id", "event_id", "ts", "event_type", "value"])
 
 

@@ -42,8 +42,8 @@ def read_records(paths, format: str = "csv", converter: RecordConverter | None =
     }
     if format == "avro":
         ds = read_avro_files(paths)
-    elif format == "xml":  # pragma: no cover
-        raise NotImplementedError("xml record reader not supported; use csv/json/parquet/avro")
+    elif format == "xml":
+        ds = read_xml_files(paths, **reader_kwargs)
     elif format not in readers:
         raise ValueError(f"unknown record format {format!r}")
     else:
@@ -51,6 +51,54 @@ def read_records(paths, format: str = "csv", converter: RecordConverter | None =
     if converter is not None:
         ds = ds.map_batches(converter, batch_format="pyarrow")
     return ds
+
+
+def read_xml_files(paths, record_tag: str | None = None):
+    """XML record reader (stdlib ``xml.etree``; the NiFi XMLReader analog,
+    ``records/package.scala:44-51``): each direct child of the document
+    root (or each ``record_tag`` element) is one record; its child
+    elements become string columns (missing -> null). Typed conversion is
+    the converter plan's job, exactly like the reference's record-reader ->
+    converter split. One parse task per file."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if _os.path.isdir(p):
+            files.extend(sorted(_glob.glob(_os.path.join(p, "*.xml"))))
+        else:
+            files.append(p)
+    missing = [f for f in files if not _os.path.exists(f)]
+    if not files or missing:
+        raise FileNotFoundError(f"no xml files under {paths} (missing: {missing})")
+
+    def decode(batch: pa.Table) -> pa.Table:
+        import xml.etree.ElementTree as ET
+
+        rows: list[dict] = []
+        cols: list[str] = []
+        for path in batch["path"].to_pylist():
+            root = ET.parse(path).getroot()
+            records = root.findall(record_tag) if record_tag else list(root)
+            for rec in records:
+                row = {}
+                for child in rec:
+                    row[child.tag] = child.text
+                    if child.tag not in cols:
+                        cols.append(child.tag)
+                rows.append(row)
+        return pa.table(
+            {c: pa.array([r.get(c) for r in rows], type=pa.string()) for c in cols}
+        )
+
+    control = ray.data.from_arrow(pa.table({"path": pa.array(files)}))
+    return control.repartition(len(files)).map_batches(decode, batch_format="pyarrow")
 
 
 def read_avro_files(paths):
@@ -83,4 +131,5 @@ def read_avro_files(paths):
     return control.repartition(len(files)).map_batches(decode, batch_format="pyarrow")
 
 
-__all__ = ["read_epoch", "read_records", "read_avro_files", "RecordConverter", "FieldSpec"]
+__all__ = ["read_epoch", "read_records", "read_avro_files", "read_xml_files",
+           "RecordConverter", "FieldSpec"]

@@ -112,3 +112,31 @@ def test_late_event_loses_to_stored_winner(ray_session, tmp_path):
     by_url = {u: t for u, t in zip(snap["url"].to_pylist(), snap["text"].to_pylist())}
     assert by_url["u1"] == "new"    # late event (older ts) lost
     assert by_url["u2"] == "y"      # newer ts won
+
+
+def test_late_exchange_matches_sort_exchange(ray_session, tmp_path, binlog):
+    """The late-materialized keyed exchange (keys shuffle + winner payload
+    fetch) must produce the byte-identical lake as the Dataset sort
+    exchange — snapshots AND manifests."""
+    late = CDCEngine(str(tmp_path / "lk_late"), num_buckets=8)
+    late.replay_binlog(binlog, exchange="late")
+    sort = CDCEngine(str(tmp_path / "lk_sort"), num_buckets=8)
+    sort.replay_binlog(binlog, exchange="sort")
+    assert late.table.snapshot_table().equals(sort.table.snapshot_table())
+    for e in range(6):
+        ml, ms = late.table.manifest(e), sort.table.manifest(e)
+        assert ml["buckets"] == ms["buckets"], e
+        assert (ml["rows_failed"], ml["rows_in"]) == (ms["rows_failed"], ms["rows_in"])
+
+
+def test_late_exchange_catchup_and_resume(ray_session, tmp_path, binlog):
+    eng = CDCEngine(str(tmp_path / "lk_lc"), num_buckets=8)
+    eng.replay_binlog(binlog, catchup=True, exchange="late")
+    ref = CDCEngine(str(tmp_path / "lk_ref"), num_buckets=8)
+    ref.replay_binlog(binlog)
+    assert eng.table.snapshot_table().equals(ref.table.snapshot_table())
+    # crash/resume on the late path
+    os.remove(os.path.join(str(tmp_path / "lk_lc"), "pages", "_log", "epoch-00005.json"))
+    eng2 = CDCEngine(str(tmp_path / "lk_lc"), num_buckets=8)
+    eng2.replay_binlog(binlog, catchup=True, exchange="late")
+    assert eng2.table.snapshot_table().equals(ref.table.snapshot_table())

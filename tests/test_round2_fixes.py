@@ -160,3 +160,17 @@ def test_tail_require_marker(ray_session, tmp_path):
     res = eng.tail(str(tmp_path / "binlog"), poll_interval=0.01, max_idle_polls=1,
                    require_marker=True)
     assert eng.table.committed_epoch() == 1
+
+
+def test_dynamic_write_mode_per_epoch(ray_session, tmp_path):
+    """FeatureWriters.DynamicWriters parity at epoch granularity: an epoch
+    descriptor's own mode key wins over the call-level default."""
+    meta = write_binlog(
+        str(tmp_path / "bl"), BinlogSpec(num_events=600, num_urls=150, num_epochs=3)
+    )
+    meta["epochs"][1]["mode"] = "update"     # no inserts in epoch 1
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=4)
+    results = eng.replay_binlog(meta)
+    assert [r.manifest["mode"] for r in results] == ["upsert", "update", "upsert"]
+    # the update epoch skipped unmatched keys -> counted failed
+    assert results[1].rows_failed > 0

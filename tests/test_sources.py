@@ -37,9 +37,10 @@ def test_read_json_records(ray_session, tmp_path):
 
 
 def test_unsupported_formats(ray_session):
-    with pytest.raises(FileNotFoundError):   # avro is supported; path missing
+    # avro and xml are now supported; a missing path errors eagerly
+    with pytest.raises(FileNotFoundError):
         read_records(["x"], format="avro")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(FileNotFoundError):
         read_records(["x"], format="xml")
     with pytest.raises(ValueError):
         read_records(["x"], format="orc")
@@ -48,3 +49,24 @@ def test_unsupported_formats(ray_session):
 def test_read_epoch_columns(ray_session):
     ds = read_epoch("/root/testdata/sf0.001/events.parquet", columns=["event_id", "ts"])
     assert set(ds.schema().names) == {"event_id", "ts"}
+
+
+def test_read_xml_records(ray_session, tmp_path):
+    from geomesa_nifi_ray.sources import FieldSpec, RecordConverter, read_records
+
+    xml = """<?xml version="1.0"?>
+<rows>
+  <row><event_id>1</event_id><user_id>7</user_id><value>1.5</value></row>
+  <row><event_id>2</event_id><user_id>8</user_id></row>
+</rows>"""
+    p = tmp_path / "a.xml"
+    p.write_text(xml)
+    conv = RecordConverter([
+        FieldSpec("event_id", "$event_id::long"),
+        FieldSpec("user_id", "$user_id::long"),
+        FieldSpec("value", "$value::double"),
+    ])
+    df = read_records(str(tmp_path), format="xml", converter=conv).to_pandas()
+    df = df.sort_values("event_id").reset_index(drop=True)
+    assert list(df["event_id"]) == [1, 2]
+    assert df["value"][0] == 1.5 and df["value"].isna()[1]
