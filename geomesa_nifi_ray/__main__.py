@@ -85,6 +85,14 @@ def main(argv: list[str] | None = None) -> int:
     vc.add_argument("--lake", required=True)
     vc.add_argument("--retain", type=int, default=2)
 
+    cp = sub.add_parser(
+        "compact",
+        description="Fold every bucket's delta chain into a fresh url-sorted "
+        "base file (one new epoch); combine with vacuum to reclaim space.",
+    )
+    cp.add_argument("--lake", required=True)
+    cp.add_argument("--buckets", type=int, default=64)
+
     args = p.parse_args(argv)
 
     if args.cmd == "synth":
@@ -185,6 +193,19 @@ def main(argv: list[str] | None = None) -> int:
         t = LakeTable.load(args.lake, "pages")
         deleted = t.vacuum(retain_epochs=args.retain)
         print(json.dumps({"deleted_files": len(deleted)}))
+        return 0
+
+    if args.cmd == "compact":
+        _ray_session(args.num_cpus)
+        from geomesa_nifi_ray.engine import CDCEngine
+
+        eng = CDCEngine(args.lake, num_buckets=args.buckets)
+        r = eng.rewrite_epoch(lambda t: t)  # identity rewrite folds chains
+        print(json.dumps({
+            "epoch": r.epoch,
+            "buckets_compacted": r.buckets_touched,
+            "table_rows": r.table_rows,
+        }))
         return 0
 
     return 1

@@ -814,6 +814,55 @@ FROM read_parquet('{path}')
 """
 
 
+def q_training_data_prep(sf_dir: str):
+    """End-to-end training-data prep composition: exact dedup -> vectorized
+    quality stats -> filter (min tokens, bounded punctuation density) ->
+    curated output. The whole pipeline streams; the only shuffle is the
+    dedup groupby."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               override_num_blocks=_DOC_BLOCKS)
+    ds = dd.exact_dedup(ds, ["text"], "doc_id")
+
+    def stage(t: pa.Table) -> pa.Table:
+        import re
+
+        tok = re.compile(r"\S+")
+        punct = re.compile(r"[.!?,;:]")
+        texts = t["text"].to_pylist()
+        ws = np.array([0 if x is None else len(tok.findall(x)) for x in texts],
+                      dtype=np.int64)
+        pn = np.array([0 if x is None else len(punct.findall(x)) for x in texts],
+                      dtype=np.int64)
+        t = t.append_column("ws_tokens", pa.array(ws))
+        t = t.append_column("punct_count", pa.array(pn))
+        keep = (ws >= 40) & (pn * 5 <= ws)  # >=40 tokens, punct density <= 20%
+        return t.filter(pa.array(keep)).select(
+            ["doc_id", "ws_tokens", "punct_count", "n_chars", "lang"]
+        )
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+_TRAINING_PREP_SQL = """
+WITH dedup AS (
+  SELECT min(doc_id) AS doc_id, text,
+         arg_min(n_chars, doc_id) AS n_chars,
+         arg_min(lang, doc_id) AS lang
+  FROM documents GROUP BY text
+), stats AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct_count,
+         n_chars, lang
+  FROM dedup
+)
+SELECT doc_id, ws_tokens, punct_count, n_chars, lang FROM stats
+WHERE ws_tokens >= 40 AND punct_count * 5 <= ws_tokens
+"""
+
+
 # ----------------------------------------------------- embedding queries --
 
 
@@ -1021,6 +1070,29 @@ def q_multimodal_features(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_multimodal_audio_features(sf_dir: str):
+    """Audio feature extraction over real PCM-16 WAV payloads (pure-numpy
+    decode + windowed RMS energy) through the actor-pool stage."""
+    import ray.data
+
+    from geomesa_nifi_ray.multimodal import AudioFeatureStage, synth_audio_table
+
+    ds = ray.data.from_arrow(synth_audio_table(64, seed=9))
+    out = ds.map_batches(AudioFeatureStage, batch_format="pyarrow", batch_size=16,
+                         concurrency=2, fn_constructor_kwargs={"feature_dim": 16})
+
+    def summarize(t: pa.Table) -> pa.Table:
+        feats = t["audio_features"].to_pylist()
+        mean = pa.array([round(float(np.mean(f)), 8) if f else None for f in feats],
+                        type=pa.float64())
+        peak = pa.array([round(float(np.max(f)), 8) if f else None for f in feats],
+                        type=pa.float64())
+        return pa.table({"media_id": t["media_id"], "rms_mean": mean, "rms_peak": peak,
+                         "duration_ms": t["duration_ms"]})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_embedding_ivf_topk(sf_dir: str):
     """IVF fit on a RAY-SAMPLED subset (deterministic seed), query vectors
     via filtered read — the driver never holds the full embeddings table."""
@@ -1076,6 +1148,7 @@ QUERIES = {
     "quality_documents": q_quality_documents,
     "lang_distribution_documents": q_lang_distribution_documents,
     "schema_project_documents": q_schema_project_documents,
+    "training_data_prep": q_training_data_prep,
     "embedding_topk": q_embedding_topk,
     # rows-only (non-SQL-expressible: heuristic / sketch / index ops)
     "langid_documents": q_langid_documents,
@@ -1088,6 +1161,7 @@ QUERIES = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "minhash_clusters_documents": q_minhash_clusters_documents,
     "multimodal_features": q_multimodal_features,
+    "multimodal_audio_features": q_multimodal_audio_features,
 }
 
 
@@ -1104,6 +1178,7 @@ _GOLDEN_QUERIES = [
     "minhash_clusters_documents",
     "fingerprint_documents",
     "multimodal_features",
+    "multimodal_audio_features",
     "embedding_ivf_topk",
 ]
 
@@ -1165,6 +1240,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "ngram_dedup_documents": _NGRAM_DEDUP_SQL,
         "nested_pages_stats": _NESTED_PAGES_SQL.format(path=_nested_pages_path(sf_dir)),
+        "training_data_prep": _TRAINING_PREP_SQL,
     }
 
 

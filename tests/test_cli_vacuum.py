@@ -73,3 +73,20 @@ def test_multi_table_lake(ray_session, tmp_path):
     assert LakeTable.exists(root, "pages") and LakeTable.exists(root, "pages_staging")
     with pytest.raises(FileExistsError):
         LakeTable.create(root, "pages", PAGE_SCHEMA, 4)
+
+
+def test_cli_compact_folds_chains(tmp_path):
+    binlog = str(tmp_path / "bl")
+    lake = str(tmp_path / "lake")
+    _run_cli("synth", "--out", binlog, "--events", "900", "--urls", "200", "--epochs", "3")
+    _run_cli("replay", "--binlog", binlog, "--lake", lake, "--buckets", "4")
+    t = LakeTable.load(lake, "pages")
+    assert any(e.get("deltas") for e in t.live_entries().values())  # chains exist
+    before = t.snapshot_table()
+    r = _run_cli("compact", "--lake", lake, "--buckets", "4")
+    assert r["buckets_compacted"] > 0
+    t2 = LakeTable.load(lake, "pages")
+    assert all(not e.get("deltas") for e in t2.live_entries().values())
+    assert t2.snapshot_table().equals(before)  # logical state unchanged
+    d = _run_cli("vacuum", "--lake", lake, "--retain", "1")
+    assert d["deleted_files"] > 0  # old chains reclaimed

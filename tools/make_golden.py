@@ -30,6 +30,7 @@ GOLDEN_QUERIES = [
     "minhash_clusters_documents",
     "fingerprint_documents",
     "multimodal_features",
+    "multimodal_audio_features",
     "embedding_ivf_topk",
 ]
 
