@@ -267,11 +267,72 @@ def minhash_candidate_pairs(ds, *, max_bucket: int = 64, threshold: float = 0.7,
     return pairs.groupby("pair_shard").map_groups(dedup_shard, batch_format="pandas")
 
 
+def assign_duplicate_clusters_ds(pairs_ds, rounds: int = 16):
+    """Distributed cluster assignment: min-label propagation over the pair
+    set as Ray Data groupbys — the scale path for web-size dup graphs.
+
+    Each round: every edge (and every node's self-edge) emits its current
+    endpoint labels to BOTH endpoints; ``groupby(node).min(label)`` gives
+    the next labels. The label table (nodes that appear in any near-dup
+    pair — tiny relative to the corpus) is broadcast via ``ray.put`` per
+    round; the edge set streams. Converges in O(diameter) rounds; dup
+    clusters are near-cliques from banded LSH, so diameter is small. Early
+    exit when a round changes nothing.
+    """
+    import ray
+
+    edges = pairs_ds.select_columns(["doc_a", "doc_b"])
+
+    # initial labels: every endpoint labels itself (distinct via groupby)
+    def init_labels(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([
+            t["doc_a"].combine_chunks().cast(t["doc_a"].type),
+            t["doc_b"].combine_chunks().cast(t["doc_b"].type),
+        ])
+        u = pc.unique(nodes)
+        return pa.table({"node": u, "label": u})
+
+    labels_t = pa.concat_tables(
+        ray.get(edges.map_batches(init_labels, batch_format="pyarrow").to_arrow_refs())
+    )
+    # dedupe nodes across blocks (label table is small by construction)
+    u = pc.unique(labels_t["node"].combine_chunks())
+    labels = dict(zip(u.to_pylist(), u.to_pylist()))
+
+    for _ in range(rounds):
+        lref = ray.put(labels)
+
+        def propagate(t: pa.Table) -> pa.Table:
+            lab = ray.get(lref)
+            a = t["doc_a"].to_pylist()
+            b = t["doc_b"].to_pylist()
+            la = [lab[x] for x in a]
+            lb = [lab[x] for x in b]
+            m = [x if x < y else y for x, y in zip(la, lb)]
+            return pa.table({"node": pa.array(a + b), "label": pa.array(m + m)})
+
+        new_min = (
+            edges.map_batches(propagate, batch_format="pyarrow")
+            .groupby("node")
+            .min("label")
+        )
+        changed = False
+        for blk in ray.get(new_min.to_arrow_refs()):
+            for n, l in zip(blk["node"].to_pylist(), blk["min(label)"].to_pylist()):
+                if l < labels[n]:
+                    labels[n] = l
+                    changed = True
+        if not changed:
+            break
+    return pd.DataFrame({"doc_id": list(labels), "cluster": [labels[d] for d in labels]})
+
+
 def assign_duplicate_clusters(pairs_df: pd.DataFrame, rounds: int = 8) -> pd.DataFrame:
     """doc -> cluster representative (min doc_id over connected component).
 
     Driver-side min-label propagation over the PAIR set (small relative to
-    the corpus; at larger scale run the same iteration as Ray groupbys)."""
+    the corpus); :func:`assign_duplicate_clusters_ds` is the distributed
+    groupby variant for web-scale pair graphs."""
     label: dict = {}
     edges = list(zip(pairs_df["doc_a"], pairs_df["doc_b"]))
     for a, b in edges:

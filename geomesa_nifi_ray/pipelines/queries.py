@@ -215,13 +215,8 @@ def q_cdc_enrich_tokens(sf_dir: str):
     ds = eng.table.snapshot_dataset(columns=["url", "text"])
 
     def stage(t: pa.Table) -> pa.Table:
-        import re
-
-        tok = re.compile(r"\S+")
-        texts = t["text"].to_pylist()
-        ws = pa.array([None if x is None else len(tok.findall(x)) for x in texts],
-                      type=pa.int64())
-        nc = pa.array([None if x is None else len(x) for x in texts], type=pa.int64())
+        ws = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        nc = pc.cast(pc.utf8_length(t["text"]), pa.int64())
         return pa.table({"url": t["url"], "ws_tokens": ws, "n_chars": nc})
 
     return ds.map_batches(stage, batch_format="pyarrow")
@@ -679,14 +674,8 @@ def q_token_stats_documents(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def stage(t: pa.Table) -> pa.Table:
-        import re
-
-        tok = re.compile(r"\S+")
-        texts = t["text"].to_pylist()
-        ws = pa.array(
-            [None if x is None else len(tok.findall(x)) for x in texts], type=pa.int64()
-        )
-        nc = pa.array([None if x is None else len(x) for x in texts], type=pa.int64())
+        ws = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        nc = pc.cast(pc.utf8_length(t["text"]), pa.int64())
         return pa.table({"doc_id": t["doc_id"], "ws_tokens": ws, "n_chars": nc})
 
     return ds.map_batches(stage, batch_format="pyarrow")
@@ -706,17 +695,8 @@ def q_quality_documents(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def stage(t: pa.Table) -> pa.Table:
-        import re
-
-        punct = re.compile(r"[.!?,;:]")
-        tok = re.compile(r"\S+")
-        texts = t["text"].to_pylist()
-        pc_ = pa.array(
-            [None if x is None else len(punct.findall(x)) for x in texts], type=pa.int64()
-        )
-        nt = pa.array(
-            [None if x is None else len(tok.findall(x)) for x in texts], type=pa.int64()
-        )
+        pc_ = pc.cast(pc.count_substring_regex(t["text"], r"[.!?,;:]"), pa.int64())
+        nt = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
         return pa.table({"doc_id": t["doc_id"], "punct_count": pc_, "n_tokens": nt})
 
     return ds.map_batches(stage, batch_format="pyarrow")
@@ -826,17 +806,12 @@ def q_training_data_prep(sf_dir: str):
     ds = dd.exact_dedup(ds, ["text"], "doc_id")
 
     def stage(t: pa.Table) -> pa.Table:
-        import re
-
-        tok = re.compile(r"\S+")
-        punct = re.compile(r"[.!?,;:]")
-        texts = t["text"].to_pylist()
-        ws = np.array([0 if x is None else len(tok.findall(x)) for x in texts],
-                      dtype=np.int64)
-        pn = np.array([0 if x is None else len(punct.findall(x)) for x in texts],
-                      dtype=np.int64)
-        t = t.append_column("ws_tokens", pa.array(ws))
-        t = t.append_column("punct_count", pa.array(pn))
+        ws_a = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        pn_a = pc.cast(pc.count_substring_regex(t["text"], r"[.!?,;:]"), pa.int64())
+        t = t.append_column("ws_tokens", ws_a)
+        t = t.append_column("punct_count", pn_a)
+        ws = ws_a.fill_null(0).to_numpy(zero_copy_only=False)
+        pn = pn_a.fill_null(0).to_numpy(zero_copy_only=False)
         keep = (ws >= 40) & (pn * 5 <= ws)  # >=40 tokens, punct density <= 20%
         return t.filter(pa.array(keep)).select(
             ["doc_id", "ws_tokens", "punct_count", "n_chars", "lang"]
@@ -1039,13 +1014,14 @@ SELECT doc_a, doc_b, jaccard FROM (
 
 def q_minhash_clusters_documents(sf_dir: str):
     """Near-dup cluster assignment: MinHash-LSH pairs -> connected
-    components (min-label propagation over the pair set)."""
+    components via DISTRIBUTED min-label propagation (groupby rounds over
+    the pair set; the label table, not the corpus, is the only broadcast)."""
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
                                override_num_blocks=_DOC_BLOCKS)
-    pairs = dd.minhash_candidate_pairs(ds, threshold=0.8).to_pandas()
-    return dd.assign_duplicate_clusters(pairs)
+    pairs = dd.minhash_candidate_pairs(ds, threshold=0.8)
+    return dd.assign_duplicate_clusters_ds(pairs)
 
 
 def q_multimodal_features(sf_dir: str):

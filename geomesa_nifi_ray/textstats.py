@@ -109,12 +109,15 @@ class QualityStage:
 
 
 def add_token_counts(ds, text_col: str = "text"):
-    """Whitespace + BPE-ish token counts per document."""
+    """Whitespace + BPE-ish token counts per document — pure Arrow RE2
+    kernels (`pc.count_substring_regex`), no Python row loop."""
 
     def stage(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        ws = pa.array([whitespace_token_count(t) for t in texts], type=pa.int64())
-        bp = pa.array([bpe_token_count(t) for t in texts], type=pa.int64())
+        ws = pc.cast(pc.count_substring_regex(batch[text_col], r"\S+"), pa.int64())
+        bp = pc.cast(
+            pc.count_substring_regex(batch[text_col], r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"),
+            pa.int64(),
+        )
         return batch.append_column("ws_tokens", ws).append_column("bpe_tokens", bp)
 
     return ds.map_batches(stage, batch_format="pyarrow")

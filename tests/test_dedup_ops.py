@@ -126,3 +126,30 @@ def test_embedding_neardup_and_lsh(ray_session):
     if len(lsh):
         approx = {tuple(sorted((a, b))) for a, b in zip(lsh.doc_a, lsh.doc_b)}
         assert approx <= got  # LSH returns a subset of the exact pairs
+
+
+def test_distributed_clusters_match_driver_version(ray_session):
+    import ray.data
+
+    pairs = pd.DataFrame(
+        {"doc_a": [1, 2, 5, 7, 10], "doc_b": [2, 3, 6, 8, 11], "est_jaccard": [1.0] * 5}
+    )
+    want = dd.assign_duplicate_clusters(pairs)
+    got = dd.assign_duplicate_clusters_ds(ray.data.from_pandas(pairs))
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    assert list(w["doc_id"]) == list(g["doc_id"])
+    assert list(w["cluster"]) == list(g["cluster"])
+    # components: {1,2,3}->1, {5,6}->5, {7,8}->7, {10,11}->10
+    by = dict(zip(g["doc_id"], g["cluster"]))
+    assert by[3] == 1 and by[6] == 5 and by[8] == 7 and by[11] == 10
+
+
+def test_distributed_clusters_long_chain(ray_session):
+    import ray.data
+
+    # a 12-node path graph needs multiple propagation rounds
+    pairs = pd.DataFrame({"doc_a": list(range(11)), "doc_b": list(range(1, 12)),
+                          "est_jaccard": [1.0] * 11})
+    got = dd.assign_duplicate_clusters_ds(ray.data.from_pandas(pairs))
+    assert set(got["cluster"]) == {0} and len(got) == 12
