@@ -140,3 +140,16 @@ def test_late_exchange_catchup_and_resume(ray_session, tmp_path, binlog):
     eng2 = CDCEngine(str(tmp_path / "lk_lc"), num_buckets=8)
     eng2.replay_binlog(binlog, catchup=True, exchange="late")
     assert eng2.table.snapshot_table().equals(ref.table.snapshot_table())
+
+
+def test_delta_snapshot_dataset_column_pruned(ray_session, tmp_path, binlog):
+    """Column-pruned snapshot reads work over delta chains (the merge pulls
+    in key+order internally, output carries only the asked columns)."""
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=8, max_deltas=10)
+    eng.replay_binlog(binlog)
+    assert any(e.get("deltas") for e in eng.table.live_entries().values())
+    df = eng.table.snapshot_dataset(columns=["url", "lang"]).to_pandas()
+    full = eng.table.snapshot_table()
+    assert sorted(df.columns) == ["lang", "url"]
+    assert len(df) == full.num_rows
+    assert sorted(df["url"]) == sorted(full["url"].to_pylist())

@@ -89,3 +89,96 @@ def test_update_merge_is_superset_and_projection_total(stored_names, incoming_na
     t = pa.table({n: ["x"] for n in incoming_names})
     out = project_to_schema(t, r.schema)
     assert out.schema.names == r.schema.names and out.num_rows == 1
+
+
+# ---- round-2 kernels -------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=0, max_size=200),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_rolling_window_hash_matches_naive(vals, k):
+    """Vectorized prefix-trick window hash == naive per-window recompute."""
+    from geomesa_nifi_ray.text import _POLY_BASE, rolling_window_hashes
+
+    arr = np.array(vals, dtype=np.uint64)
+    got = rolling_window_hashes(arr, k)
+
+    def naive_window(window):
+        h = np.uint64(0)
+        p = np.uint64(1)
+        with np.errstate(over="ignore"):
+            for v in window:
+                h = h + np.uint64(v) * p
+                p = p * _POLY_BASE
+        return h
+
+    if len(arr) == 0:
+        assert got.tolist() == [0]
+    elif len(arr) <= k:
+        assert got.tolist() == [int(naive_window(arr))]
+    else:
+        want = [int(naive_window(arr[i : i + k])) for i in range(len(arr) - k + 1)]
+        assert got.tolist() == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-5, 5), st.integers(-5, 5), st.integers(-5, 5),
+                  st.integers(-5, 5)),
+        min_size=1, max_size=50,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_lex_ge_matches_tuple_compare(rows):
+    from geomesa_nifi_ray.upsert import lex_ge
+
+    a1 = np.array([r[0] for r in rows]); a2 = np.array([r[1] for r in rows])
+    b1 = np.array([r[2] for r in rows]); b2 = np.array([r[3] for r in rows])
+    got = lex_ge([a1, a2], [b1, b2])
+    want = [(x1, x2) >= (y1, y2) for x1, x2, y1, y2 in rows]
+    assert got.tolist() == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(max_size=8)),
+            st.one_of(st.none(), st.integers(-2**40, 2**40)),
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                           width=32)),
+            st.one_of(st.none(), st.binary(max_size=16)),
+            st.one_of(st.none(), st.lists(st.text(max_size=4), max_size=3)),
+        ),
+        min_size=0, max_size=30,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_avro_roundtrip_property(rows):
+    """Arbitrary nullable scalar/list rows survive the Avro codec exactly."""
+    import os
+    import tempfile
+
+    from geomesa_nifi_ray.avro_io import read_avro, write_avro
+
+    t = pa.table(
+        {
+            "s": pa.array([r[0] for r in rows], type=pa.string()),
+            "i": pa.array([r[1] for r in rows], type=pa.int64()),
+            "f": pa.array([r[2] for r in rows], type=pa.float32()),
+            "b": pa.array([r[3] for r in rows], type=pa.binary()),
+            "l": pa.array([r[4] for r in rows], type=pa.list_(pa.string())),
+        }
+    )
+    fd, path = tempfile.mkstemp(suffix=".avro")
+    os.close(fd)
+    try:
+        write_avro(t, path)
+        back = read_avro(path)
+        assert back.num_rows == t.num_rows
+        for c in t.column_names:
+            assert back[c].to_pylist() == t[c].to_pylist(), c
+    finally:
+        os.unlink(path)
