@@ -293,7 +293,8 @@ def assign_duplicate_clusters_ds(pairs_ds, rounds: int = 16):
         return pa.table({"node": u, "label": u})
 
     labels_t = pa.concat_tables(
-        ray.get(edges.map_batches(init_labels, batch_format="pyarrow").to_arrow_refs())
+        list(edges.map_batches(init_labels, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow"))
     )
     # dedupe nodes across blocks (label table is small by construction)
     u = pc.unique(labels_t["node"].combine_chunks())
@@ -317,7 +318,9 @@ def assign_duplicate_clusters_ds(pairs_ds, rounds: int = 16):
             .min("label")
         )
         changed = False
-        for blk in ray.get(new_min.to_arrow_refs()):
+        # iter_batches normalizes block formats (groupby aggregates may
+        # come back as pandas blocks); the label table is tiny by design
+        for blk in new_min.iter_batches(batch_format="pyarrow"):
             for n, l in zip(blk["node"].to_pylist(), blk["min(label)"].to_pylist()):
                 if l < labels[n]:
                     labels[n] = l

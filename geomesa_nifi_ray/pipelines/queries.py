@@ -70,7 +70,9 @@ def _lake_key(meta: dict) -> str:
 
     from geomesa_nifi_ray.text import TEXT_KERNEL_VERSION
 
-    payload = json.dumps([meta["spec"], TEXT_KERNEL_VERSION], sort_keys=True)
+    # LAYOUT v2: delta-file chains + epoch_file manifest entries (round 2);
+    # bumping the key rebuilds cached lakes instead of trusting forward-compat
+    payload = json.dumps([meta["spec"], TEXT_KERNEL_VERSION, "layout-v2"], sort_keys=True)
     return hashlib.md5(payload.encode()).hexdigest()[:10]
 
 
@@ -919,16 +921,18 @@ SELECT query_id, vec_id FROM (
 def q_langid_documents(sf_dir: str):
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=2)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                               override_num_blocks=_DOC_BLOCKS)
+    out = ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 8))
     return out.select_columns(["doc_id", "lang_pred"])
 
 
 def q_quality_score_documents(sf_dir: str):
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(QualityStage, batch_format="pyarrow", concurrency=2)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                               override_num_blocks=_DOC_BLOCKS)
+    out = ds.map_batches(QualityStage, batch_format="pyarrow", concurrency=(1, 8))
     return out.select_columns(["doc_id", "quality_score", "stopword_ratio", "alpha_ratio"])
 
 
