@@ -19,7 +19,6 @@ union-find over the full corpus.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd

@@ -303,43 +303,42 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
 
 def run_late_exchange(converted_mat, merge_bucket, key: str, order: list[str],
                       num_buckets: int) -> list[dict]:
-    """Late-materialized keyed exchange (the 100 TB shuffle design):
+    """Late-materialized keyed exchange (the 100 TB shuffle design).
 
     The sort-based exchange ships every change row's full payload (html!)
-    through two all-to-all copies; at 10M events that is ~20 GB of memcpy
-    through the object store and it saturates a node's memory bandwidth
-    long before its cores. But LWW only needs the *keys* to pick winners —
-    so:
+    across the cluster; but LWW only needs the *keys* to pick winners. Three
+    rounds, each moving the minimum possible bytes:
 
-      phase 1 (split):  one task per converted block emits P tiny key
-                        slices ``(key, order…, bucket, _dead, _block,
-                        _row)`` — ~40 bytes/row instead of ~2 KB;
-      phase 2 (reduce): one task per bucket concatenates its key slices
-                        (deterministic block order), runs LWW against the
-                        stored minimal columns, fetches ONLY the winning
-                        rows from the materialized blocks (plasma reads
-                        are zero-copy on-node; cross-node each block ships
-                        to a node at most once), and runs the normal
-                        per-bucket merge/write.
+      1. **split** — one task per converted block emits a bucket-sorted KEY
+         table ``(key, order…, bucket, _dead, _block, _row)``: ~40 B/row
+         instead of ~2 KB. (One return object per block: per-bucket
+         multi-returns push blocks×P objects through the driver's result
+         path, which serializes the exchange.)
+      2. **select** — one task per bucket concatenates its key slices
+         (deterministic block order) and runs LWW; returns just the winning
+         ``(_block, _row, bucket)`` ids. Only keys ever cross nodes here.
+      3. **extract + merge** — one task per BLOCK takes its own winners out
+         (runs node-local: Ray schedules it where the block lives, so the
+         payload never moves whole); one task per bucket concatenates the
+         winner-row slices (tiny) and runs the normal per-bucket merge.
 
-    Exchange volume becomes O(keys) + O(winner payloads) — proportional to
-    the deduped output, not the input. Dataset groupby cannot express this
-    (no late materialization), hence raw Ray tasks; determinism and
-    idempotence are unchanged (winner selection is a pure function of the
-    block list, and writes stay deterministic tmp+rename).
+    Cluster network traffic = O(keys) + O(winner payloads) — proportional
+    to the deduped output, not the input. (An earlier 2-round version had
+    bucket tasks ray.get whole blocks, which on a multi-node cluster pulls
+    every block to every node — input × nodes, WORSE than the sort
+    exchange; the extract round is what makes the design real.) Dataset
+    groupby cannot express late materialization, hence raw Ray tasks;
+    determinism and idempotence are unchanged: winner selection is a pure
+    function of the deterministic block list, and writes stay
+    deterministic tmp+rename.
     """
     import numpy as np
     import ray
 
     refs = converted_mat.to_arrow_refs()
-    refs_handle = ray.put(refs)
 
     @ray.remote
     def split_keys(block: pa.Table, block_id: int) -> pa.Table:
-        """One bucket-sorted key table per block (a SINGLE return object:
-        per-bucket multi-returns put 200×P objects through the driver's
-        result path, which serializes the whole exchange). Consumers slice
-        their bucket range with two searchsorteds — zero-copy."""
         cols = [key] + order + ["bucket", "_dead"]
         kt = block.select(cols)
         kt = kt.append_column(
@@ -355,7 +354,8 @@ def run_late_exchange(converted_mat, merge_bucket, key: str, order: list[str],
     slices = [split_keys.remote(r, i) for i, r in enumerate(refs)]
 
     @ray.remote
-    def bucket_task(bucket: int, key_table_refs, refs_handle):
+    def select_winners(bucket: int, key_table_refs) -> pa.Table | None:
+        """Keys-only LWW for one bucket -> winning (_block, _row) ids."""
         from geomesa_nifi_ray.upsert import lww_indices
 
         import numpy as np
@@ -371,35 +371,70 @@ def run_late_exchange(converted_mat, merge_bucket, key: str, order: list[str],
         if not parts:
             return None
         kt = pa.concat_tables(parts)
-        if kt.num_rows == 0:
-            return None
         dead_mask = pc.equal(kt["_dead"], pa.scalar(1, pa.int8()))
         good = kt.filter(pc.invert(dead_mask))
         dead = kt.filter(dead_mask)
         wanted = []
         if good.num_rows:
-            win = lww_indices(good, key, order)   # per-key winners (keys only)
+            win = lww_indices(good, key, order)
             wanted.append(good.take(pa.array(np.sort(win))))
         if dead.num_rows:
             wanted.append(dead)                   # dead skeletons: counted by merge
-        sel = pa.concat_tables(wanted)
-        blocks = sel["_block"].to_numpy(zero_copy_only=False)
-        rows = sel["_row"].to_numpy(zero_copy_only=False)
-        order_idx = np.lexsort((rows, blocks))    # deterministic fetch order
-        blocks, rows = blocks[order_idx], rows[order_idx]
-        # refs_handle (a top-level ObjectRef arg) was auto-resolved to the
-        # list; its ELEMENTS stay ObjectRefs — fetched per needed block only
-        all_refs = refs_handle
-        fetched = []
-        for b in np.unique(blocks):
-            blk = _ray.get(all_refs[int(b)])      # zero-copy plasma read
-            fetched.append(blk.take(pa.array(rows[blocks == b])))
-        group = pa.concat_tables(fetched)
-        return merge_bucket(group)
+        sel = pa.concat_tables(wanted).select(["_block", "_row"])
+        return sel.append_column(
+            "bucket", pa.array(np.full(sel.num_rows, bucket, dtype=np.int32))
+        )
 
-    per_bucket = [
-        bucket_task.remote(b, slices, refs_handle) for b in range(num_buckets)
-    ]
+    winner_ids = [select_winners.remote(b, slices) for b in range(num_buckets)]
+
+    @ray.remote
+    def extract_block(block: pa.Table, block_id: int, winner_refs) -> pa.Table:
+        """Node-local payload extraction: take this block's winning rows
+        (across all buckets) in one pass; output sorted by (bucket, _row)
+        so merge tasks slice their range with searchsorted."""
+        import numpy as np
+        import ray as _ray
+
+        picks = []
+        for w in _ray.get(list(winner_refs)):
+            if w is None:
+                continue
+            wb = w["_block"].to_numpy(zero_copy_only=False)
+            m = wb == block_id
+            if m.any():
+                picks.append(
+                    pa.table({"_row": w["_row"].filter(pa.array(m)),
+                              "b": w["bucket"].filter(pa.array(m))})
+                )
+        if not picks:
+            return block.schema.empty_table()
+        sel = pa.concat_tables(picks)
+        rows = sel["_row"].to_numpy(zero_copy_only=False)
+        bks = sel["b"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((rows, bks))
+        return block.take(pa.array(rows[o]))
+
+    extracts = [extract_block.remote(r, i, winner_ids) for i, r in enumerate(refs)]
+
+    @ray.remote
+    def merge_task(bucket: int, extract_refs):
+        import numpy as np
+        import ray as _ray
+
+        parts = []
+        for p in _ray.get(list(extract_refs)):   # winner payloads only (tiny)
+            if p.num_rows == 0:
+                continue
+            bl = p["bucket"].to_numpy(zero_copy_only=False)
+            lo = int(np.searchsorted(bl, bucket, side="left"))
+            hi = int(np.searchsorted(bl, bucket, side="right"))
+            if hi > lo:
+                parts.append(p.slice(lo, hi - lo))
+        if not parts:
+            return None
+        return merge_bucket(pa.concat_tables(parts))
+
+    per_bucket = [merge_task.remote(b, extracts) for b in range(num_buckets)]
     out = []
     for r in ray.get(per_bucket):
         if r is not None:

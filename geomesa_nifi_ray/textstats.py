@@ -9,11 +9,10 @@ from __future__ import annotations
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from geomesa_nifi_ray.text import bpe_token_count, fingerprints_np, whitespace_token_count
+from geomesa_nifi_ray.text import fingerprints_np
 
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it", "with", "was", "on"},
