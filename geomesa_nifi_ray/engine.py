@@ -175,6 +175,71 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str, order:
     return convert
 
 
+def make_generic_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
+                            order: list[str], hash_cols: list[str] | None = None):
+    """Payload-agnostic convert kernel for NON-page tables: dead-letter rows
+    with null key/order columns, project to the stored schema, md5 content
+    hash over ``hash_cols`` (default: key + order), crc32 bucket, per-batch
+    partial LWW. Lets the same CDC engine (schema evolution, delta merges,
+    exactly-once commit) run over any keyed table — the engine's converter
+    stage is pluggable via ``CDCEngine(convert_fn_factory=...)`` exactly
+    like the reference swaps converter configs per processor."""
+    import hashlib as _hashlib
+
+    from geomesa_nifi_ray.hashing import bucket_ids
+
+    hash_cols = list(hash_cols or [key] + order)
+    pre_hash_schema = pa.schema([f for f in stored_schema if f.name != "content_hash"])
+    out_cols = [f.name for f in stored_schema] + ["bucket", "_dead"]
+
+    def convert(batch: pa.Table) -> pa.Table:
+        valid = pc.is_valid(batch[key])
+        for c in order:
+            valid = pc.and_(valid, pc.is_valid(batch[c]))
+        good = batch.filter(valid)
+        dead = batch.filter(pc.invert(valid))
+        parts = []
+        if good.num_rows:
+            good = project_to_schema(good, pre_hash_schema)
+            joined = [
+                pc.cast(pc.cast(good[c], pa.string()), pa.string()) for c in hash_cols
+            ]
+            concat = pc.binary_join_element_wise(*joined, "\x1f") if len(joined) > 1 else joined[0]
+            hashes = [
+                None if v is None else _hashlib.md5(v.encode()).hexdigest()
+                for v in concat.to_pylist()
+            ]
+            good = good.append_column("content_hash", pa.array(hashes, type=pa.string()))
+            keys = [str(k) for k in good[key].to_pylist()]
+            good = good.append_column(
+                "bucket", pa.array(bucket_ids(keys, num_buckets), type=pa.int32())
+            )
+            good = lww_dedupe(good, key, order)
+            good = good.append_column(
+                "_dead", pa.nulls(good.num_rows, pa.int8()).fill_null(0)
+            )
+            parts.append(good.select(out_cols))
+        if dead.num_rows:
+            import numpy as np
+
+            keys = [str(k) if k is not None else "" for k in dead[key].to_pylist()]
+            skel = project_to_schema(dead, stored_schema)
+            skel = skel.append_column(
+                "bucket", pa.array(bucket_ids(keys, num_buckets), type=pa.int32())
+            )
+            skel = skel.append_column(
+                "_dead", pa.array(np.ones(len(keys), dtype=np.int8))
+            )
+            parts.append(skel.select(out_cols))
+        if not parts:
+            out = stored_schema.empty_table()
+            out = out.append_column("bucket", pa.array([], type=pa.int32()))
+            return out.append_column("_dead", pa.array([], type=pa.int8()))
+        return pa.concat_tables(parts)
+
+    return convert
+
+
 def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
                        mode: str = "upsert", max_deltas: int = 4, sink=None):
     """Per-bucket merge task run inside ``groupby('bucket').map_groups``.
@@ -458,6 +523,9 @@ class CDCEngine:
         schema: pa.Schema = PAGE_SCHEMA,
         max_deltas: int = 4,
         sink_factory=None,
+        convert_fn_factory=None,
+        key: str = "url",
+        order: tuple[str, ...] = ("warc_ts", "offset"),
     ):
         """``sink_factory(table: LakeTable) -> Sink`` plugs an alternate
         data-plane backend (the DataStoreService SPI analog); default is the
@@ -467,10 +535,12 @@ class CDCEngine:
         self.table_name = table_name
         self.compatibility = compatibility
         self.max_deltas = max_deltas
+        self.convert_fn_factory = convert_fn_factory or make_convert_fn
         if LakeTable.exists(lake_root, table_name):
             self.table = LakeTable.load(lake_root, table_name)
         else:
-            self.table = LakeTable.create(lake_root, table_name, schema, num_buckets)
+            self.table = LakeTable.create(lake_root, table_name, schema, num_buckets,
+                                          key=key, order=order)
         if sink_factory is None:
             from geomesa_nifi_ray.sinks import ParquetLakeSink
 
@@ -566,7 +636,7 @@ class CDCEngine:
             # epoch's exchange ran
             converted = _converted
         else:
-            convert = make_convert_fn(
+            convert = self.convert_fn_factory(
                 stored_schema, self.table.num_buckets, self.table.key, self.table.order
             )
             converted = ds.map_batches(convert, batch_format="pyarrow", batch_size=batch_size)
@@ -922,7 +992,7 @@ class CDCEngine:
             plans.append((e, files, stored))
 
         def build(files: list[str], schema: pa.Schema):
-            convert = make_convert_fn(schema, num_buckets, key, order)
+            convert = self.convert_fn_factory(schema, num_buckets, key, order)
             return ray.data.read_parquet(files).map_batches(
                 convert, batch_format="pyarrow", batch_size=batch_size
             )
