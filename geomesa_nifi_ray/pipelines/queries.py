@@ -383,6 +383,61 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_sliding_window(sf_dir: str):
+    """SLIDING window aggregate (1 h window, 15 min slide): each event
+    expands to the W/S windows containing it — a vectorized numpy
+    repeat/tile flat-map inside ``map_batches`` — then one groupby. The
+    third streaming-window shape next to tumbling (events_windowed) and
+    session (events_sessionized) windows."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    W, S = 3_600_000_000, 900_000_000  # 1 h window, 15 min slide (us)
+    k = W // S
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        last = (ts // S) * S
+        starts = (last[:, None] - np.arange(k - 1, -1, -1)[None, :] * S).reshape(-1)
+        idx = np.repeat(np.arange(len(ts)), k)
+        return pa.table(
+            {
+                "event_type": t["event_type"].take(pa.array(idx)),
+                "value": t["value"].take(pa.array(idx)),
+                "window_start": pa.array(starts, type=pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+_EVENTS_SLIDING_SQL = """
+WITH expanded AS (
+  SELECT event_type, value,
+         unnest(generate_series(
+            CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) * 900000000
+              - 3600000000 + 900000000,
+            CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) * 900000000,
+            900000000)) AS window_start
+  FROM events
+)
+SELECT event_type, window_start, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM expanded GROUP BY 1, 2
+"""
+
+
 def q_lww_latest_events(sf_dir: str):
     """LWW operator parity on the events view: latest event per user by
     (ts, event_id) — per-batch combiner + per-key final reduce."""
@@ -1113,6 +1168,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customer_orders": q_top_customer_orders,
     "events_windowed": q_events_windowed,
+    "events_sliding_window": q_events_sliding_window,
     "lww_latest_events": q_lww_latest_events,
     "upsert_events": q_upsert_events,
     "convert_events_typed": q_convert_events_typed,
@@ -1203,6 +1259,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "pricing_summary": _PRICING_SQL,
         "top_customer_orders": _TOP_CUSTOMER_SQL,
         "events_windowed": _EVENTS_WINDOWED_SQL,
+        "events_sliding_window": _EVENTS_SLIDING_SQL,
         "lww_latest_events": _LWW_EVENTS_SQL,
         "upsert_events": _UPSERT_EVENTS_SQL,
         "convert_events_typed": _CONVERT_EVENTS_SQL,

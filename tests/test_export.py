@@ -93,3 +93,25 @@ def test_invalid_format(ds, tmp_path):
         export_dataset(ds, str(tmp_path / "x"), "shapefile")
     with pytest.raises(ValueError):
         export_dataset(ds, str(tmp_path / "x"), "parquet", gzip=True)
+
+
+def test_egress_epoch_avro(ray_session, tmp_path):
+    """Change-stream egress to Avro shards (GeoAvro writer parity) reads
+    back through the pure-Python codec with the rows intact."""
+    from geomesa_nifi_ray.engine import CDCEngine
+    from geomesa_nifi_ray.export import egress_epoch
+    from geomesa_nifi_ray.sources import read_avro_files
+    from geomesa_nifi_ray.synth import BinlogSpec, write_binlog
+
+    bl = write_binlog(str(tmp_path / "bl"),
+                      BinlogSpec(num_events=400, num_urls=100, num_epochs=2))
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=4)
+    eng.replay_binlog(bl)
+    out = str(tmp_path / "eg")
+    lineage = egress_epoch(eng.table, 1, out, format="avro",
+                           columns=["url", "warc_ts", "text", "offset"]).to_pandas()
+    assert lineage["rows"].sum() > 0
+    back = read_avro_files([p for p in lineage["path"]]).to_pandas()
+    want = eng.table.epoch_changes_dataset(1).to_pandas()
+    assert sorted(back["url"]) == sorted(want["url"])
+    assert sorted(back["offset"]) == sorted(want["offset"])

