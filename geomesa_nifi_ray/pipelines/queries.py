@@ -438,6 +438,41 @@ FROM expanded GROUP BY 1, 2
 """
 
 
+def q_events_asof_join(sf_dir: str):
+    """As-of join (an operator Ray Data lacks — composed per SURVEY §2.4's
+    co-partition guidance): every event joined to the user's most recent
+    'signup' event at-or-before it; one groupby(user_id) shuffle, sorted
+    searchsorted merge inside the group. DuckDB ASOF JOIN is the oracle."""
+    import ray.data
+
+    from geomesa_nifi_ray.joins import asof_join
+
+    left = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["event_id", "user_id", "ts"])
+    right = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                  columns=["user_id", "ts", "event_type"])
+    right = right.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("signup")))
+                   .select(["user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    out = asof_join(left, right, by="user_id", on="ts", value_cols=["ts"],
+                    suffix="_signup")
+    return out.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                            "ts": t["ts"], "last_signup_ts": t["ts_signup"]}),
+        batch_format="pyarrow",
+    )
+
+
+_EVENTS_ASOF_SQL = """
+SELECT l.event_id, l.user_id, l.ts, r.ts AS last_signup_ts
+FROM events l
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_lww_latest_events(sf_dir: str):
     """LWW operator parity on the events view: latest event per user by
     (ts, event_id) — per-batch combiner + per-key final reduce."""
@@ -1169,6 +1204,7 @@ QUERIES = {
     "top_customer_orders": q_top_customer_orders,
     "events_windowed": q_events_windowed,
     "events_sliding_window": q_events_sliding_window,
+    "events_asof_join": q_events_asof_join,
     "lww_latest_events": q_lww_latest_events,
     "upsert_events": q_upsert_events,
     "convert_events_typed": q_convert_events_typed,
@@ -1260,6 +1296,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "top_customer_orders": _TOP_CUSTOMER_SQL,
         "events_windowed": _EVENTS_WINDOWED_SQL,
         "events_sliding_window": _EVENTS_SLIDING_SQL,
+        "events_asof_join": _EVENTS_ASOF_SQL,
         "lww_latest_events": _LWW_EVENTS_SQL,
         "upsert_events": _UPSERT_EVENTS_SQL,
         "convert_events_typed": _CONVERT_EVENTS_SQL,

@@ -105,3 +105,35 @@ def test_merge_upsert_empty_base():
     changes = _tbl([("a", 10, 0, "x"), ("a", 20, 1, "y")])
     out = merge_upsert(None, changes, "url", ORDER)
     assert out["val"].to_pylist() == ["y"]
+
+
+def test_asof_join_semantics(ray_session):
+    """asof_join: latest right row at-or-before each left row, inclusive
+    ties, nulls for unmatched, keys isolated."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from geomesa_nifi_ray.joins import asof_join
+
+    def ts(s):
+        return pd.Timestamp(s)
+
+    left = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "user_id": pa.array([7, 7, 7, 9], type=pa.int64()),
+        "ts": pa.array([ts("2026-01-01"), ts("2026-01-03"), ts("2026-01-05"),
+                        ts("2026-01-02")], type=pa.timestamp("us")),
+    })
+    right = pa.table({
+        "user_id": pa.array([7, 7, 9], type=pa.int64()),
+        "ts": pa.array([ts("2026-01-02"), ts("2026-01-05"), ts("2026-01-04")],
+                       type=pa.timestamp("us")),
+    })
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    by="user_id", on="ts", value_cols=["ts"], suffix="_m").to_pandas()
+    got = dict(zip(out["event_id"], out["ts_m"]))
+    assert pd.isna(got[1])                      # before any right row
+    assert got[2] == ts("2026-01-02")           # latest at-or-before
+    assert got[3] == ts("2026-01-05")           # inclusive tie
+    assert pd.isna(got[4])                      # other key's right rows invisible
