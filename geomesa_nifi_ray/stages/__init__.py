@@ -14,13 +14,22 @@ behavior it re-expresses):
 """
 
 from geomesa_nifi_ray.dedup import MinHashStage, SimHashStage
-from geomesa_nifi_ray.engine import make_bucket_merger, make_convert_fn
+from geomesa_nifi_ray.engine import (
+    make_bucket_merger,
+    make_convert_fn,
+    make_generic_convert_fn,
+    run_late_exchange,
+)
+from geomesa_nifi_ray.joins import asof_join
 from geomesa_nifi_ray.multimodal import AudioFeatureStage, FrameSampleStage, ImageDecodeStage
 from geomesa_nifi_ray.textstats import LangIdStage, QualityStage
 
 __all__ = [
     "make_convert_fn",
+    "make_generic_convert_fn",
     "make_bucket_merger",
+    "run_late_exchange",
+    "asof_join",
     "MinHashStage",
     "SimHashStage",
     "LangIdStage",
