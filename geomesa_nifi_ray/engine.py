@@ -674,8 +674,35 @@ class CDCEngine:
         # payload) — and it requires the epoch's converted blocks to fit
         # the object store (they spill and thrash otherwise).
         large_epoch = rows_in > 2 * batch_size * self.table.num_buckets
+        tiny_epoch = rows_in <= 2 * batch_size
         use_late = exchange == "late" and mode == "upsert" and not salted_reduce
-        if use_late:
+        if tiny_epoch and exchange is None and not salted_reduce:
+            # Steady-state tail epochs are small; Ray's sort shuffle has ~1 s
+            # of fixed machinery that dwarfs the work. One task takes the
+            # whole (tiny) epoch, groups by bucket in-memory and runs the
+            # same per-bucket merges serially — identical results, minimal
+            # latency per commit.
+            import numpy as np
+
+            def merge_all(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return pa.table({})
+                b = t["bucket"].to_numpy(zero_copy_only=False)
+                idx = np.argsort(b, kind="stable")
+                t = t.take(pa.array(idx))
+                bs = b[idx]
+                bounds = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1], True])
+                outs = []
+                for s0, s1 in zip(bounds[:-1], bounds[1:]):
+                    outs.append(merger(t.slice(s0, s1 - s0)))
+                return pa.concat_tables(outs)
+
+            lineage_ds = converted.repartition(1).map_batches(
+                merge_all, batch_format="pyarrow", batch_size=None
+            )
+            lineage = [r for r in lineage_ds.take_all() if r.get("bucket") is not None]
+            self.last_stats = lineage_ds.stats()
+        elif use_late:
             mat = converted.materialize()
             self.last_stats = mat.stats()
             lineage = run_late_exchange(
