@@ -10,15 +10,29 @@ Crash before commit => the epoch replays idempotently (deterministic bucket
 files at deterministic paths), which upgrades the reference's
 at-least-once + content-hash-idempotence into exactly-once.
 
-Pipeline per epoch (all stages stream with backpressure; nothing
-materializes the full input):
+Pipeline per epoch:
 
     read_parquet(epoch slice, pruned columns)
       -> map_batches(convert, batch_format="pyarrow")   # html->text kernel,
              schema projection, content-hash, bucket, per-batch partial LWW
-      -> groupby("bucket").map_groups(bucket_merger)    # THE one shuffle:
-             co-partition changes with the lake layout (SURVEY.md §7.4)
+      -> bucket exchange (one of three, identical results)
+      -> per-bucket merge (delta write or compaction, through the Sink SPI)
       -> tiny lineage table -> manifest commit on the driver
+
+Exchange strategies (equivalence tested manifest-for-manifest):
+
+- **sort** (default): Dataset ``groupby("bucket")`` — streaming,
+  spill-capable, fastest single-node (plasma is near-zero-copy);
+- **late** (``exchange="late"``): keys-only shuffle -> per-bucket LWW
+  winner selection -> node-local payload extraction -> merge; cluster
+  network ∝ deduped output, the multi-node configuration
+  (:func:`run_late_exchange`);
+- **tiny** (auto, ≤2×batch_size rows): one task grouping the whole epoch
+  in-memory — the steady-state tail cadence skips shuffle machinery.
+
+Steady-state writes are delta files (winners only) with compaction at
+``max_deltas``; sequential replay prefetches the next epoch's convert on a
+background thread (:meth:`CDCEngine._replay_pipelined`).
 
 Skew: the per-batch partial LWW inside convert collapses hot-url
 duplicates before the shuffle (combiner pattern), so a url with 10^6
