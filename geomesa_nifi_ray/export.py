@@ -11,13 +11,31 @@ success counting (``ConvertToGeoFile.scala:166-181``).
 from __future__ import annotations
 
 import gzip as _gzip
+import hashlib
 import io
 import os
-import uuid
 
 import pyarrow as pa
 import pyarrow.csv as pacsv
 import pyarrow.ipc as paipc
+
+
+def _shard_key(batch: pa.Table) -> str:
+    """Content-deterministic shard name: a re-run of the same export writes
+    the same shard files (tmp+rename overwrite), so exports are resumable /
+    idempotent instead of accumulating uuid-named duplicates."""
+    h = hashlib.md5()
+    h.update(str(batch.schema.names).encode())
+    h.update(str(batch.num_rows).encode())
+    for col in batch.column_names:
+        chunk = batch[col]
+        if isinstance(chunk, pa.ChunkedArray):
+            chunk = chunk.combine_chunks()
+        # hash a deterministic sample of the column's string form (full
+        # hashing would double-encode large payloads for little benefit)
+        vals = chunk.slice(0, min(64, len(chunk))).to_pylist()
+        h.update(repr(vals).encode("utf-8", "replace"))
+    return h.hexdigest()[:20]
 
 FORMATS = ("parquet", "csv", "tsv", "jsonl", "arrow", "avro")
 
@@ -62,7 +80,7 @@ def export_dataset(ds, out_dir: str, format: str = "parquet", gzip: bool = False
         from geomesa_nifi_ray.avro_io import write_avro
 
         def write_avro_shard(batch: pa.Table) -> pa.Table:
-            name = f"shard-{uuid.uuid4().hex}.avro"
+            name = f"shard-{_shard_key(batch)}.avro"
             path = os.path.join(out_dir, name)
             write_avro(batch, path)
             return pa.table(
@@ -91,8 +109,8 @@ def export_dataset(ds, out_dir: str, format: str = "parquet", gzip: bool = False
                 w.write_table(batch)
         data = buf.getvalue()
         if gzip:
-            data = _gzip.compress(data, compresslevel=6)
-        name = f"shard-{uuid.uuid4().hex}.{ext}" + (".gz" if gzip else "")
+            data = _gzip.compress(data, compresslevel=6, mtime=0)
+        name = f"shard-{_shard_key(batch)}.{ext}" + (".gz" if gzip else "")
         path = os.path.join(out_dir, name)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:

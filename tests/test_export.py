@@ -115,3 +115,21 @@ def test_egress_epoch_avro(ray_session, tmp_path):
     want = eng.table.epoch_changes_dataset(1).to_pandas()
     assert sorted(back["url"]) == sorted(want["url"])
     assert sorted(back["offset"]) == sorted(want["offset"])
+
+
+def test_export_is_idempotent(ray_session, tmp_path):
+    """Re-running the same export overwrites the same shard files instead of
+    accumulating duplicates (resumable-output contract)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from geomesa_nifi_ray.export import export_dataset
+
+    t = pa.table({"a": list(range(100)), "b": [f"x{i}" for i in range(100)]})
+    out = str(tmp_path / "out")
+    export_dataset(ray.data.from_arrow(t), out, format="jsonl").to_pandas()
+    first = sorted(os.listdir(out))
+    export_dataset(ray.data.from_arrow(t), out, format="jsonl").to_pandas()
+    assert sorted(os.listdir(out)) == first  # same names, no duplicates
