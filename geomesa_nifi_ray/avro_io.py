@@ -97,8 +97,19 @@ def arrow_to_avro_schema(schema: pa.Schema, name: str = "row") -> dict:
         elif pa.types.is_boolean(t):
             base = "boolean"
         elif pa.types.is_timestamp(t):
-            unit = "timestamp-micros" if t.unit in ("us", "ns") else "timestamp-millis"
+            if t.unit == "ns":
+                raise ValueError(
+                    f"field {fname!r}: ns-precision timestamps lose precision "
+                    "in avro (timestamp-micros); cast to 'us' before writing "
+                    "(same validate-before-persist discipline as schema.type_to_json)"
+                )
+            unit = "timestamp-micros" if t.unit == "us" else "timestamp-millis"
             base = {"type": "long", "logicalType": unit}
+            if t.tz is not None:
+                # avro timestamp-* is an absolute UTC instant, matching
+                # tz-aware arrow storage; record the display zone as a
+                # custom attribute so the round-trip restores the type.
+                base["arrowTimezone"] = t.tz
         elif pa.types.is_list(t) or pa.types.is_large_list(t):
             base = {"type": "array", "items": field_type(t.value_type, fname + "_item")}
         elif pa.types.is_map(t):
@@ -137,9 +148,9 @@ def avro_to_arrow_schema(avro: dict) -> pa.Schema:
         if isinstance(t, dict):
             lt = t.get("logicalType")
             if lt == "timestamp-micros":
-                return pa.timestamp("us")
+                return pa.timestamp("us", tz=t.get("arrowTimezone"))
             if lt == "timestamp-millis":
-                return pa.timestamp("ms")
+                return pa.timestamp("ms", tz=t.get("arrowTimezone"))
             kind = t["type"]
             if kind == "array":
                 return pa.list_(to_arrow(t["items"]))
@@ -417,10 +428,9 @@ def read_avro(path: str) -> pa.Table:
     for i, f_ in enumerate(arrow_schema):
         vals = [r[f_.name] for r in rows]
         if pa.types.is_timestamp(f_.type):
-            unit_us = f_.type.unit == "us"
-            arr = pa.array(vals, type=pa.int64()).cast(
-                pa.timestamp("us" if unit_us else "ms")
-            )
+            # epoch ints are UTC instants; casting int64 -> timestamp(unit[,
+            # tz]) restores both unit and (when recorded) the zone.
+            arr = pa.array(vals, type=pa.int64()).cast(f_.type)
         else:
             arr = pa.array(vals, type=f_.type)
         cols[f_.name] = arr

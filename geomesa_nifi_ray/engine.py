@@ -948,10 +948,15 @@ class CDCEngine:
         ]
         epoch_modes = [e.get("mode", mode) for e in pending]
         mixed_modes = len(set(epoch_modes)) > 1
+        # A UNIFORM per-epoch override (every descriptor says e.g. 'update')
+        # must win over the call-level default in the pipelined and catch-up
+        # paths too, not just the serial loop — otherwise update-mode epochs
+        # would be silently applied as upserts.
+        uniform_mode = epoch_modes[0] if (epoch_modes and not mixed_modes) else mode
         results: list[EpochResult] = []
-        if not catchup or mode != "upsert" or mixed_modes:
+        if not catchup or uniform_mode != "upsert" or mixed_modes:
             if pipelined and len(pending) > 1 and not mixed_modes:
-                return self._replay_pipelined(pending, mode, **apply_kwargs)
+                return self._replay_pipelined(pending, uniform_mode, **apply_kwargs)
             for e, e_mode in zip(pending, epoch_modes):
                 r = self.apply_epoch(
                     e.get("files", e["path"]),
@@ -990,7 +995,7 @@ class CDCEngine:
                 files,
                 epoch=int(g[-1]["epoch"]),
                 offset_range=(g[0]["offset_min"], g[-1]["offset_max"]),
-                mode=mode,
+                mode=uniform_mode,
                 epochs_covered=(int(g[0]["epoch"]), int(g[-1]["epoch"])),
                 **apply_kwargs,
             )

@@ -20,22 +20,40 @@ import pyarrow.csv as pacsv
 import pyarrow.ipc as paipc
 
 
+class _HashSink:
+    """Write-only file object that folds bytes into an md5 — lets us hash a
+    batch's full Arrow IPC serialization without buffering it."""
+
+    closed = False
+
+    def __init__(self):
+        self.h = hashlib.md5()
+
+    def write(self, b) -> int:
+        self.h.update(b)
+        return len(b)
+
+    def flush(self) -> None:
+        pass
+
+
 def _shard_key(batch: pa.Table) -> str:
-    """Content-deterministic shard name: a re-run of the same export writes
-    the same shard files (tmp+rename overwrite), so exports are resumable /
-    idempotent instead of accumulating uuid-named duplicates."""
-    h = hashlib.md5()
-    h.update(str(batch.schema.names).encode())
-    h.update(str(batch.num_rows).encode())
-    for col in batch.column_names:
-        chunk = batch[col]
-        if isinstance(chunk, pa.ChunkedArray):
-            chunk = chunk.combine_chunks()
-        # hash a deterministic sample of the column's string form (full
-        # hashing would double-encode large payloads for little benefit)
-        vals = chunk.slice(0, min(64, len(chunk))).to_pylist()
-        h.update(repr(vals).encode("utf-8", "replace"))
-    return h.hexdigest()[:20]
+    """Content-deterministic shard name covering the FULL batch content (a
+    sampled hash can collide between distinct batches and silently drop one
+    via the tmp+rename overwrite). A re-run of the same export writes the
+    same shard files, so exports are resumable / idempotent. Two batches
+    that are byte-identical in every row deduplicate to one shard — the
+    lineage table still carries one row per input batch, so multiplicity
+    remains observable."""
+    sink = _HashSink()
+    with paipc.new_stream(pa.PythonFile(sink, mode="w"), batch.schema) as w:
+        w.write_table(batch)
+    return sink.h.hexdigest()[:20]
+
+
+def _digest_key(data: bytes) -> str:
+    """Shard name from already-encoded payload bytes (free: no re-encode)."""
+    return hashlib.md5(data).hexdigest()[:20]
 
 FORMATS = ("parquet", "csv", "tsv", "jsonl", "arrow", "avro")
 
@@ -110,7 +128,7 @@ def export_dataset(ds, out_dir: str, format: str = "parquet", gzip: bool = False
         data = buf.getvalue()
         if gzip:
             data = _gzip.compress(data, compresslevel=6, mtime=0)
-        name = f"shard-{_shard_key(batch)}.{ext}" + (".gz" if gzip else "")
+        name = f"shard-{_digest_key(data)}.{ext}" + (".gz" if gzip else "")
         path = os.path.join(out_dir, name)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:

@@ -21,12 +21,18 @@ import pyarrow.compute as pc
 
 
 def asof_join(left_ds, right_ds, *, by: str, on: str,
-              value_cols: list[str], suffix: str = "_right"):
+              value_cols: list[str], suffix: str = "_right",
+              tiebreak: str | None = None):
     """Left as-of join: append ``value_cols`` (renamed with ``suffix``) from
     the latest right row at-or-before each left row's ``on`` time, matched
-    within ``by``. Unmatched left rows get nulls. Ties on ``on`` resolve to
-    the physically-last right row (deterministic: union order is
-    left-then-right, group rows keep input order per side).
+    within ``by``. Unmatched left rows get nulls.
+
+    Ties on ``on``: pass ``tiebreak`` (a numeric/timestamp right-side
+    column, e.g. a binlog offset) and the right row with the LARGEST
+    tiebreak wins — deterministic across runs and block layouts. Without
+    it, ties fall back to the physically-last right row within the group,
+    which Ray Data does NOT guarantee stable across runs; only rely on
+    that when right-side ``(by, on)`` is unique.
     """
     import ray.data  # noqa: F401  (callers own the session)
 
@@ -34,9 +40,12 @@ def asof_join(left_ds, right_ds, *, by: str, on: str,
     lschema = pa.schema(left_ds.schema().base_schema)
     rschema = pa.schema(right_ds.schema().base_schema)
 
+    carry_cols = list(value_cols)
+    if tiebreak is not None and tiebreak not in carry_cols:
+        carry_cols.append(tiebreak)
     unified = pa.schema(
         list(lschema)
-        + [pa.field(f"_r_{c}", rschema.field(c).type) for c in value_cols]
+        + [pa.field(f"_r_{c}", rschema.field(c).type) for c in carry_cols]
         + [pa.field("_src", pa.int8())]
     )
 
@@ -85,7 +94,15 @@ def asof_join(left_ds, right_ds, *, by: str, on: str,
                 arrays.append(pa.nulls(left.num_rows, type=rschema.field(c).type))
         else:
             r_on = pc.cast(right[on], pa.int64()).to_numpy(zero_copy_only=False)
-            order = np.argsort(r_on, kind="stable")
+            if tiebreak is not None:
+                r_tb = pc.cast(right[f"_r_{tiebreak}"], pa.int64()).to_numpy(
+                    zero_copy_only=False)
+                # primary key r_on, secondary r_tb: within an exact-ts tie
+                # the largest tiebreak sorts last, and side="right"-1 below
+                # picks the last row of the tie run.
+                order = np.lexsort((r_tb, r_on))
+            else:
+                order = np.argsort(r_on, kind="stable")
             r_on_sorted = r_on[order]
             pos = np.searchsorted(r_on_sorted, l_on, side="right") - 1
             have = pos >= 0

@@ -1,0 +1,203 @@
+"""Round-3 regression tests for the four ADVICE.md findings:
+
+1. (high) replay_binlog: a UNIFORM per-epoch 'mode' override must win over
+   the call-level default on the pipelined and catch-up paths, not just the
+   serial loop.
+2. (medium) export shard names must hash FULL batch content — two distinct
+   batches sharing row count + leading-64 values must not collide.
+3. (low) avro codec timestamp fidelity: tz-aware round-trips with its zone;
+   ns-precision raises before persist.
+4. (low) asof_join: explicit deterministic tiebreak column on exact-ts ties.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geomesa_nifi_ray.engine import CDCEngine
+from geomesa_nifi_ray.synth import BinlogSpec, write_binlog
+
+
+# ---------------------------------------------------------------- fix 1 --
+
+
+def _update_only_binlog(tmp_path, n_epochs=3):
+    meta = write_binlog(
+        str(tmp_path / "bl"),
+        BinlogSpec(num_events=600, num_urls=150, num_epochs=n_epochs),
+    )
+    for e in meta["epochs"]:
+        e["mode"] = "update"
+    return meta
+
+
+def test_uniform_epoch_mode_wins_on_pipelined_path(ray_session, tmp_path):
+    """Every epoch says 'update'; call-level default is 'upsert'. The
+    pipelined path (pipelined=True, >1 epoch, not mixed) must apply update
+    semantics: against an empty lake every row is unmatched -> skipped and
+    counted failed, zero rows applied."""
+    meta = _update_only_binlog(tmp_path)
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=4)
+    results = eng.replay_binlog(meta, pipelined=True)
+    assert len(results) == 3
+    assert all(r.manifest["mode"] == "update" for r in results)
+    assert all(r.rows_failed > 0 for r in results)
+    assert eng.table.snapshot_dataset().count() == 0
+
+
+def test_uniform_epoch_mode_wins_on_catchup_path(ray_session, tmp_path):
+    """catchup=True with a uniform 'update' override must not take the
+    upsert batching path; update semantics still apply."""
+    meta = _update_only_binlog(tmp_path)
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=4)
+    results = eng.replay_binlog(meta, catchup=True)
+    assert all(r.manifest["mode"] == "update" for r in results)
+    assert eng.table.snapshot_dataset().count() == 0
+
+
+def test_uniform_epoch_mode_serial_unchanged(ray_session, tmp_path):
+    meta = _update_only_binlog(tmp_path)
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=4)
+    results = eng.replay_binlog(meta, pipelined=False)
+    assert all(r.manifest["mode"] == "update" for r in results)
+    assert eng.table.snapshot_dataset().count() == 0
+
+
+# ---------------------------------------------------------------- fix 2 --
+
+
+def test_export_shards_distinct_beyond_64_row_prefix(ray_session, tmp_path):
+    """Two batches identical in schema, row count and the first 64 rows of
+    every column but different after row 64 must write TWO shard files."""
+    import ray.data
+
+    from geomesa_nifi_ray.export import export_dataset
+
+    base = {"k": list(range(100)), "v": ["x"] * 100}
+    t1 = pa.table(base)
+    v2 = ["x"] * 64 + ["y"] * 36          # differs only after row 64
+    t2 = pa.table({"k": list(range(100)), "v": v2})
+    ds = ray.data.from_arrow([t1, t2])
+    out = str(tmp_path / "exp")
+    lineage = export_dataset(ds, out, format="jsonl").take_all()
+    paths = sorted({r["path"] for r in lineage})
+    assert len(paths) == 2, f"shard collision: {paths}"
+    assert sum(r["rows"] for r in lineage) == 200
+    total = 0
+    for p in paths:
+        with open(p, "rb") as f:
+            total += sum(1 for _ in f)
+    assert total == 200  # no rows silently dropped
+
+
+def test_export_avro_shards_distinct_beyond_prefix(ray_session, tmp_path):
+    import ray.data
+
+    from geomesa_nifi_ray.avro_io import read_avro
+    from geomesa_nifi_ray.export import export_dataset
+
+    t1 = pa.table({"k": list(range(80)), "v": ["x"] * 80})
+    t2 = pa.table({"k": list(range(80)), "v": ["x"] * 70 + ["y"] * 10})
+    ds = ray.data.from_arrow([t1, t2])
+    out = str(tmp_path / "expa")
+    lineage = export_dataset(ds, out, format="avro").take_all()
+    paths = sorted({r["path"] for r in lineage})
+    assert len(paths) == 2
+    assert sum(read_avro(p).num_rows for p in paths) == 160
+
+
+def test_export_resumable_same_names(ray_session, tmp_path):
+    """Re-running the same export reproduces the same shard file names
+    (idempotent resume) — the property full-content hashing must keep."""
+    import ray.data
+
+    from geomesa_nifi_ray.export import export_dataset
+
+    t = pa.table({"k": list(range(50)), "v": [f"r{i}" for i in range(50)]})
+    out = str(tmp_path / "expr")
+    p1 = sorted(r["path"] for r in
+                export_dataset(ray.data.from_arrow(t), out, format="csv").take_all())
+    p2 = sorted(r["path"] for r in
+                export_dataset(ray.data.from_arrow(t), out, format="csv").take_all())
+    assert p1 == p2
+
+
+# ---------------------------------------------------------------- fix 3 --
+
+
+def test_avro_tz_aware_roundtrip(tmp_path):
+    from geomesa_nifi_ray.avro_io import read_avro, write_avro
+
+    ts = pa.array([1_000_000, 2_000_000, None], type=pa.int64()).cast(
+        pa.timestamp("us", tz="UTC")
+    )
+    t = pa.table({"id": pa.array([1, 2, 3], pa.int64()), "ts": ts})
+    path = str(tmp_path / "tz.avro")
+    write_avro(t, path)
+    back = read_avro(path)
+    assert back.schema.field("ts").type == pa.timestamp("us", tz="UTC")
+    assert back["ts"].to_pylist() == t["ts"].to_pylist()
+
+
+def test_avro_non_utc_tz_roundtrip(tmp_path):
+    from geomesa_nifi_ray.avro_io import read_avro, write_avro
+
+    ts = pa.array([86_400_000], type=pa.int64()).cast(
+        pa.timestamp("ms", tz="America/New_York")
+    )
+    t = pa.table({"ts": ts})
+    path = str(tmp_path / "tz2.avro")
+    write_avro(t, path)
+    back = read_avro(path)
+    assert back.schema.field("ts").type == pa.timestamp("ms", tz="America/New_York")
+    # identical absolute instant
+    assert back["ts"].cast(pa.int64()).to_pylist() == [86_400_000]
+
+
+def test_avro_ns_timestamp_raises(tmp_path):
+    from geomesa_nifi_ray.avro_io import write_avro
+
+    t = pa.table({"ts": pa.array([1], pa.int64()).cast(pa.timestamp("ns"))})
+    with pytest.raises(ValueError, match="ns-precision"):
+        write_avro(t, str(tmp_path / "ns.avro"))
+
+
+# ---------------------------------------------------------------- fix 4 --
+
+
+def test_asof_join_tiebreak_deterministic(ray_session):
+    """Exact-ts ties with differing values: the row with the largest
+    tiebreak (offset) must win, regardless of block layout."""
+    import ray.data
+
+    from geomesa_nifi_ray.joins import asof_join
+
+    left = pa.table({"k": ["a", "a"], "ts": pa.array([10, 20], pa.int64()),
+                     "lid": pa.array([1, 2], pa.int64())})
+    # two right rows at ts=10 with different values; offsets break the tie
+    r1 = pa.table({"k": ["a"], "ts": pa.array([10], pa.int64()),
+                   "val": ["low"], "offset": pa.array([5], pa.int64())})
+    r2 = pa.table({"k": ["a"], "ts": pa.array([10], pa.int64()),
+                   "val": ["high"], "offset": pa.array([9], pa.int64())})
+    for right_tables in ([r1, r2], [r2, r1]):   # both block orders
+        out = asof_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right_tables),
+            by="k", on="ts", value_cols=["val"], tiebreak="offset",
+        ).take_all()
+        got = {r["lid"]: r["val_right"] for r in out}
+        assert got == {1: "high", 2: "high"}
+
+
+def test_asof_join_no_tiebreak_still_matches(ray_session):
+    import ray.data
+
+    from geomesa_nifi_ray.joins import asof_join
+
+    left = pa.table({"k": ["a", "b"], "ts": pa.array([15, 5], pa.int64())})
+    right = pa.table({"k": ["a"], "ts": pa.array([10], pa.int64()),
+                      "val": pa.array([7], pa.int64())})
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    by="k", on="ts", value_cols=["val"]).take_all()
+    by_k = {r["k"]: r["val_right"] for r in out}
+    assert by_k == {"a": 7, "b": None}
