@@ -20,6 +20,21 @@ Algorithm (v1):
   5. per line: collapse runs of whitespace to single spaces (C-level
      ``str.split``; measured 3x faster than an equivalent regex pass),
   6. join non-empty lines with "\n".
+
+Vectorization status (round 3, measured — see BASELINE.md "kernel
+alternatives"): a full column-level rewrite was built and benchmarked —
+Arrow-RE2 ``replace_substring_regex`` passes for script/style/comment
+stripping plus fused numpy byte-buffer kernels for tag->newline, core
+entity decode and whitespace-run collapse (zero Python strings on the
+fast path). On this target's ~1 KB page payloads it measured ~51 us/row
+at engine batch sizes vs ~40 us/row for this per-row loop, with high
+run-to-run variance from large-buffer page faulting; chained Arrow-RE2
+whitespace passes alone cost more than this whole function. The per-row
+loop wins because its working set is L1-resident and every step is
+already compiled C (regex/str kernels) — the classic ``ds.map``
+anti-pattern does not apply when the loop body is C on cached bytes.
+Kept: v1 per-row loop; the ~30 us/event kernel cost (BASELINE.md
+Ray-free control) is the honest CPU floor for this payload shape.
 """
 
 from __future__ import annotations
