@@ -121,7 +121,8 @@ class EpochResult:
     manifest: dict = field(repr=False, default_factory=dict)
 
 
-def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str, order: list[str]):
+def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
+                    order: list[str], hash_kernel: str = "md5"):
     """Build the vectorized convert kernel for one epoch.
 
     Re-expresses the reference's converter chain + schema adapter
@@ -152,7 +153,8 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str, order:
                 good = good.drop_columns(["text"])
             good = good.append_column("text", text)
             good = project_to_schema(good, pre_hash_schema)
-            good = add_hash_and_bucket(good, num_buckets, url_col=key)
+            good = add_hash_and_bucket(good, num_buckets, url_col=key,
+                                       kernel=hash_kernel)
             good = lww_dedupe(good, key, order)
             good = good.append_column(
                 "_dead", pa.nulls(good.num_rows, pa.int8()).fill_null(0)
@@ -540,6 +542,7 @@ class CDCEngine:
         convert_fn_factory=None,
         key: str = "url",
         order: tuple[str, ...] = ("warc_ts", "offset"),
+        content_hash_kernel: str = "md5",
     ):
         """``sink_factory(table: LakeTable) -> Sink`` plugs an alternate
         data-plane backend (the DataStoreService SPI analog); default is the
@@ -554,7 +557,8 @@ class CDCEngine:
             self.table = LakeTable.load(lake_root, table_name)
         else:
             self.table = LakeTable.create(lake_root, table_name, schema, num_buckets,
-                                          key=key, order=order)
+                                          key=key, order=order,
+                                          content_hash_kernel=content_hash_kernel)
         if sink_factory is None:
             from geomesa_nifi_ray.sinks import ParquetLakeSink
 
@@ -577,6 +581,20 @@ class CDCEngine:
 
         self._counters = EpochCounters(table_name)
         self.last_stats: str | None = None
+
+    def _make_convert(self, stored_schema: pa.Schema):
+        """Instantiate the converter, passing the table's hash kernel when
+        the factory accepts it (custom 4-arg factories keep working)."""
+        try:
+            return self.convert_fn_factory(
+                stored_schema, self.table.num_buckets, self.table.key,
+                self.table.order, hash_kernel=self.table.content_hash_kernel,
+            )
+        except TypeError:
+            return self.convert_fn_factory(
+                stored_schema, self.table.num_buckets, self.table.key,
+                self.table.order,
+            )
 
     # -- epoch application --------------------------------------------------
 
@@ -650,9 +668,7 @@ class CDCEngine:
             # epoch's exchange ran
             converted = _converted
         else:
-            convert = self.convert_fn_factory(
-                stored_schema, self.table.num_buckets, self.table.key, self.table.order
-            )
+            convert = self._make_convert(stored_schema)
             converted = ds.map_batches(convert, batch_format="pyarrow", batch_size=batch_size)
         if salted_reduce:
             num_salts = self.table.num_buckets * salt_factor
@@ -845,7 +861,8 @@ class CDCEngine:
                 if new[key].to_pylist() != base[key].to_pylist():
                     raise SchemaError("rewrite must not alter the key column")
                 new = new.drop_columns(["content_hash"])
-                new = add_hash_and_bucket(new, num_buckets, url_col=key)
+                new = add_hash_and_bucket(new, num_buckets, url_col=key,
+                                          kernel=table.content_hash_kernel)
                 new = new.drop_columns(["bucket"]).select([f.name for f in stored_schema])
                 new = new.take(pc.sort_indices(new, sort_keys=[(key, "ascending")]))
                 rel = sink.write_partition(new, bucket, epoch)
@@ -1038,7 +1055,7 @@ class CDCEngine:
             plans.append((e, files, stored))
 
         def build(files: list[str], schema: pa.Schema):
-            convert = self.convert_fn_factory(schema, num_buckets, key, order)
+            convert = self._make_convert(schema)
             return ray.data.read_parquet(files).map_batches(
                 convert, batch_format="pyarrow", batch_size=batch_size
             )

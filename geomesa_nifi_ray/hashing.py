@@ -14,6 +14,25 @@ Bucket assignment must be stable across runs, processes and cluster sizes
 utf-8 key bytes modulo a table-fixed bucket count P recorded in the lake's
 ``_table.json``. Python's builtin ``hash`` is salted per process and MUST
 NOT be used.
+
+Pluggable hash kernels (round 3): the content-hash kernel is selectable
+per table (``_table.json: content_hash_kernel``):
+
+- ``md5`` (default) — per-row C md5, 16-byte hex; DuckDB-oracle
+  reproducible. Measured 2.6 us/row on ~1 KB payloads (~6% of convert
+  CPU), so it is a modest, not dominant, cost.
+- ``xx64`` — vectorized 64-bit hash via polars' Rust hash kernel over the
+  same ``\\x1f``-joined payload string, hex-encoded with a numpy nibble
+  LUT (no per-row Python). Measured 1.55 us/row (1.7x md5). Deterministic
+  across processes and runs for a fixed polars version; the kernel name is
+  stamped in ``_table.json`` at creation, so a library upgrade that
+  changed hash values would be a detectable schema-level event, exactly
+  like ``TEXT_KERNEL_VERSION``. Not SQL-reproducible — oracle-checked
+  tables keep md5.
+
+A fully-numpy polynomial row hash (prefix-sum/cumprod over the flat
+buffer) was measured at 25 us/row — uint64 cumprod has no SIMD path — and
+rejected.
 """
 
 from __future__ import annotations
@@ -26,6 +45,51 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 HASH_SEP = "\x1f"  # ASCII unit separator; chr(31) in SQL
+
+CONTENT_HASH_KERNELS = ("md5", "xx64")
+
+_HEX_LUT = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def _hex16(vals: np.ndarray) -> pa.Array:
+    """uint64 -> 16-char lowercase hex string array, fully vectorized."""
+    n = len(vals)
+    shifts = np.arange(60, -1, -4, dtype=np.uint64)          # 16 nibbles, MSB first
+    nibbles = (vals[:, None] >> shifts[None, :]) & np.uint64(0xF)
+    data = _HEX_LUT[nibbles.astype(np.uint8)].reshape(-1)
+    offsets = np.arange(0, 16 * (n + 1), 16, dtype=np.int64)
+    return pa.Array.from_buffers(
+        pa.large_string(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+    ).cast(pa.string())
+
+
+def _joined_payload(batch: pa.Table, url_col: str, ts_col: str,
+                    text_col: str, lang_col: str) -> pa.Array:
+    """The ``url SEP epoch_us SEP text SEP lang`` payload column (nulls ->
+    ''), built with Arrow kernels only."""
+    u = batch[url_col].combine_chunks() if isinstance(batch[url_col], pa.ChunkedArray) else batch[url_col]
+    ts = pc.cast(pc.cast(batch[ts_col], pa.int64()), pa.string())
+    x = pc.cast(pc.fill_null(batch[text_col], ""), pa.string())
+    l = pc.fill_null(batch[lang_col], "")
+    parts = [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in (u, ts, x, l)]
+    joined = pc.binary_join_element_wise(*parts, HASH_SEP)
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    return joined
+
+
+def content_hash_xx64(batch: pa.Table, url_col: str = "url",
+                      ts_col: str = "warc_ts", text_col: str = "text",
+                      lang_col: str = "lang") -> pa.Array:
+    """Vectorized 64-bit content hash (polars Rust kernel), hex-encoded.
+    Same payload bytes as the md5 kernel; 16 hex chars instead of 32."""
+    import polars as pl
+
+    joined = _joined_payload(batch, url_col, ts_col, text_col, lang_col)
+    h = pl.from_arrow(joined).hash(seed=0).to_numpy().astype(np.uint64)
+    return _hex16(h)
 
 
 def content_hash_rows(
@@ -60,15 +124,25 @@ def add_hash_and_bucket(
     ts_col: str = "warc_ts",
     text_col: str = "text",
     lang_col: str = "lang",
+    kernel: str = "md5",
 ) -> pa.Table:
-    """Append ``content_hash`` and ``bucket`` columns to an Arrow batch."""
+    """Append ``content_hash`` and ``bucket`` columns to an Arrow batch.
+    ``kernel`` selects the content-hash implementation (module docstring)."""
+    if kernel not in CONTENT_HASH_KERNELS:
+        raise ValueError(f"unknown content hash kernel {kernel!r}; "
+                         f"supported: {CONTENT_HASH_KERNELS}")
     urls = batch[url_col].to_pylist()
-    ts_us = pc.cast(batch[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
-    texts = batch[text_col].to_pylist()
-    langs = batch[lang_col].to_pylist()
-    hashes = content_hash_rows(urls, ts_us, texts, langs)
+    if kernel == "xx64":
+        hash_arr = content_hash_xx64(batch, url_col, ts_col, text_col, lang_col)
+    else:
+        ts_us = pc.cast(batch[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        langs = batch[lang_col].to_pylist()
+        hash_arr = pa.array(
+            content_hash_rows(urls, ts_us, texts, langs), type=pa.string()
+        )
     buckets = bucket_ids(urls, num_buckets)
-    batch = batch.append_column("content_hash", pa.array(hashes, type=pa.string()))
+    batch = batch.append_column("content_hash", hash_arr)
     batch = batch.append_column("bucket", pa.array(buckets, type=pa.int32()))
     return batch
 

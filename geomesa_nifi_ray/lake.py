@@ -83,6 +83,7 @@ class LakeTable:
         key: str = "url",
         order: tuple[str, ...] = ("warc_ts", "offset"),
         exist_ok: bool = False,
+        content_hash_kernel: str = "md5",
     ) -> "LakeTable":
         t = cls(root, name)
         if os.path.exists(os.path.join(t.table_dir, TABLE_META)):
@@ -99,6 +100,7 @@ class LakeTable:
             "schema": schema_to_json(schema),
             "schema_version": 0,
             "kernel_version": TEXT_KERNEL_VERSION,
+            "content_hash_kernel": content_hash_kernel,
         }
         _atomic_write_json(os.path.join(t.table_dir, TABLE_META), meta)
         t._meta = meta
@@ -136,6 +138,12 @@ class LakeTable:
     @property
     def order(self) -> list[str]:
         return list(self.meta["order"])
+
+    @property
+    def content_hash_kernel(self) -> str:
+        """Table-fixed content-hash kernel ('md5' default; 'xx64' = the
+        vectorized scale path, see hashing.py). Older metas default md5."""
+        return self.meta.get("content_hash_kernel", "md5")
 
     def set_schema(self, new_schema: pa.Schema) -> None:
         """Widen the stored schema (Update compatibility mode). Epoch

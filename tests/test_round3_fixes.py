@@ -201,3 +201,63 @@ def test_asof_join_no_tiebreak_still_matches(ray_session):
                     by="k", on="ts", value_cols=["val"]).take_all()
     by_k = {r["k"]: r["val_right"] for r in out}
     assert by_k == {"a": 7, "b": None}
+
+
+# ------------------------------------------------- pluggable content hash --
+
+
+def test_hex16_matches_python_format():
+    from geomesa_nifi_ray.hashing import _hex16
+
+    vals = np.array([0, 1, 0xDEADBEEF, 2**64 - 1, 0x0123456789ABCDEF],
+                    dtype=np.uint64)
+    assert _hex16(vals).to_pylist() == [format(int(v), "016x") for v in vals]
+
+
+def test_xx64_kernel_full_replay_matches_md5_semantics(ray_session, tmp_path):
+    """Same binlog replayed into an md5-lake and an xx64-lake: identical
+    table content (url/ts/text/lang), only the content_hash encoding
+    differs; the xx64 hash is deterministic across two fresh replays and
+    16 lowercase hex chars."""
+    meta = write_binlog(
+        str(tmp_path / "bl"), BinlogSpec(num_events=800, num_urls=200, num_epochs=2)
+    )
+    md5_eng = CDCEngine(str(tmp_path / "lake_md5"), num_buckets=4)
+    md5_eng.replay_binlog(meta)
+    xx_eng = CDCEngine(str(tmp_path / "lake_xx"), num_buckets=4,
+                       content_hash_kernel="xx64")
+    xx_eng.replay_binlog(meta)
+
+    cols = ["url", "warc_ts", "text", "lang", "offset"]
+    a = md5_eng.table.snapshot_table().select(cols).sort_by("url")
+    b = xx_eng.table.snapshot_table().select(cols).sort_by("url")
+    assert a.equals(b)
+
+    hashes = xx_eng.table.snapshot_table()["content_hash"].to_pylist()
+    assert all(len(h) == 16 and set(h) <= set("0123456789abcdef") for h in hashes)
+
+    # deterministic: a second fresh lake reproduces the same hashes
+    xx2 = CDCEngine(str(tmp_path / "lake_xx2"), num_buckets=4,
+                    content_hash_kernel="xx64")
+    xx2.replay_binlog(meta)
+    h2 = xx2.table.snapshot_table()["content_hash"].to_pylist()
+    assert sorted(hashes) == sorted(h2)
+
+    # kernel is table-pinned: reloading the lake keeps xx64
+    from geomesa_nifi_ray.lake import LakeTable
+    assert LakeTable.load(str(tmp_path / "lake_xx"), "pages").content_hash_kernel == "xx64"
+
+
+def test_xx64_kernel_idempotent_reapply(ray_session, tmp_path):
+    meta = write_binlog(
+        str(tmp_path / "bl"), BinlogSpec(num_events=400, num_urls=100, num_epochs=2)
+    )
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=4,
+                    content_hash_kernel="xx64")
+    eng.replay_binlog(meta)
+    snap1 = eng.table.snapshot_table().sort_by("url")
+    # replay again from scratch cursor view: committed epochs are skipped
+    res = eng.replay_binlog(meta)
+    assert res == []
+    snap2 = eng.table.snapshot_table().sort_by("url")
+    assert snap1.equals(snap2)
