@@ -11,9 +11,10 @@ touches the full corpus.
 Scale notes (100 TB): signatures are tiny (64×u64 per doc) compared to the
 text, so the shuffle moves ~0.1% of input bytes; band buckets are capped
 (``max_bucket``) so a degenerate bucket (boilerplate pages) cannot produce
-O(n²) pairs; connected components use K rounds of min-label propagation
-(each a small groupby over doc_id-sized rows), never a driver-side
-union-find over the full corpus.
+O(n²) pairs; connected components run the alternating Large-Star /
+Small-Star algorithm as coarsened groupby rounds over the EDGE set only —
+no label table exists anywhere (driver or broadcast), so the near-dup
+membership can reach billions of nodes without a driver-memory ceiling.
 """
 
 from __future__ import annotations
@@ -266,67 +267,146 @@ def minhash_candidate_pairs(ds, *, max_bucket: int = 64, threshold: float = 0.7,
     return pairs.groupby("pair_shard").map_groups(dedup_shard, batch_format="pandas")
 
 
-def assign_duplicate_clusters_ds(pairs_ds, rounds: int = 16):
-    """Distributed cluster assignment: min-label propagation over the pair
-    set as Ray Data groupbys — the scale path for web-size dup graphs.
+def _cc_shard_col(df: pd.DataFrame, col: str, num_shards: int) -> pd.Series:
+    """Stable shard id of a node column (process-independent)."""
+    vals = df[col]
+    if pd.api.types.is_integer_dtype(vals):
+        return ((vals.astype(np.uint64) * np.uint64(2654435761))
+                % np.uint64(num_shards)).astype(np.int32)
+    import zlib
 
-    Each round: every edge (and every node's self-edge) emits its current
-    endpoint labels to BOTH endpoints; ``groupby(node).min(label)`` gives
-    the next labels. The label table (nodes that appear in any near-dup
-    pair — tiny relative to the corpus) is broadcast via ``ray.put`` per
-    round; the edge set streams. Converges in O(diameter) rounds; dup
-    clusters are near-cliques from banded LSH, so diameter is small. Early
-    exit when a round changes nothing.
-    """
-    import ray
-
-    edges = pairs_ds.select_columns(["doc_a", "doc_b"])
-
-    # initial labels: every endpoint labels itself (distinct via groupby)
-    def init_labels(t: pa.Table) -> pa.Table:
-        nodes = pa.concat_arrays([
-            t["doc_a"].combine_chunks().cast(t["doc_a"].type),
-            t["doc_b"].combine_chunks().cast(t["doc_b"].type),
-        ])
-        u = pc.unique(nodes)
-        return pa.table({"node": u, "label": u})
-
-    labels_t = pa.concat_tables(
-        list(edges.map_batches(init_labels, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow"))
+    return vals.map(lambda v: zlib.crc32(str(v).encode()) % num_shards).astype(
+        np.int32
     )
-    # dedupe nodes across blocks (label table is small by construction)
-    u = pc.unique(labels_t["node"].combine_chunks())
-    labels = dict(zip(u.to_pylist(), u.to_pylist()))
 
-    for _ in range(rounds):
-        lref = ray.put(labels)
 
-        def propagate(t: pa.Table) -> pa.Table:
-            lab = ray.get(lref)
-            a = t["doc_a"].to_pylist()
-            b = t["doc_b"].to_pylist()
-            la = [lab[x] for x in a]
-            lb = [lab[x] for x in b]
-            m = [x if x < y else y for x, y in zip(la, lb)]
-            return pa.table({"node": pa.array(a + b), "label": pa.array(m + m)})
+def duplicate_clusters_dataset(pairs_ds, num_shards: int = 64,
+                               max_rounds: int = 20):
+    """Connected components over the near-dup pair graph as a pure Ray Data
+    computation — the web-scale path. Implements the alternating
+    Large-Star / Small-Star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): the EDGE SET itself
+    converges to stars pointing every node at its component minimum, so
+    there is no label table anywhere — not on the driver, not broadcast.
+    Each half-round is one coarsened ``groupby(shard)`` with vectorized
+    pandas inside; the edge set is ``materialize()``d per round (it lives
+    in the distributed object store, truncating lineage for the iteration).
+    Converges in O(log^2 n) rounds worst-case; LSH dup clusters are
+    near-cliques, so 2-3 rounds in practice.
 
-        new_min = (
-            edges.map_batches(propagate, batch_format="pyarrow")
-            .groupby("node")
-            .min("label")
+    Returns a Dataset with columns ``(doc_id, cluster)`` covering every
+    node that appears in a pair; cluster = min doc_id of the component.
+    """
+    import ray.data
+
+    def large_star(df: pd.DataFrame) -> pd.DataFrame:
+        # group key u carries ALL its neighbors (edges pre-emitted both
+        # directions and sharded by u): attach neighbors v > u to
+        # m = min(N(u) ∪ {u})
+        df = df.drop(columns=["shard"])
+        mins = df.groupby("u", sort=False)["v"].min().reset_index()
+        mins["m"] = np.minimum(mins["u"].values, mins["v"].values)
+        out = df.merge(mins[["u", "m"]], on="u")
+        out = out[out["v"] > out["u"]][["v", "m"]]
+        out.columns = ["u", "v"]          # edge (bigger-node -> its min)
+        return out.drop_duplicates()
+
+    def small_star(df: pd.DataFrame) -> pd.DataFrame:
+        # edges oriented u=max, v=min and sharded by u: relink every
+        # smaller neighbor (and u itself) to m = min(N(u) ∪ {u})
+        df = df.drop(columns=["shard"])
+        mins = df.groupby("u", sort=False)["v"].min().reset_index()
+        mins["m"] = np.minimum(mins["u"].values, mins["v"].values)
+        withm = df.merge(mins[["u", "m"]], on="u")
+        a = withm[["v", "m"]]
+        b = mins[["u", "m"]].rename(columns={"u": "v"})
+        out = pd.concat([a, b], ignore_index=True)
+        out = out[out["v"] != out["m"]]
+        out.columns = ["u", "v"]
+        return out.drop_duplicates()
+
+    def emit_both(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"u": t["doc_a"].to_pandas(), "v": t["doc_b"].to_pandas()})
+        both = pd.concat(
+            [df, df.rename(columns={"u": "v", "v": "u"})], ignore_index=True
         )
-        changed = False
-        # iter_batches normalizes block formats (groupby aggregates may
-        # come back as pandas blocks); the label table is tiny by design
-        for blk in new_min.iter_batches(batch_format="pyarrow"):
-            for n, l in zip(blk["node"].to_pylist(), blk["min(label)"].to_pylist()):
-                if l < labels[n]:
-                    labels[n] = l
-                    changed = True
-        if not changed:
+        both["shard"] = _cc_shard_col(both, "u", num_shards)
+        return both
+
+    def orient_max_first(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.maximum(df["u"].values, df["v"].values)
+        v = np.minimum(df["u"].values, df["v"].values)
+        out = pd.DataFrame({"u": u, "v": v})
+        out["shard"] = _cc_shard_col(out, "u", num_shards)
+        return out
+
+    def shard_for_large(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat(
+            [df, df.rename(columns={"u": "v", "v": "u"})], ignore_index=True
+        )
+        both["shard"] = _cc_shard_col(both, "u", num_shards)
+        return both
+
+    def signature(ds) -> tuple[int, int]:
+        """(edge count, order-insensitive checksum) via per-block partials —
+        only two small numbers reach the driver."""
+
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            import zlib
+
+            h = [zlib.crc32(f"{a}|{b}".encode()) for a, b in zip(df["u"], df["v"])]
+            return pd.DataFrame({"n": [len(df)], "x": [int(np.sum(h, dtype=np.int64))]})
+
+        parts = ds.map_batches(part, batch_format="pandas").take_all()
+        return (sum(p["n"] for p in parts), sum(p["x"] for p in parts))
+
+    edges = pairs_ds.map_batches(emit_both, batch_format="pyarrow")
+    edges = edges.groupby("shard").map_groups(large_star, batch_format="pandas")
+    edges = edges.map_batches(orient_max_first, batch_format="pandas")
+    edges = edges.groupby("shard").map_groups(small_star, batch_format="pandas")
+    edges = edges.materialize()
+    sig = signature(edges)
+    for _ in range(max_rounds):
+        nxt = edges.map_batches(shard_for_large, batch_format="pandas")
+        nxt = nxt.groupby("shard").map_groups(large_star, batch_format="pandas")
+        nxt = nxt.map_batches(orient_max_first, batch_format="pandas")
+        nxt = nxt.groupby("shard").map_groups(small_star, batch_format="pandas")
+        nxt = nxt.materialize()
+        nsig = signature(nxt)
+        edges = nxt
+        if nsig == sig:
             break
-    return pd.DataFrame({"doc_id": list(labels), "cluster": [labels[d] for d in labels]})
+        sig = nsig
+
+    # converged: edges are (node -> component min); roots label themselves
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.concat(
+            [df.rename(columns={"u": "doc_id", "v": "cluster"}),
+             pd.DataFrame({"doc_id": df["v"], "cluster": df["v"]})],
+            ignore_index=True,
+        ).drop_duplicates()
+        out["shard"] = _cc_shard_col(out, "doc_id", num_shards)
+        return out
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["shard"])
+        return df.groupby("doc_id", sort=False)["cluster"].min().reset_index()
+
+    labeled = edges.map_batches(finalize, batch_format="pandas")
+    return labeled.groupby("shard").map_groups(dedupe, batch_format="pandas")
+
+
+def assign_duplicate_clusters_ds(pairs_ds, rounds: int = 16):
+    """Distributed cluster assignment over the pair set; delegates to the
+    Dataset-native alternating-star algorithm (nothing driver-resident —
+    the round-1/2 min-label implementation kept a label dict on the driver,
+    a memory hazard once near-dup membership reaches billions) and
+    materializes the final (doc_id, cluster) table as pandas for the
+    query/golden surface. Use :func:`duplicate_clusters_dataset` directly
+    when the label table itself is too large to collect."""
+    out = duplicate_clusters_dataset(pairs_ds)
+    df = out.to_pandas()
+    return df.sort_values(["doc_id"]).reset_index(drop=True)
 
 
 def assign_duplicate_clusters(pairs_df: pd.DataFrame, rounds: int = 8) -> pd.DataFrame:

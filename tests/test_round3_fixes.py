@@ -261,3 +261,63 @@ def test_xx64_kernel_idempotent_reapply(ray_session, tmp_path):
     assert res == []
     snap2 = eng.table.snapshot_table().sort_by("url")
     assert snap1.equals(snap2)
+
+
+# -------------------------------------- dataset-native connected components --
+
+
+def _cc_reference(edges):
+    """Driver union-find for ground truth."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in list(parent)}
+
+
+def test_cc_alternating_star_long_chains(ray_session):
+    """Path graphs are the worst case for label propagation (diameter = n);
+    the alternating-star algorithm must converge without a driver label
+    table: 3 chains of 2000 nodes + 500 singleton pairs + one clique."""
+    import pandas as pd
+    import ray.data
+
+    from geomesa_nifi_ray.dedup import duplicate_clusters_dataset
+
+    edges = []
+    for c in range(3):
+        base = c * 10_000
+        edges += [(base + i, base + i + 1) for i in range(1999)]
+    edges += [(100_000 + 2 * i, 100_000 + 2 * i + 1) for i in range(500)]
+    edges += [(200_000 + i, 200_000 + j) for i in range(8) for j in range(i + 1, 8)]
+    df = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+    out = duplicate_clusters_dataset(ray.data.from_pandas(df)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster"]))
+    want = _cc_reference(edges)
+    assert got == want
+    # spot-check semantics: each chain is ONE component rooted at its min
+    assert got[10_000 + 1999] == 10_000
+    assert len(set(got.values())) == 3 + 500 + 1
+
+
+def test_cc_string_ids(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from geomesa_nifi_ray.dedup import duplicate_clusters_dataset
+
+    edges = [("d", "b"), ("b", "a"), ("x", "y"), ("q", "q2"), ("q2", "a")]
+    df = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+    out = duplicate_clusters_dataset(ray.data.from_pandas(df)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster"]))
+    assert got == _cc_reference(edges)
+    assert got["d"] == "a" and got["x"] == "x" and got["y"] == "x"
