@@ -26,6 +26,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from geomesa_nifi_ray.similarity import fixed_dim_matrix
+
 # ------------------------------------------------------------- exact dedup --
 
 
@@ -655,7 +657,7 @@ def embedding_neardup_pairs(ds, *, tau: float = 0.95, vec_col: str = "embedding"
 
     def stage(batch: pa.Table) -> pa.Table:
         all_mat, all_ids = ray.get(ref_mat), ray.get(ref_ids)
-        bmat = _normalize(np.stack(batch[vec_col].to_pylist()).astype(np.float32))
+        bmat = _normalize(fixed_dim_matrix(batch[vec_col]))
         bids = np.asarray(batch[id_col].to_pylist())
         id_type = batch[id_col].type
         scores = bmat @ all_mat.T
@@ -689,7 +691,7 @@ class _LshSignStage:
         self._pow2 = 1 << np.arange(planes, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(np.stack(batch[self.vec_col].to_pylist()).astype(np.float32))
+        vecs = _normalize(fixed_dim_matrix(batch[self.vec_col]))
         n = len(vecs)
         keys = np.empty((self.tables, n), dtype=np.int64)
         for t in range(self.tables):
@@ -772,6 +774,6 @@ def _collect_normalized(ds, vec_col: str, id_col: str):
         [b.select([id_col, vec_col]) for b in ds.iter_batches(batch_format="pyarrow")]
     )
     ids = np.asarray(tbl[id_col].to_pylist())
-    mat = _normalize(np.stack(tbl[vec_col].to_pylist()).astype(np.float32))
+    mat = _normalize(fixed_dim_matrix(tbl[vec_col]))
     order = np.argsort(ids, kind="stable")
     return mat[order], ids[order]

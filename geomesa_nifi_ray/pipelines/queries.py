@@ -24,6 +24,7 @@ from geomesa_nifi_ray import dedup as dd
 from geomesa_nifi_ray.convert import FieldSpec, RecordConverter
 from geomesa_nifi_ray.engine import CDCEngine
 from geomesa_nifi_ray.schema import project_to_schema
+from geomesa_nifi_ray.similarity import fixed_dim_matrix
 from geomesa_nifi_ray.synth import BinlogSpec, write_binlog
 from geomesa_nifi_ray.textstats import LangIdStage, QualityStage
 from geomesa_nifi_ray.upsert import lww_dedupe
@@ -944,7 +945,7 @@ def _query_vectors(sf_dir: str, n: int = 5):
         filters=[("vec_id", "<", n)],
     )
     qids = np.asarray(tbl["vec_id"].to_pylist())
-    qmat = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
+    qmat = fixed_dim_matrix(tbl["embedding"], dtype=np.float64)
     order = np.argsort(qids)
     return qmat[order], qids[order]
 
@@ -968,7 +969,7 @@ def q_embedding_topk(sf_dir: str):
 
     def local_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(qref)
-        vecs = _norm(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+        vecs = _norm(fixed_dim_matrix(batch["embedding"], dtype=np.float64))
         vids = np.asarray(batch["vec_id"].to_pylist())
         scores = q @ vecs.T
         kk = min(10, scores.shape[1])
@@ -1184,7 +1185,7 @@ def q_embedding_ivf_topk(sf_dir: str):
         .limit(4096)
         .take_batch(4096, batch_format="pyarrow")
     )
-    idx = IVFIndex(num_centroids=16).fit(np.stack(sample["embedding"].to_pylist()))
+    idx = IVFIndex(num_centroids=16).fit(fixed_dim_matrix(sample["embedding"], dtype=np.float64))
     qmat, _ = _query_vectors(sf_dir, 5)
     return idx.search(idx.assign(ds), qmat.astype(np.float32), k=10, nprobe=4)
 

@@ -25,6 +25,27 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def fixed_dim_matrix(col, dtype=np.float32) -> np.ndarray:
+    """(n, d) matrix from a fixed-dimension ``list<float>`` column —
+    zero-copy from the Arrow values buffer (``flatten().to_numpy()``
+    reads the child array directly; ``np.stack(col.to_pylist())`` would
+    materialize n Python lists first). Falls back to the per-row path for
+    ragged or null-bearing columns."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if col.null_count == 0:
+        lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+        if len(lens) and (lens == lens[0]).all() and lens[0] > 0:
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return np.ascontiguousarray(
+                flat.reshape(n, int(lens[0])), dtype=dtype
+            )
+    return np.stack(col.to_pylist()).astype(dtype)
+
+
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      query_ids: np.ndarray | None = None):
@@ -37,7 +58,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
 
     def local_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(qref)  # zero-copy from object store, once per task
-        vecs = _normalize(np.stack(batch[vec_col].to_pylist()).astype(np.float32))
+        vecs = _normalize(fixed_dim_matrix(batch[vec_col]))
         ids = np.asarray(batch[id_col].to_pylist())
         scores = q @ vecs.T                     # (nq, batch)
         kk = min(k, scores.shape[1])
@@ -96,7 +117,7 @@ class IVFIndex:
 
         def stage(batch: pa.Table) -> pa.Table:
             c = ray.get(cref)
-            vecs = _normalize(np.stack(batch[vec_col].to_pylist()).astype(np.float32))
+            vecs = _normalize(fixed_dim_matrix(batch[vec_col]))
             a = np.argmax(vecs @ c.T, axis=1).astype(np.int32)
             return batch.append_column("centroid", pa.array(a))
 
@@ -116,7 +137,7 @@ class IVFIndex:
         def local_topk(batch: pa.Table) -> pa.Table:
             q, psets = ray.get(qref), ray.get(pref)
             cents = np.asarray(batch["centroid"].to_pylist())
-            vecs = _normalize(np.stack(batch[vec_col].to_pylist()).astype(np.float32))
+            vecs = _normalize(fixed_dim_matrix(batch[vec_col]))
             ids = np.asarray(batch[id_col].to_pylist())
             out_q, out_v, out_s = [], [], []
             for qi in range(len(q)):
