@@ -27,6 +27,11 @@ Exchange strategies (equivalence tested manifest-for-manifest):
   winner selection -> node-local payload extraction -> merge; cluster
   network ∝ deduped output, the multi-node configuration
   (:func:`run_late_exchange`);
+- **split** (auto for the small/mid band ≤8×batch×P rows, or
+  ``exchange="split"``): two raw task waves — per-block bucket-range
+  split, per-group in-memory merge — no sort machinery, cutting the
+  steady-state commit latency ~3x (:func:`run_split_exchange`; on a
+  single node it collapses to one wave over shared plasma blocks);
 - **tiny** (auto, ≤2×batch_size rows): one task grouping the whole epoch
   in-memory — the steady-state tail cadence skips shuffle machinery.
 
@@ -523,6 +528,116 @@ def run_late_exchange(converted_mat, merge_bucket, key: str, order: list[str],
     return out
 
 
+def run_split_exchange(converted_mat, merge_bucket, num_buckets: int,
+                       num_groups: int = 16) -> list[dict]:
+    """Two-wave manual hash exchange for small/mid epochs — the band between
+    the tiny-epoch single task and the full sort shuffle.
+
+    Ray Data's sort-based groupby carries ~1 s of fixed machinery (operator
+    startup + sort barrier) per execution; at steady-state commit cadence
+    that fixed cost dominates the actual merge work. Here the exchange is
+    just two raw task waves: (1) one task per converted block splits it into
+    ``G`` bucket-range parts (one object each — blocks x G small objects);
+    (2) one task per group concatenates its parts in deterministic block
+    order, groups by bucket in-memory and runs the per-bucket merges
+    serially (the tiny-epoch ``merge_all`` generalized to G-way
+    parallelism). Moves the same post-combiner bytes as the sort exchange —
+    co-location by key, no sort, no Dataset barrier. Results are identical:
+    LWW inside the merger is a pure function of the row multiset.
+    """
+    import numpy as np
+    import ray
+
+    refs = converted_mat.to_arrow_refs()
+    G = max(1, min(num_groups, num_buckets))
+
+    single_node = len([n for n in ray.nodes() if n.get("Alive")]) <= 1
+    if single_node:
+        # One wave: every group task maps the SAME plasma blocks (shared
+        # memory, zero-copy on one node) and slices out its bucket range —
+        # no intermediate split objects at all. Multi-node this would pull
+        # every block to every group (input x G network), so the two-wave
+        # split below is the cluster path.
+        @ray.remote
+        def merge_group_direct(gi, block_refs):
+            import numpy as _np
+            import ray as _ray
+
+            parts = []
+            for blk in _ray.get(list(block_refs)):
+                if blk.num_rows == 0:
+                    continue
+                b = blk["bucket"].to_numpy(zero_copy_only=False).astype(_np.int64)
+                m = (b * G) // num_buckets == gi
+                if m.any():
+                    parts.append(blk.filter(pa.array(m)))
+            if not parts:
+                return None
+            t = pa.concat_tables(parts)
+            b = t["bucket"].to_numpy(zero_copy_only=False)
+            idx = _np.argsort(b, kind="stable")
+            t = t.take(pa.array(idx))
+            bs = b[idx]
+            bounds = _np.flatnonzero(_np.r_[True, bs[1:] != bs[:-1], True])
+            outs = []
+            for s0, s1 in zip(bounds[:-1], bounds[1:]):
+                outs.append(merge_bucket(t.slice(s0, s1 - s0)))
+            return pa.concat_tables(outs)
+
+        results = ray.get([merge_group_direct.remote(gi, refs) for gi in range(G)])
+        out = []
+        for r in results:
+            if r is not None:
+                out.extend(r.to_pylist())
+        return out
+
+    @ray.remote
+    def split(block: pa.Table):
+        b = block["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (b * G) // num_buckets
+        idx = np.argsort(g, kind="stable")
+        sb = block.take(pa.array(idx))
+        gs = g[idx]
+        outs = []
+        for gi in range(G):
+            lo = int(np.searchsorted(gs, gi, side="left"))
+            hi = int(np.searchsorted(gs, gi, side="right"))
+            outs.append(sb.slice(lo, hi - lo))
+        return tuple(outs) if G > 1 else outs[0]
+
+    parts = [split.options(num_returns=G).remote(r) if G > 1
+             else [split.remote(r)] for r in refs]
+
+    @ray.remote
+    def merge_group(part_refs):
+        import numpy as _np
+        import ray as _ray
+
+        tables = [t for t in _ray.get(list(part_refs)) if t.num_rows]
+        if not tables:
+            return None
+        t = pa.concat_tables(tables)
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        idx = _np.argsort(b, kind="stable")
+        t = t.take(pa.array(idx))
+        bs = b[idx]
+        bounds = _np.flatnonzero(_np.r_[True, bs[1:] != bs[:-1], True])
+        outs = []
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            outs.append(merge_bucket(t.slice(s0, s1 - s0)))
+        return pa.concat_tables(outs)
+
+    results = ray.get([
+        merge_group.remote([parts[i][gi] for i in range(len(parts))])
+        for gi in range(G)
+    ])
+    out = []
+    for r in results:
+        if r is not None:
+            out.extend(r.to_pylist())
+    return out
+
+
 class CDCEngine:
     """Driver-side orchestration: schema registry, epoch cursor, lineage.
 
@@ -610,6 +725,7 @@ class CDCEngine:
         epochs_covered: tuple[int, int] | None = None,
         pre_shuffle_coalesce: bool | None = None,
         exchange: str | None = None,
+        rows_hint: int | None = None,
         _converted=None,
     ) -> EpochResult | None:
         """Apply one epoch of change events. ``source`` is a parquet path
@@ -640,8 +756,14 @@ class CDCEngine:
             paths = [source] if isinstance(source, str) else list(source)
             files = _expand_parquet_paths(paths)
             incoming_schema = pq.read_schema(files[0])
-            rows_in = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
-            ds = ray.data.read_parquet(files)
+            # footer scan is ~5 ms/file — at steady-state commit cadence the
+            # descriptor's row count (binlog meta) skips ~0.4 s/epoch
+            rows_in = rows_hint if rows_hint is not None else sum(
+                pq.ParquetFile(p).metadata.num_rows for p in files
+            )
+            # read_parquet plan construction samples fragments (~0.15 s);
+            # skip it when the pipelined caller already converted the epoch
+            ds = None if _converted is not None else ray.data.read_parquet(files)
         else:
             ds = source
             incoming_schema = pa.schema(ds.schema().base_schema)
@@ -705,6 +827,20 @@ class CDCEngine:
         # the object store (they spill and thrash otherwise).
         large_epoch = rows_in > 2 * batch_size * self.table.num_buckets
         tiny_epoch = rows_in <= 2 * batch_size
+        # small/mid band: too big for one task, small enough that the sort
+        # shuffle's ~1 s fixed machinery dominates the merge work — use the
+        # two-wave split exchange (run_split_exchange) instead. Upper bound
+        # 8 x batch x P rows (~2M at defaults) keeps group-merge tasks'
+        # memory bounded; bigger epochs take the sort/late exchange.
+        split_epoch = (
+            not tiny_epoch
+            and not salted_reduce
+            and (
+                exchange == "split"
+                or (exchange is None
+                    and rows_in <= 8 * batch_size * self.table.num_buckets)
+            )
+        )
         use_late = exchange == "late" and mode == "upsert" and not salted_reduce
         if tiny_epoch and exchange is None and not salted_reduce:
             # Steady-state tail epochs are small; Ray's sort shuffle has ~1 s
@@ -732,6 +868,10 @@ class CDCEngine:
             )
             lineage = [r for r in lineage_ds.take_all() if r.get("bucket") is not None]
             self.last_stats = lineage_ds.stats()
+        elif split_epoch:
+            mat = converted.materialize()
+            self.last_stats = mat.stats()
+            lineage = run_split_exchange(mat, merger, self.table.num_buckets)
         elif use_late:
             mat = converted.materialize()
             self.last_stats = mat.stats()
@@ -980,6 +1120,7 @@ class CDCEngine:
                     epoch=int(e["epoch"]),
                     offset_range=(e["offset_min"], e["offset_max"]),
                     mode=e_mode,
+                    rows_hint=e.get("rows"),
                     **apply_kwargs,
                 )
                 if r is not None:
@@ -1008,12 +1149,15 @@ class CDCEngine:
             files = []
             for e in g:
                 files.extend(e["files"] if "files" in e else [e["path"]])
+            rows_hint = (sum(int(e["rows"]) for e in g)
+                         if all("rows" in e for e in g) else None)
             r = self.apply_epoch(
                 files,
                 epoch=int(g[-1]["epoch"]),
                 offset_range=(g[0]["offset_min"], g[-1]["offset_max"]),
                 mode=uniform_mode,
                 epochs_covered=(int(g[0]["epoch"]), int(g[-1]["epoch"])),
+                rows_hint=rows_hint,
                 **apply_kwargs,
             )
             if r is not None:
@@ -1083,6 +1227,7 @@ class CDCEngine:
                     offset_range=(e["offset_min"], e["offset_max"]),
                     mode=mode,
                     batch_size=batch_size,
+                    rows_hint=e.get("rows"),
                     _converted=conv,
                     **apply_kwargs,
                 )

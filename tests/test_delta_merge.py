@@ -153,3 +153,17 @@ def test_delta_snapshot_dataset_column_pruned(ray_session, tmp_path, binlog):
     assert sorted(df.columns) == ["lang", "url"]
     assert len(df) == full.num_rows
     assert sorted(df["url"]) == sorted(full["url"].to_pylist())
+
+
+def test_split_exchange_matches_sort_exchange(ray_session, tmp_path, binlog):
+    """The two-wave split exchange (and its single-node one-wave collapse)
+    must produce the byte-identical lake as the sort exchange."""
+    split = CDCEngine(str(tmp_path / "lk_split"), num_buckets=8)
+    split.replay_binlog(binlog, exchange="split")
+    sort = CDCEngine(str(tmp_path / "lk_sort2"), num_buckets=8)
+    sort.replay_binlog(binlog, exchange="sort")
+    assert split.table.snapshot_table().equals(sort.table.snapshot_table())
+    for e in range(6):
+        ms_, mo = split.table.manifest(e), sort.table.manifest(e)
+        assert ms_["buckets"] == mo["buckets"], e
+        assert (ms_["rows_failed"], ms_["rows_in"]) == (mo["rows_failed"], mo["rows_in"])
