@@ -1239,8 +1239,12 @@ class CDCEngine:
                     results.append(r)
         return results
 
-    def snapshot(self, columns: list[str] | None = None):
-        return self.table.snapshot_dataset(columns=columns)
+    def snapshot(self, columns: list[str] | None = None,
+                 include_pending: bool = False):
+        """Live table view. ``include_pending=True`` = the hot (Lambda)
+        view: committed lake plus the in-flight epoch's flushed buckets."""
+        return self.table.snapshot_dataset(columns=columns,
+                                           include_pending=include_pending)
 
     # -- live tail ----------------------------------------------------------
 

@@ -55,7 +55,33 @@ def _digest_key(data: bytes) -> str:
     """Shard name from already-encoded payload bytes (free: no re-encode)."""
     return hashlib.md5(data).hexdigest()[:20]
 
-FORMATS = ("parquet", "csv", "tsv", "jsonl", "arrow", "avro")
+FORMATS = ("parquet", "csv", "tsv", "jsonl", "geojsonl", "arrow", "avro")
+
+# geojsonl: newline-delimited GeoJSON Features — the most-used of
+# ConvertToGeoFile's geometry formats (ConvertToGeoFile.scala:197-211,
+# GeoJSON export). Under the web-page payload analog there is no geometry
+# column, so each row becomes a Feature with ``geometry: null`` and all
+# columns as properties; a row carrying ``lon``/``lat`` (or ``longitude``/
+# ``latitude``) columns gets a Point geometry, matching how the reference
+# derives the default geometry from converter fields.
+_GEO_LON_COLS = ("lon", "longitude")
+_GEO_LAT_COLS = ("lat", "latitude")
+
+
+def _geojson_feature(row: dict) -> dict:
+    lon = next((row[c] for c in _GEO_LON_COLS if c in row), None)
+    lat = next((row[c] for c in _GEO_LAT_COLS if c in row), None)
+    geom = (
+        {"type": "Point", "coordinates": [lon, lat]}
+        if lon is not None and lat is not None
+        else None
+    )
+    props = {k: v for k, v in row.items()
+             if k not in _GEO_LON_COLS + _GEO_LAT_COLS}
+    feature = {"type": "Feature", "geometry": geom, "properties": props}
+    if "id" in row:
+        feature["id"] = row["id"]
+    return feature
 
 
 def egress_epoch(table, epoch: int, out_dir: str, format: str = "jsonl",
@@ -86,8 +112,8 @@ def export_dataset(ds, out_dir: str, format: str = "parquet", gzip: bool = False
         ds.write_parquet(out_dir)
         return out_dir
 
-    ext = {"csv": "csv", "tsv": "tsv", "jsonl": "jsonl", "arrow": "arrow",
-           "avro": "avro"}[format]
+    ext = {"csv": "csv", "tsv": "tsv", "jsonl": "jsonl",
+           "geojsonl": "geojsonl", "arrow": "arrow", "avro": "avro"}[format]
     if gzip and format == "arrow":
         raise ValueError("arrow IPC files should use internal compression, not gzip")
     if gzip and format == "avro":
@@ -121,6 +147,12 @@ def export_dataset(ds, out_dir: str, format: str = "parquet", gzip: bool = False
                 import json
 
                 buf.write(json.dumps(row, default=str).encode())
+                buf.write(b"\n")
+        elif format == "geojsonl":
+            import json
+
+            for row in batch.to_pylist():
+                buf.write(json.dumps(_geojson_feature(row), default=str).encode())
                 buf.write(b"\n")
         else:  # arrow IPC stream file
             with paipc.new_file(buf, batch.schema) as w:

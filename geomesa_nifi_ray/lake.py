@@ -241,6 +241,38 @@ class LakeTable:
         m = self.manifest(epoch)
         return {int(b): e for b, e in m["buckets"].items()}
 
+    def live_entries_with_pending(self) -> dict[int, dict]:
+        """Committed entries overlaid with the IN-FLIGHT epoch's bucket
+        files (epoch committed+1, probed on disk) — the hot/cold composite
+        view of the reference's Lambda store
+        (``LambdaDataStoreService.scala:42-83``: Kafka in-flight layer over
+        the persistent store). Read-uncommitted semantics: mid-epoch, only
+        the buckets whose merge task has already flushed appear with
+        pending rows; a crash discards nothing — the committed view is
+        untouched and the pending files are deterministically overwritten
+        on replay."""
+        committed = self.committed_epoch()
+        nxt = 0 if committed is None else committed + 1
+        entries = dict(self.live_entries())
+        for b in range(self.num_buckets):
+            base_rel = self.bucket_file(b, nxt, "base")
+            delta_rel = self.bucket_file(b, nxt, "delta")
+            if os.path.exists(self.abs_path(base_rel)):
+                entries[b] = {"file": base_rel, "deltas": [], "rows": -1,
+                              "digest": None, "pending": True}
+            elif os.path.exists(self.abs_path(delta_rel)):
+                prev = entries.get(b)
+                if prev is None:
+                    entries[b] = {"file": delta_rel, "deltas": [], "rows": -1,
+                                  "digest": None, "pending": True}
+                else:
+                    entries[b] = {
+                        "file": prev["file"],
+                        "deltas": list(prev.get("deltas", [])) + [delta_rel],
+                        "rows": -1, "digest": None, "pending": True,
+                    }
+        return entries
+
     def write_bucket_file(self, table: pa.Table, bucket: int, epoch: int,
                           kind: str = "base") -> str:
         """Write one bucket's merged state atomically; returns the relative
@@ -308,17 +340,28 @@ class LakeTable:
             for f in self.chain_files(e)
         ]
 
-    def snapshot_dataset(self, epoch: int | None = None, columns: list[str] | None = None):
+    def snapshot_dataset(self, epoch: int | None = None, columns: list[str] | None = None,
+                         include_pending: bool = False):
         """Lazy Ray Dataset over the live table state, projected (null-fill)
         to the current stored schema so pre-evolution files read uniformly.
 
         Fast path (no bucket has pending deltas — steady state after
         compaction): a plain parallel ``read_parquet``. Delta path: one task
         per bucket reads its chain and merges (reads stay bucket-parallel;
-        nothing touches the driver)."""
+        nothing touches the driver).
+
+        ``include_pending=True`` returns the HOT view: committed state plus
+        whatever the in-flight (uncommitted) epoch has already flushed —
+        see :meth:`live_entries_with_pending`."""
         import ray.data
 
-        entries = self.live_entries(epoch)
+        if include_pending:
+            if epoch is not None:
+                raise ValueError("include_pending reads the latest state; "
+                                 "an explicit epoch cannot be combined with it")
+            entries = self.live_entries_with_pending()
+        else:
+            entries = self.live_entries(epoch)
         schema = self.schema
         if columns is not None:
             schema = pa.schema([schema.field(c) for c in columns])
@@ -393,9 +436,11 @@ class LakeTable:
         )
         return ds.map_batches(lambda t: project_to_schema(t, schema), batch_format="pyarrow")
 
-    def snapshot_table(self, epoch: int | None = None) -> pa.Table:
+    def snapshot_table(self, epoch: int | None = None,
+                       include_pending: bool = False) -> pa.Table:
         """Driver-side snapshot as one Arrow table — tests / small tables only."""
-        entries = self.live_entries(epoch)
+        entries = (self.live_entries_with_pending() if include_pending
+                   else self.live_entries(epoch))
         schema = self.schema
         if not entries:
             return schema.empty_table()

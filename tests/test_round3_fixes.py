@@ -321,3 +321,83 @@ def test_cc_string_ids(ray_session):
     got = dict(zip(out["doc_id"], out["cluster"]))
     assert got == _cc_reference(edges)
     assert got["d"] == "a" and got["x"] == "x" and got["y"] == "x"
+
+
+# ------------------------------------------------------- geojsonl export --
+
+
+def test_geojsonl_export_golden_bytes(ray_session, tmp_path):
+    """GeoJSON-lines export: rows -> Feature objects; lon/lat columns
+    become a Point geometry, payload-analog rows get geometry null."""
+    import json
+
+    import ray.data
+
+    from geomesa_nifi_ray.export import export_dataset
+
+    t = pa.table({
+        "id": ["a", "b"],
+        "url": ["https://x/1", "https://x/2"],
+        "lon": pa.array([10.5, None], pa.float64()),
+        "lat": pa.array([-3.25, None], pa.float64()),
+    })
+    out = str(tmp_path / "geo")
+    lineage = export_dataset(ray.data.from_arrow(t), out,
+                             format="geojsonl").take_all()
+    assert len(lineage) == 1 and lineage[0]["rows"] == 2
+    lines = [json.loads(line) for line in open(lineage[0]["path"])]
+    assert lines[0] == {
+        "type": "Feature",
+        "geometry": {"type": "Point", "coordinates": [10.5, -3.25]},
+        "properties": {"id": "a", "url": "https://x/1"},
+        "id": "a",
+    }
+    assert lines[1]["geometry"] is None
+    assert lines[1]["properties"]["url"] == "https://x/2"
+
+
+# ------------------------------------------------ hot-epoch (Lambda) view --
+
+
+def test_hot_view_sees_pending_committed_unchanged(ray_session, tmp_path):
+    """Lambda-analog: mid-epoch (bucket files flushed, manifest NOT
+    committed) the committed view is unchanged while the hot view already
+    serves the pending rows; completing the replay converges both."""
+    from geomesa_nifi_ray.engine import make_bucket_merger, run_split_exchange
+
+    meta = write_binlog(
+        str(tmp_path / "bl"), BinlogSpec(num_events=400, num_urls=100, num_epochs=2)
+    )
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=4)
+    e0 = meta["epochs"][0]
+    eng.apply_epoch(e0["files"], epoch=0,
+                    offset_range=(e0["offset_min"], e0["offset_max"]))
+    committed_before = eng.table.snapshot_table()
+
+    # flush epoch 1's bucket files WITHOUT committing the manifest
+    import ray.data
+
+    e1 = meta["epochs"][1]
+    convert = eng._make_convert(eng.table.schema)
+    mat = ray.data.read_parquet(e1["files"]).map_batches(
+        convert, batch_format="pyarrow").materialize()
+    merger = make_bucket_merger(eng.table, 1, eng.table.live_entries(),
+                                mode="upsert", max_deltas=4, sink=eng.sink)
+    run_split_exchange(mat, merger, 4)
+
+    # committed view: byte-identical to before the in-flight epoch
+    assert eng.table.snapshot_table().equals(committed_before)
+    assert eng.table.committed_epoch() == 0
+    # hot view: strictly more recent — epoch-1 offsets visible
+    hot = eng.table.snapshot_table(include_pending=True)
+    assert hot["offset"].to_pylist() != committed_before["offset"].to_pylist()
+    assert max(hot["offset"].to_pylist()) > int(e0["offset_max"])
+
+    # completing the epoch (deterministic overwrite + commit) converges the
+    # committed view onto exactly what the hot view showed
+    eng.apply_epoch(e1["files"], epoch=1,
+                    offset_range=(e1["offset_min"], e1["offset_max"]))
+    assert eng.table.snapshot_table().equals(hot)
+    # and once committed, hot == cold
+    assert eng.table.snapshot_table(include_pending=True).equals(
+        eng.table.snapshot_table())
