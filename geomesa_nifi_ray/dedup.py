@@ -480,24 +480,28 @@ class SimHashStage:
         return int(((acc > 0).astype(np.uint64) << self._bitpos).sum(dtype=np.uint64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        hashes = [self.simhash(t) for t in batch[self.text_col].to_pylist()]
-        out_id, out_band, out_key, out_shard, out_h = [], [], [], [], []
-        for i, h in zip(ids, hashes):
-            for bnd in range(4):
-                key = (h >> (16 * bnd)) & 0xFFFF
-                out_id.append(i)
-                out_band.append(bnd)
-                out_key.append(key)
-                out_shard.append((bnd * 16381 + key) % 64)
-                out_h.append(h)
+        """Band rows via numpy repeat/tile (same pattern as
+        ``MinHashStage.__call__``) — per-row Python only for the simhash."""
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n = len(ids)
+        hashes = np.fromiter(
+            (self.simhash(t) for t in batch[self.text_col].to_pylist()),
+            dtype=np.uint64, count=n,
+        )
+        bands = np.tile(np.arange(4, dtype=np.uint64), n)       # n x 4 rows
+        h_rep = np.repeat(hashes, 4)
+        keys = ((h_rep >> (np.uint64(16) * bands)) & np.uint64(0xFFFF))
+        shards = (bands.astype(np.int64) * 16381 + keys.astype(np.int64)) % 64
+        id_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))
         return pa.table(
             {
-                "doc_id": pa.array(out_id),
-                "band_id": pa.array(out_band, type=pa.int32()),
-                "band_key": pa.array(out_key, type=pa.int32()),
-                "shard": pa.array(out_shard, type=pa.int32()),
-                "simhash": pa.array(out_h, type=pa.uint64()),
+                "doc_id": ids.take(id_idx),
+                "band_id": pa.array(bands.astype(np.int32)),
+                "band_key": pa.array(keys.astype(np.int32)),
+                "shard": pa.array(shards.astype(np.int32)),
+                "simhash": pa.array(h_rep),
             }
         )
 
