@@ -64,6 +64,84 @@ def _is_assignable(src: pa.DataType, dst: pa.DataType) -> bool:
     return False
 
 
+# --- Choice (union) type fallback -----------------------------------------
+#
+# The reference's converter handles NiFi CHOICE fields one-way via toString
+# (``SimpleFeatureRecordConverter.scala:516-528``); SURVEY §1.2 maps this to
+# "cast to a common type at ingest". An Arrow union column is resolved to:
+# all-numeric children -> the widest numeric type; all string-like ->
+# string; anything else -> string via each child's cast (the toString
+# analog). The stored schema never contains a union.
+
+_NUMERIC_RANK_ORDER = (pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+                       pa.float32(), pa.float64())
+
+
+def resolve_union_type(t: pa.DataType) -> pa.DataType:
+    """Common concrete type for a union's children (see module note)."""
+    if not pa.types.is_union(t):
+        return t
+    child_types = [t.field(i).type for i in range(t.num_fields)]
+    concrete = [c for c in child_types if not pa.types.is_null(c)]
+    if not concrete:
+        return pa.null()
+    if all(c in _NUMERIC_RANK_ORDER for c in concrete):
+        return max(concrete, key=_NUMERIC_RANK_ORDER.index)
+    if all(pa.types.is_string(c) or pa.types.is_large_string(c) for c in concrete):
+        return pa.string()
+    return pa.string()  # toString fallback, matching the reference
+
+
+def resolve_union_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Cast a union array to its resolved common type, vectorized: each
+    child casts once, then one global ``take`` interleaves rows by type id
+    (dense offsets / sparse row index)."""
+    import numpy as np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if not pa.types.is_union(t):
+        return arr
+    target = resolve_union_type(t)
+    n = len(arr)
+    if n == 0 or pa.types.is_null(target):
+        return pa.nulls(n, type=target if not pa.types.is_null(target) else pa.null())
+    type_codes = np.frombuffer(arr.buffers()[1], dtype=np.int8, count=n + arr.offset)[
+        arr.offset:]
+    cast_children = [pc.cast(arr.field(i), target) for i in range(t.num_fields)]
+    starts = np.cumsum([0] + [len(c) for c in cast_children])
+    # map type code -> child index (codes need not be 0..k-1)
+    code_to_child = {t.type_codes[i]: i for i in range(t.num_fields)}
+    child_idx = np.vectorize(code_to_child.get, otypes=[np.int64])(type_codes)
+    if t.mode == "dense":
+        offsets = np.frombuffer(
+            arr.buffers()[2], dtype=np.int32, count=n + arr.offset
+        )[arr.offset:].astype(np.int64)
+    else:  # sparse: children are row-aligned
+        offsets = np.arange(n, dtype=np.int64)
+    take_idx = starts[child_idx] + offsets
+    return pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                             else c for c in cast_children]).take(pa.array(take_idx))
+
+
+def resolve_union_columns(table: pa.Table) -> tuple[pa.Table, list[str]]:
+    """Replace every union column with its common-type cast; returns the
+    new table and one warning string per coerced column."""
+    warnings: list[str] = []
+    for i, f in enumerate(table.schema):
+        if pa.types.is_union(f.type):
+            resolved = resolve_union_array(table[f.name])
+            table = table.set_column(
+                i, pa.field(f.name, resolved.type, nullable=True), resolved
+            )
+            warnings.append(
+                f"choice/union column {f.name!r} coerced to {resolved.type} "
+                "(one-way, SimpleFeatureRecordConverter.scala:516-528 analog)"
+            )
+    return table, warnings
+
+
 @dataclass
 class SchemaMergeResult:
     schema: pa.Schema                      # stored schema after the merge
@@ -86,6 +164,17 @@ def merge_schemas(
     ``content_hash``, ``bucket``) excluded from the comparison.
     """
     stored_fields = {f.name: f for f in stored if f.name not in ignore}
+    union_warnings: list[str] = []
+    incoming_norm = []
+    for f in incoming:
+        if pa.types.is_union(f.type):
+            rt = resolve_union_type(f.type)
+            union_warnings.append(
+                f"choice/union input column {f.name!r} resolves to {rt} at ingest"
+            )
+            f = pa.field(f.name, rt, nullable=True)
+        incoming_norm.append(f)
+    incoming = pa.schema(incoming_norm)
     incoming_fields = {f.name: f for f in incoming if f.name not in ignore}
 
     extra = [n for n in incoming_fields if n not in stored_fields]
@@ -105,6 +194,7 @@ def merge_schemas(
                 )
 
     result = SchemaMergeResult(schema=stored)
+    result.warnings.extend(union_warnings)
 
     if mode is CompatibilityMode.EXACT:
         if extra or missing or retyped:
@@ -164,6 +254,8 @@ def project_to_schema(table: pa.Table, target: pa.Schema) -> pa.Table:
     for f in target:
         if f.name in table.column_names:
             col = table[f.name]
+            if pa.types.is_union(col.type):
+                col = resolve_union_array(col)   # choice -> common type
             if not col.type.equals(f.type):
                 col = pc.cast(col, f.type)
             cols.append(col)

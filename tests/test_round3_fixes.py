@@ -401,3 +401,77 @@ def test_hot_view_sees_pending_committed_unchanged(ray_session, tmp_path):
     # and once committed, hot == cold
     assert eng.table.snapshot_table(include_pending=True).equals(
         eng.table.snapshot_table())
+
+
+# ------------------------------------------------ choice/union ingestion --
+
+
+def _dense_union(vals):
+    """Build a dense union(int64, string) array from python values."""
+    ints, strs, codes, offs = [], [], [], []
+    for v in vals:
+        if isinstance(v, int):
+            codes.append(0); offs.append(len(ints)); ints.append(v)
+        else:
+            codes.append(1); offs.append(len(strs)); strs.append(v)
+    return pa.UnionArray.from_dense(
+        pa.array(codes, pa.int8()), pa.array(offs, pa.int32()),
+        [pa.array(ints, pa.int64()), pa.array(strs, pa.string())],
+    )
+
+
+def test_union_resolve_tostring():
+    from geomesa_nifi_ray.schema import resolve_union_array, resolve_union_type
+
+    u = _dense_union([1, "x", 2, "y"])
+    assert resolve_union_type(u.type) == pa.string()
+    assert resolve_union_array(u).to_pylist() == ["1", "x", "2", "y"]
+
+
+def test_union_resolve_numeric_widening():
+    from geomesa_nifi_ray.schema import resolve_union_array
+
+    ints = pa.array([1, 2], pa.int32())
+    floats = pa.array([1.5], pa.float64())
+    u = pa.UnionArray.from_dense(
+        pa.array([0, 1, 0], pa.int8()), pa.array([0, 0, 1], pa.int32()),
+        [ints, floats])
+    out = resolve_union_array(u)
+    assert out.type == pa.float64()
+    assert out.to_pylist() == [1.0, 1.5, 2.0]
+
+
+def test_union_merge_schema_and_projection():
+    from geomesa_nifi_ray.schema import (CompatibilityMode, merge_schemas,
+                                         project_to_schema)
+
+    stored = pa.schema([pa.field("id", pa.int64()), pa.field("v", pa.string())])
+    u = _dense_union([10, "a"])
+    incoming = pa.schema([pa.field("id", pa.int64()), pa.field("v", u.type)])
+    mr = merge_schemas(stored, incoming, CompatibilityMode.EXISTING)
+    assert any("choice/union" in w for w in mr.warnings)
+    t = pa.table({"id": pa.array([1, 2], pa.int64()), "v": u})
+    out = project_to_schema(t, stored)
+    assert out["v"].to_pylist() == ["10", "a"]
+
+
+def test_union_column_end_to_end_ingest(ray_session, tmp_path):
+    """A union-typed extra column ingested under UPDATE compatibility: the
+    stored schema evolves with the RESOLVED type and values coerce."""
+    import ray.data
+
+    from geomesa_nifi_ray.schema import CompatibilityMode
+    from geomesa_nifi_ray.synth import synth_change_events
+
+    base = synth_change_events(BinlogSpec(num_events=40, num_urls=20, num_epochs=1))
+    mixed = _dense_union(
+        [i if i % 2 == 0 else f"v{i}" for i in range(base.num_rows)]
+    )
+    t = base.append_column("extra", mixed)
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2,
+                    compatibility=CompatibilityMode.UPDATE)
+    eng.apply_epoch(ray.data.from_arrow(t), epoch=0, offset_range=(0, 39))
+    assert eng.table.schema.field("extra").type == pa.string()
+    snap = eng.table.snapshot_table()
+    vals = [v for v in snap["extra"].to_pylist() if v is not None]
+    assert vals and all(isinstance(v, str) for v in vals)
