@@ -525,7 +525,44 @@ def run_late_exchange(converted_mat, merge_bucket, key: str, order: list[str],
     for r in ray.get(per_bucket):
         if r is not None:
             out.extend(r.to_pylist())
+
+    if os.environ.get("GRAFT_EXCHANGE_STATS"):
+        # Byte/locality accounting for the multi-node rehearsal
+        # (tools/multinode_rehearsal.py): object sizes + placement from the
+        # object directory — payload blocks vs what each round actually
+        # shipped, and whether extract outputs were created on the node
+        # that owns their block (the node-locality claim).
+        from ray.experimental import get_object_locations
+
+        def _tot(refs):
+            locs = get_object_locations(list(refs))
+            return (sum((l.get("object_size") or 0) for l in locs.values()), locs)
+
+        payload_b, payload_locs = _tot(refs)
+        keys_b, _ = _tot(slices)
+        winners_b, _ = _tot([w for w in winner_ids])
+        extract_b, extract_locs = _tot(extracts)
+        colocated = total_pairs = 0
+        for blk_ref, ext_ref in zip(refs, extracts):
+            bn = payload_locs.get(blk_ref, {}).get("node_ids") or []
+            en = extract_locs.get(ext_ref, {}).get("node_ids") or []
+            if bn and en:
+                total_pairs += 1
+                if set(bn) & set(en):
+                    colocated += 1
+        global LAST_EXCHANGE_STATS
+        LAST_EXCHANGE_STATS = {
+            "payload_bytes": int(payload_b),
+            "key_bytes": int(keys_b),
+            "winner_id_bytes": int(winners_b),
+            "extract_bytes": int(extract_b),
+            "extract_colocated": colocated,
+            "extract_pairs": total_pairs,
+        }
     return out
+
+
+LAST_EXCHANGE_STATS: dict | None = None
 
 
 def run_split_exchange(converted_mat, merge_bucket, num_buckets: int,
