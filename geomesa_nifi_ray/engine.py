@@ -88,6 +88,15 @@ def _expand_parquet_paths(paths: list[str]) -> list[str]:
 # columns the engine computes; excluded from the input-vs-stored schema check
 COMPUTED_COLUMNS = ("text", "content_hash")
 
+# Per-row write-mode directive — the flow-file-attribute-driven
+# append/modify switch of FeatureWriters.DynamicWriters:300-328 at ROW
+# granularity: a change row tagged ``_mode='update'`` only updates an
+# existing key (unmatched -> counted failed), ``'upsert'``/null follows the
+# epoch default. A directive, not data: never stored, never part of the
+# schema check.
+MODE_COLUMN = "_mode"
+DIRECTIVE_COLUMNS = (MODE_COLUMN,)
+
 PAGE_SCHEMA = pa.schema(
     [
         pa.field("url", pa.string()),
@@ -144,6 +153,8 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
     out_cols = [f.name for f in stored_schema] + ["bucket", "_dead"]
 
     def convert(batch: pa.Table) -> pa.Table:
+        has_mode = MODE_COLUMN in batch.column_names
+        cols = out_cols + [MODE_COLUMN] if has_mode else out_cols
         valid = pc.and_(
             pc.and_(pc.is_valid(batch[key]), pc.is_valid(batch["warc_ts"])),
             pc.is_valid(batch["html"]),
@@ -153,6 +164,7 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
 
         parts = []
         if good.num_rows:
+            mode_col = pc.cast(good[MODE_COLUMN], pa.string()) if has_mode else None
             text = extract_text_batch(good["html"])
             if "text" in good.column_names:
                 good = good.drop_columns(["text"])
@@ -160,11 +172,13 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
             good = project_to_schema(good, pre_hash_schema)
             good = add_hash_and_bucket(good, num_buckets, url_col=key,
                                        kernel=hash_kernel)
+            if has_mode:   # directive rides the row; the LWW winner's wins
+                good = good.append_column(MODE_COLUMN, mode_col)
             good = lww_dedupe(good, key, order)
             good = good.append_column(
                 "_dead", pa.nulls(good.num_rows, pa.int8()).fill_null(0)
             )
-            parts.append(good.select(out_cols))
+            parts.append(good.select(cols))
         if dead.num_rows:
             # dead-letter skeletons ride to their bucket's merge task only to
             # be counted there (exact single-pass failure accounting; the
@@ -186,11 +200,18 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
             skel = project_to_schema(skel, stored_schema)
             skel = skel.append_column("bucket", pa.array(buckets, type=pa.int32()))
             skel = skel.append_column("_dead", pa.array(np.ones(len(urls), dtype=np.int8)))
-            parts.append(skel.select(out_cols))
+            if has_mode:
+                skel = skel.append_column(
+                    MODE_COLUMN, pa.nulls(len(urls), type=pa.string())
+                )
+            parts.append(skel.select(cols))
         if not parts:
             out = stored_schema.empty_table()
             out = out.append_column("bucket", pa.array([], type=pa.int32()))
-            return out.append_column("_dead", pa.array([], type=pa.int8()))
+            out = out.append_column("_dead", pa.array([], type=pa.int8()))
+            if has_mode:
+                out = out.append_column(MODE_COLUMN, pa.array([], type=pa.string()))
+            return out
         return pa.concat_tables(parts)
 
     return convert
@@ -321,12 +342,40 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
             dead_mask = pc.equal(changes["_dead"], pa.scalar(1, pa.int8()))
             failed = pc.sum(pc.cast(dead_mask, pa.int64())).as_py() or 0
             changes = changes.filter(pc.invert(dead_mask)).drop_columns(["_dead"])
+        # per-row mode directive (DynamicWriters at row granularity):
+        # explicit 'update'/'upsert' wins, null/'' follows the epoch
+        # default; unknown directives dead-letter (counted failed), like
+        # any bad record. changes keeps the upsert-destined rows.
+        update_part = None
+        row_modes = MODE_COLUMN in changes.column_names
+        if row_modes:
+            mcol = pc.fill_null(pc.cast(changes[MODE_COLUMN], pa.string()), "")
+            is_default = pc.equal(mcol, "")
+            is_upd = pc.equal(mcol, "update")
+            is_known = pc.or_(
+                pc.or_(is_upd, pc.equal(mcol, "upsert")), is_default
+            )
+            n_bad = pc.sum(pc.cast(pc.invert(is_known), pa.int64())).as_py() or 0
+            if n_bad:
+                failed += n_bad
+                changes = changes.filter(is_known)
+                mcol = mcol.filter(is_known)
+                is_default = pc.equal(mcol, "")
+                is_upd = pc.equal(mcol, "update")
+            if mode == "update":
+                is_upd = pc.or_(is_upd, is_default)
+            changes = changes.drop_columns([MODE_COLUMN])
+            update_part = changes.filter(is_upd)
+            changes = changes.filter(pc.invert(is_upd))
         entry = ray.get(live_ref).get(bucket)
-        rows_changed = changes.num_rows
+        rows_changed = changes.num_rows + (
+            update_part.num_rows if update_part is not None else 0
+        )
         chain = LakeTable.chain_files(entry) if entry else []
 
         use_delta = (
             mode == "upsert"
+            and (update_part is None or update_part.num_rows == 0)
             and entry is not None
             and changes.num_rows > 0
             and len(entry.get("deltas", [])) < max_deltas
@@ -363,11 +412,25 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
                                 int(entry["rows"]) + inserts, rows_changed,
                                 failed, digest)
 
-        # full-merge path: epoch-0 creation, compaction, partial update
+        # full-merge path: epoch-0 creation, compaction, partial update,
+        # and mixed per-row modes
         base = None
         if chain:
             base = table.merge_chain([sink.read_partition(p) for p in chain], stored_schema)
-        if mode == "upsert":
+        if row_modes:
+            # upsert-destined rows first, then the update-tagged rows
+            # coalesce onto the result (deterministic rule; per-key order
+            # within the epoch was already resolved by LWW)
+            changes = project_to_schema(changes, stored_schema)
+            merged = merge_upsert(base, changes, key, order)
+            if update_part is not None and update_part.num_rows:
+                merged, unmatched = merge_update(
+                    merged, project_to_schema(update_part, stored_schema),
+                    key, order,
+                )
+                failed += unmatched
+            merged = project_to_schema(merged, stored_schema)
+        elif mode == "upsert":
             changes = project_to_schema(changes, stored_schema)
             merged = merge_upsert(base, changes, key, order)
         else:
@@ -808,7 +871,7 @@ class CDCEngine:
 
         # schema reconciliation, once per epoch on the driver (§1.3)
         merge = merge_schemas(
-            self.table.schema, incoming_schema, self.compatibility, ignore=COMPUTED_COLUMNS
+            self.table.schema, incoming_schema, self.compatibility, ignore=COMPUTED_COLUMNS + DIRECTIVE_COLUMNS
         )
         if merge.evolved:
             self.table.set_schema(merge.schema)
@@ -1231,7 +1294,7 @@ class CDCEngine:
         for e in pending:
             files = _expand_parquet_paths(e["files"] if "files" in e else [e["path"]])
             inc = pq.read_schema(files[0])
-            mr = merge_schemas(stored, inc, self.compatibility, ignore=COMPUTED_COLUMNS)
+            mr = merge_schemas(stored, inc, self.compatibility, ignore=COMPUTED_COLUMNS + DIRECTIVE_COLUMNS)
             stored = mr.schema
             plans.append((e, files, stored))
 

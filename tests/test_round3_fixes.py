@@ -475,3 +475,97 @@ def test_union_column_end_to_end_ingest(ray_session, tmp_path):
     snap = eng.table.snapshot_table()
     vals = [v for v in snap["extra"].to_pylist() if v is not None]
     assert vals and all(isinstance(v, str) for v in vals)
+
+
+# ----------------------------------- per-row dynamic write mode (_mode) --
+
+
+def _page_rows(rows, with_mode=None):
+    """rows: list of (url, ts_us, html, lang). with_mode: parallel list."""
+    t = pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "html": pa.array([r[2] for r in rows], pa.large_binary()),
+        "lang": pa.array([r[3] for r in rows], pa.string()),
+        "offset": pa.array(list(range(len(rows))), pa.int64()),
+    })
+    if with_mode is not None:
+        t = t.append_column("_mode", pa.array(with_mode, pa.string()))
+    return t
+
+
+def test_per_row_dynamic_mode_mixed_epoch(ray_session, tmp_path):
+    """DynamicWriters at row granularity: one epoch mixing upsert rows,
+    update rows (no insert for unmatched), defaults, and a bad directive."""
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    base_rows = [(f"https://h/{i}", 1_000_000 + i, b"<p>v0</p>", "en")
+                 for i in range(6)]
+    eng.apply_epoch(ray.data.from_arrow(_page_rows(base_rows)), epoch=0,
+                    offset_range=(0, 5))
+
+    mixed = _page_rows(
+        [
+            ("https://h/0", 9_000_000, b"<p>upd</p>", "de"),   # update existing
+            ("https://h/new1", 9_000_001, b"<p>x</p>", "fr"),  # update, unmatched
+            ("https://h/new2", 9_000_002, b"<p>y</p>", "es"),  # explicit upsert
+            ("https://h/new3", 9_000_003, b"<p>z</p>", "it"),  # default (null)
+            ("https://h/new4", 9_000_004, b"<p>w</p>", "pt"),  # bogus directive
+        ],
+        with_mode=["update", "update", "upsert", None, "bogus"],
+    )
+    # offsets must continue past epoch 0
+    mixed = mixed.set_column(
+        mixed.schema.get_field_index("offset"), "offset",
+        pa.array([10, 11, 12, 13, 14], pa.int64()))
+    res = eng.apply_epoch(ray.data.from_arrow(mixed), epoch=1,
+                          offset_range=(10, 14))
+    # unmatched update (new1) + bogus directive (new4) -> failed
+    assert res.rows_failed == 2
+
+    snap = eng.table.snapshot_table()
+    urls = set(snap["url"].to_pylist())
+    assert "https://h/new1" not in urls        # update never inserts
+    assert "https://h/new4" not in urls        # bad directive dead-lettered
+    assert {"https://h/new2", "https://h/new3"} <= urls   # upsert + default
+    by_url = {u: l for u, l in zip(snap["url"].to_pylist(),
+                                   snap["lang"].to_pylist())}
+    assert by_url["https://h/0"] == "de"       # update applied in place
+    assert by_url["https://h/1"] == "en"       # untouched
+    assert snap.num_rows == 8                  # 6 base + 2 inserts
+
+
+def test_per_row_mode_under_update_epoch_default(ray_session, tmp_path):
+    """Epoch default 'update' with an explicit per-row 'upsert' override:
+    only the tagged row inserts."""
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    eng.apply_epoch(ray.data.from_arrow(_page_rows(
+        [("https://h/a", 1_000_000, b"<p>a</p>", "en")])), epoch=0,
+        offset_range=(0, 0))
+    nxt = _page_rows(
+        [("https://h/b", 2_000_000, b"<p>b</p>", "de"),   # default -> update -> skip
+         ("https://h/c", 2_000_001, b"<p>c</p>", "fr")],  # explicit upsert -> insert
+        with_mode=[None, "upsert"],
+    )
+    nxt = nxt.set_column(nxt.schema.get_field_index("offset"), "offset",
+                         pa.array([10, 11], pa.int64()))
+    res = eng.apply_epoch(ray.data.from_arrow(nxt), epoch=1,
+                          offset_range=(10, 11), mode="update")
+    assert res.rows_failed == 1
+    urls = set(eng.table.snapshot_table()["url"].to_pylist())
+    assert urls == {"https://h/a", "https://h/c"}
+
+
+def test_mode_column_never_stored(ray_session, tmp_path):
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    t = _page_rows([("https://h/x", 1_000_000, b"<p>x</p>", "en")],
+                   with_mode=["upsert"])
+    eng.apply_epoch(ray.data.from_arrow(t), epoch=0, offset_range=(0, 0))
+    assert "_mode" not in eng.table.schema.names
+    assert "_mode" not in eng.table.snapshot_table().column_names
