@@ -85,6 +85,87 @@ def skew_report(table: LakeTable, epoch: int | None = None) -> pd.DataFrame:
     return df.sort_values("rows", ascending=False).reset_index(drop=True)
 
 
+def prometheus_text(table: LakeTable) -> str:
+    """Render the table's ingest counters in the Prometheus text exposition
+    format — the scrape-payload analog of the reference's registry service
+    (``service/PrometheusRegistryService.scala:21-63``; counter naming
+    follows its ``geomesa.ingest.*`` convention). Derived entirely from the
+    manifest commit log, so the endpoint is stateless and exactly matches
+    committed state."""
+    name = table.name
+    epochs = table.manifest_epochs()
+    rows_in = applied = failed = 0
+    last_epoch = -1
+    last_offset = -1
+    for e in epochs:
+        m = table.manifest(e)
+        rows_in += int(m["rows_in"])
+        applied += int(m.get("rows_applied", 0))
+        failed += int(m["rows_failed"])
+        last_epoch = max(last_epoch, int(e))
+        last_offset = max(last_offset, int(m["offset_max"]))
+    entries = table.live_entries()
+    table_rows = sum(int(x["rows"]) for x in entries.values())
+    lab = f'{{table="{name}"}}'
+    lines = [
+        "# HELP geomesa_ingest_consumed change events consumed (rows_in)",
+        "# TYPE geomesa_ingest_consumed counter",
+        f"geomesa_ingest_consumed{lab} {rows_in}",
+        "# HELP geomesa_ingest_successes change rows applied",
+        "# TYPE geomesa_ingest_successes counter",
+        f"geomesa_ingest_successes{lab} {applied}",
+        "# HELP geomesa_ingest_failures change rows dead-lettered/unmatched",
+        "# TYPE geomesa_ingest_failures counter",
+        f"geomesa_ingest_failures{lab} {failed}",
+        "# HELP geomesa_table_rows live table row count",
+        "# TYPE geomesa_table_rows gauge",
+        f"geomesa_table_rows{lab} {table_rows}",
+        "# HELP geomesa_committed_epoch latest committed epoch",
+        "# TYPE geomesa_committed_epoch gauge",
+        f"geomesa_committed_epoch{lab} {last_epoch}",
+        "# HELP geomesa_committed_offset latest committed binlog offset",
+        "# TYPE geomesa_committed_offset gauge",
+        f"geomesa_committed_offset{lab} {last_offset}",
+    ]
+    for b, e in sorted(entries.items()):
+        lines.append(
+            f'geomesa_bucket_rows{{table="{name}",bucket="{b}"}} {int(e["rows"])}'
+        )
+    return "\n".join(lines) + "\n"
+
+
+def serve_metrics(table: LakeTable, port: int = 0, host: str = "127.0.0.1"):
+    """Start a background scrape endpoint (GET /metrics) for one table —
+    the controller-service analog of PrometheusRegistryService. Returns the
+    bound ``(server, port)``; call ``server.shutdown()`` to stop. Each
+    scrape re-reads the commit log (cheap: one JSON per epoch), so results
+    always reflect the latest committed manifest."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (http.server API)
+            if self.path.rstrip("/") not in ("", "/metrics".rstrip("/")):
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = prometheus_text(table).encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, server.server_address[1]
+
+
 class EpochCounters:
     """Optional live counters via ``ray.util.metrics`` (no-op if the metrics
     subsystem is unavailable, e.g. dashboardless local mode)."""

@@ -569,3 +569,40 @@ def test_mode_column_never_stored(ray_session, tmp_path):
     eng.apply_epoch(ray.data.from_arrow(t), epoch=0, offset_range=(0, 0))
     assert "_mode" not in eng.table.schema.names
     assert "_mode" not in eng.table.snapshot_table().column_names
+
+
+# -------------------------------------------- prometheus metrics endpoint --
+
+
+def test_prometheus_text_and_endpoint(ray_session, tmp_path):
+    from urllib.request import urlopen
+
+    from geomesa_nifi_ray.metrics import prometheus_text, serve_metrics
+
+    meta = write_binlog(
+        str(tmp_path / "bl"), BinlogSpec(num_events=300, num_urls=80, num_epochs=2)
+    )
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=4)
+    results = eng.replay_binlog(meta)
+    txt = prometheus_text(eng.table)
+    assert 'geomesa_ingest_consumed{table="pages"} 300' in txt
+    total_failed = sum(r.rows_failed for r in results)
+    assert f'geomesa_ingest_failures{{table="pages"}} {total_failed}' in txt
+    rows = eng.table.snapshot_table().num_rows
+    assert f'geomesa_table_rows{{table="pages"}} {rows}' in txt
+    assert 'geomesa_committed_epoch{table="pages"} 1' in txt
+    assert "# TYPE geomesa_ingest_consumed counter" in txt
+
+    server, port = serve_metrics(eng.table)
+    try:
+        with urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            body = r.read().decode()
+            assert r.status == 200
+            assert "text/plain" in r.headers["Content-Type"]
+        assert body == prometheus_text(eng.table)
+        with urlopen(f"http://127.0.0.1:{port}/nope") as r2:
+            pass
+    except Exception as e:
+        assert "404" in str(e)
+    finally:
+        server.shutdown()
