@@ -1119,6 +1119,121 @@ def q_minhash_clusters_documents(sf_dir: str):
     return dd.assign_duplicate_clusters_ds(pairs)
 
 
+def q_cdc_dynamic_mode(sf_dir: str):
+    """Per-row dynamic write mode (``_mode`` directive — the sub-epoch
+    analog of FeatureWriters.DynamicWriters:300-328): epoch 0 upserted;
+    epoch 1 rows tagged by ``offset % 3`` — 0 -> 'update' (no insert,
+    unmatched dropped+counted), 1 -> 'upsert', else NULL (epoch default).
+    Oracle: full-outer merge of the two epochs' LWW winners in SQL."""
+    import numpy as np
+    import ray.data
+
+    meta = get_binlog(sf_dir)
+    lake_root = os.path.join(
+        CDC_ROOT, _sf_name(sf_dir), f"lake_dynmode-{_lake_key(meta)}"
+    )
+    eng = CDCEngine(lake_root, num_buckets=16)
+    if eng.table.committed_epoch() != 1:
+        e0, e1 = meta["epochs"][0], meta["epochs"][1]
+        eng.apply_epoch(e0["files"], epoch=0,
+                        offset_range=(e0["offset_min"], e0["offset_max"]))
+
+        def tag(t: pa.Table) -> pa.Table:
+            off = pc.cast(t["offset"], pa.int64()).to_numpy(zero_copy_only=False)
+            m3 = off % 3
+            modes = np.where(m3 == 0, "update",
+                             np.where(m3 == 1, "upsert", None))
+            return t.append_column("_mode", pa.array(modes.tolist(), pa.string()))
+
+        ds = ray.data.read_parquet(e1["files"]).map_batches(
+            tag, batch_format="pyarrow"
+        )
+        eng.apply_epoch(ds, epoch=1,
+                        offset_range=(e1["offset_min"], e1["offset_max"]))
+    return eng.table.snapshot_table().select(SNAPSHOT_COLS)
+
+
+_CDC_DYNAMIC_MODE_SQL = """
+WITH base AS (
+  SELECT url, warc_ts, text, lang, "offset" FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, "offset" DESC) AS rn
+    FROM read_parquet('{epoch0}')
+    WHERE html IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
+  ) WHERE rn = 1
+), chg AS (
+  SELECT url, warc_ts, text, lang, "offset",
+         CASE ("offset" % 3) WHEN 0 THEN 'update' WHEN 1 THEN 'upsert' ELSE NULL END AS mode
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, "offset" DESC) AS rn
+    FROM read_parquet('{epoch1}')
+    WHERE html IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
+  ) WHERE rn = 1
+), merged AS (
+  SELECT COALESCE(b.url, c.url) AS url,
+    CASE
+      WHEN c.url IS NULL THEN 'b'
+      WHEN c.mode = 'update' THEN (CASE WHEN b.url IS NULL THEN 'x' ELSE 'c' END)
+      WHEN b.url IS NULL THEN 'c'
+      WHEN c.warc_ts >= b.warc_ts THEN 'c'
+      ELSE 'b'
+    END AS pick,
+    b.warc_ts AS b_ts, b.text AS b_text, b.lang AS b_lang, b."offset" AS b_off,
+    c.warc_ts AS c_ts, c.text AS c_text, c.lang AS c_lang, c."offset" AS c_off
+  FROM base b FULL OUTER JOIN chg c ON b.url = c.url
+)
+SELECT url,
+  CASE pick WHEN 'c' THEN c_ts ELSE b_ts END AS warc_ts,
+  CASE pick WHEN 'c' THEN c_text ELSE b_text END AS text,
+  CASE pick WHEN 'c' THEN c_lang ELSE b_lang END AS lang,
+  md5(url || chr(31)
+      || CAST(epoch_us(CASE pick WHEN 'c' THEN c_ts ELSE b_ts END) AS VARCHAR)
+      || chr(31) || (CASE pick WHEN 'c' THEN c_text ELSE b_text END)
+      || chr(31) || (CASE pick WHEN 'c' THEN c_lang ELSE b_lang END)) AS content_hash,
+  CASE pick WHEN 'c' THEN c_off ELSE b_off END AS "offset"
+FROM merged WHERE pick <> 'x'
+"""
+
+
+def q_union_resolve_events(sf_dir: str):
+    """Choice/union field ingestion (SimpleFeatureRecordConverter.scala:
+    516-528 one-way toString analog): a dense union(int64, string) column
+    built deterministically from events (even event_id -> int branch, odd
+    -> event_type branch) resolved to its common type per batch."""
+    import numpy as np
+    import ray.data
+
+    from geomesa_nifi_ray.schema import resolve_union_array
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        etype = t["event_type"].to_pylist()
+        is_str = (eid % 2) != 0
+        codes = is_str.astype(np.int8)
+        offsets = np.empty(len(eid), dtype=np.int32)
+        offsets[~is_str] = np.arange(int((~is_str).sum()), dtype=np.int32)
+        offsets[is_str] = np.arange(int(is_str.sum()), dtype=np.int32)
+        u = pa.UnionArray.from_dense(
+            pa.array(codes), pa.array(offsets),
+            [pa.array(eid[~is_str]),
+             pa.array([etype[i] for i in np.flatnonzero(is_str)], pa.string())],
+        )
+        return pa.table({"event_id": t["event_id"],
+                         "resolved": resolve_union_array(u)})
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+_UNION_RESOLVE_SQL = """
+SELECT event_id,
+       CASE WHEN event_id % 2 = 0 THEN CAST(event_id AS VARCHAR)
+            ELSE event_type END AS resolved
+FROM events
+"""
+
+
 def q_multimodal_features(sf_dir: str):
     """Multimodal actor-pool plumbing: deterministic synthetic media rows
     -> image-feature extraction (stub decoder; real Ray pipeline). The
@@ -1214,6 +1329,8 @@ QUERIES = {
     "nested_pages_stats": q_nested_pages_stats,
     "orders_semi_join": q_orders_semi_join,
     "cdc_backfill_rewrite": q_cdc_backfill_rewrite,
+    "cdc_dynamic_mode": q_cdc_dynamic_mode,
+    "union_resolve_events": q_union_resolve_events,
     # training-data ops with SQL oracles
     "exact_dedup_documents": q_exact_dedup_documents,
     "content_hash_documents": q_content_hash_documents,
@@ -1305,6 +1422,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "events_distinct_users": _DISTINCT_USERS_SQL,
         "orders_semi_join": _SEMI_JOIN_SQL,
         "cdc_backfill_rewrite": _CDC_BACKFILL_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
+        "cdc_dynamic_mode": _CDC_DYNAMIC_MODE_SQL.format(
+            epoch0=os.path.join(meta["epochs"][0]["path"], "*.parquet"),
+            epoch1=os.path.join(meta["epochs"][1]["path"], "*.parquet"),
+        ),
+        "union_resolve_events": _UNION_RESOLVE_SQL,
         "exact_dedup_documents": _EXACT_DEDUP_SQL,
         "content_hash_documents": _CONTENT_HASH_SQL,
         "token_stats_documents": _TOKEN_STATS_SQL,
