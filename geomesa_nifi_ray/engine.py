@@ -1098,7 +1098,12 @@ class CDCEngine:
                 )
                 base = base.take(pc.sort_indices(base, sort_keys=[(key, "ascending")]))
                 new = project_to_schema(fn(base), stored_schema)
-                if new[key].to_pylist() != base[key].to_pylist():
+                keys_equal = new.num_rows == base.num_rows and bool(
+                    pc.all(pc.equal(
+                        new[key].combine_chunks(), base[key].combine_chunks()
+                    )).as_py()
+                )
+                if not keys_equal:
                     raise SchemaError("rewrite must not alter the key column")
                 new = new.drop_columns(["content_hash"])
                 new = add_hash_and_bucket(new, num_buckets, url_col=key,

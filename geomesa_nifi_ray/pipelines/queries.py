@@ -645,12 +645,28 @@ FROM sess GROUP BY user_id, session_id
 
 
 def q_events_distinct_users(sf_dir: str):
-    """Distinct operator (ds.unique — a shuffle) on the events key."""
+    """Distinct operator on the events key, fully distributed: per-batch
+    combiner (pc.unique inside map_batches) collapses duplicates BEFORE the
+    one groupby shuffle — at web scale the shuffle moves one row per
+    distinct key per block, and only the (small) distinct result is ever
+    materialized, never the raw key column (the round-2 ``ds.unique`` pulled
+    the whole column's uniques through the driver path)."""
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-    vals = sorted(ds.unique("user_id"))
-    return pd.DataFrame({"user_id": pd.Series(vals, dtype="int64")})
+
+    def local_unique(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["user_id"].combine_chunks())
+        return pa.table({"user_id": u})
+
+    def one(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    return (
+        ds.map_batches(local_unique, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(one, batch_format="pyarrow")
+    )
 
 
 _DISTINCT_USERS_SQL = "SELECT DISTINCT user_id FROM events"
