@@ -55,7 +55,8 @@ def _digest_key(data: bytes) -> str:
     """Shard name from already-encoded payload bytes (free: no re-encode)."""
     return hashlib.md5(data).hexdigest()[:20]
 
-FORMATS = ("parquet", "csv", "tsv", "jsonl", "geojsonl", "arrow", "avro")
+FORMATS = ("parquet", "csv", "tsv", "jsonl", "geojsonl", "gml", "gml2",
+           "leaflet", "bin", "arrow", "avro")
 
 # geojsonl: newline-delimited GeoJSON Features — the most-used of
 # ConvertToGeoFile's geometry formats (ConvertToGeoFile.scala:197-211,
@@ -82,6 +83,117 @@ def _geojson_feature(row: dict) -> dict:
     if "id" in row:
         feature["id"] = row["id"]
     return feature
+
+
+# gml / gml2 / leaflet / bin — the remaining ConvertToGeoFile formats
+# (ConvertToGeoFile.scala:197-211), payload-analog semantics documented
+# per encoder below. With geojsonl these bring format parity to the
+# reference's list (its "avro"=GeoAvro ≈ our schema-embedding avro;
+# "avro-native" ≈ the same container with plain schema; "json" ≈ jsonl).
+
+_GML_NS = {
+    "gml": ("http://www.opengis.net/gml/3.2", "gml32"),
+    "gml2": ("http://www.opengis.net/gml", "gml2"),
+}
+
+
+def _encode_gml(batch: pa.Table, version: str) -> bytes:
+    """GML FeatureCollection: one featureMember per row, each column an
+    element (XML-escaped); lon/lat columns emit a gml:Point, otherwise the
+    geometry element is omitted (no geometry in the payload analog)."""
+    from xml.sax.saxutils import escape
+
+    ns, _ = _GML_NS[version]
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>\n',
+        f'<gml:FeatureCollection xmlns:gml="{ns}">\n',
+    ]
+    for row in batch.to_pylist():
+        fid = row.get("id", "")
+        out.append(f'  <gml:featureMember><feature fid="{escape(str(fid))}">\n')
+        lon = next((row[c] for c in _GEO_LON_COLS if c in row), None)
+        lat = next((row[c] for c in _GEO_LAT_COLS if c in row), None)
+        if lon is not None and lat is not None:
+            coords = (f"<gml:pos>{lat} {lon}</gml:pos>" if version == "gml"
+                      else f"<gml:coordinates>{lon},{lat}</gml:coordinates>")
+            out.append(f"    <geometry><gml:Point>{coords}</gml:Point></geometry>\n")
+        for k, v in row.items():
+            if k in _GEO_LON_COLS + _GEO_LAT_COLS:
+                continue
+            out.append(f"    <{k}>{escape('' if v is None else str(v))}</{k}>\n")
+        out.append("  </feature></gml:featureMember>\n")
+    out.append("</gml:FeatureCollection>\n")
+    return "".join(out).encode("utf-8")
+
+
+def _encode_leaflet(batch: pa.Table) -> bytes:
+    """Self-contained Leaflet HTML viewer (the reference's `leaflet` export
+    is an HTML map page embedding the features): the batch's rows as a
+    GeoJSON FeatureCollection wired into a standard Leaflet page skeleton.
+    Deterministic bytes for identical input."""
+    import json
+
+    features = [_geojson_feature(r) for r in batch.to_pylist()]
+    fc = json.dumps({"type": "FeatureCollection", "features": features},
+                    default=str)
+    html = (
+        "<!DOCTYPE html>\n<html><head><meta charset='utf-8'/>"
+        "<title>features</title>\n"
+        "<link rel='stylesheet' href='https://unpkg.com/leaflet@1.9.4/dist/leaflet.css'/>\n"
+        "<script src='https://unpkg.com/leaflet@1.9.4/dist/leaflet.js'></script>\n"
+        "<style>#map{height:100vh}</style></head><body><div id='map'></div>\n"
+        "<script>\nvar data = " + fc + ";\n"
+        "var map = L.map('map').setView([0, 0], 2);\n"
+        "L.tileLayer('https://{s}.tile.openstreetmap.org/{z}/{x}/{y}.png')"
+        ".addTo(map);\n"
+        "var layer = L.geoJSON(data).addTo(map);\n"
+        "try { map.fitBounds(layer.getBounds()); } catch (e) {}\n"
+        "</script></body></html>\n"
+    )
+    return html.encode("utf-8")
+
+
+def _encode_bin(batch: pa.Table) -> bytes:
+    """GeoMesa `bin` format analog: fixed 16-byte little-endian records
+    ``(track_id:int32, dtg_seconds:int32, lat:float32, lon:float32)`` —
+    the compact binary point encoding ConvertToGeoFile exposes. Payload
+    analog: track_id = crc32 of the first string/key column (or the `id`
+    column), dtg from the first timestamp column, lat/lon from lat/lon
+    columns when present else 0.0. Fully vectorized numpy encode."""
+    import zlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    id_col = "id" if "id" in batch.column_names else next(
+        (f.name for f in batch.schema if pa.types.is_string(f.type)
+         or pa.types.is_large_string(f.type)),
+        batch.column_names[0],
+    )
+    ids = batch[id_col].to_pylist()
+    track = np.fromiter((zlib.crc32(str(v).encode()) & 0x7FFFFFFF for v in ids),
+                        dtype=np.int32, count=n)
+    ts_col = next((f.name for f in batch.schema if pa.types.is_timestamp(f.type)), None)
+    if ts_col is not None:
+        secs = (pc.cast(batch[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+                // 1_000_000).astype(np.int32)
+    else:
+        secs = np.zeros(n, dtype=np.int32)
+    def _f32(colnames):
+        c = next((c for c in colnames if c in batch.column_names), None)
+        if c is None:
+            return np.zeros(n, dtype=np.float32)
+        return pc.cast(pc.fill_null(batch[c], 0.0), pa.float32()).to_numpy(
+            zero_copy_only=False)
+    lat = _f32(_GEO_LAT_COLS)
+    lon = _f32(_GEO_LON_COLS)
+    rec = np.empty((n, 4), dtype="<i4")
+    rec[:, 0] = track
+    rec[:, 1] = secs
+    rec[:, 2] = lat.view(np.int32) if lat.dtype == np.float32 else lat.astype(np.float32).view(np.int32)
+    rec[:, 3] = lon.view(np.int32) if lon.dtype == np.float32 else lon.astype(np.float32).view(np.int32)
+    return rec.tobytes()
 
 
 def egress_epoch(table, epoch: int, out_dir: str, format: str = "jsonl",
@@ -113,7 +225,9 @@ def export_dataset(ds, out_dir: str, format: str = "parquet", gzip: bool = False
         return out_dir
 
     ext = {"csv": "csv", "tsv": "tsv", "jsonl": "jsonl",
-           "geojsonl": "geojsonl", "arrow": "arrow", "avro": "avro"}[format]
+           "geojsonl": "geojsonl", "gml": "gml", "gml2": "gml",
+           "leaflet": "html", "bin": "bin",
+           "arrow": "arrow", "avro": "avro"}[format]
     if gzip and format == "arrow":
         raise ValueError("arrow IPC files should use internal compression, not gzip")
     if gzip and format == "avro":
@@ -154,6 +268,12 @@ def export_dataset(ds, out_dir: str, format: str = "parquet", gzip: bool = False
             for row in batch.to_pylist():
                 buf.write(json.dumps(_geojson_feature(row), default=str).encode())
                 buf.write(b"\n")
+        elif format in ("gml", "gml2"):
+            buf.write(_encode_gml(batch, format))
+        elif format == "leaflet":
+            buf.write(_encode_leaflet(batch))
+        elif format == "bin":
+            buf.write(_encode_bin(batch))
         else:  # arrow IPC stream file
             with paipc.new_file(buf, batch.schema) as w:
                 w.write_table(batch)

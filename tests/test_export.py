@@ -133,3 +133,68 @@ def test_export_is_idempotent(ray_session, tmp_path):
     first = sorted(os.listdir(out))
     export_dataset(ray.data.from_arrow(t), out, format="jsonl").to_pandas()
     assert sorted(os.listdir(out)) == first  # same names, no duplicates
+
+
+def test_gml_gml2_export(ray_session, tmp_path):
+    import ray.data
+
+    from geomesa_nifi_ray.export import export_dataset
+
+    t = pa.table({
+        "id": ["f1"], "url": ["https://x/<a>&b"],
+        "lon": pa.array([1.5], pa.float64()), "lat": pa.array([2.5], pa.float64()),
+    })
+    for fmt, needle in [
+        ("gml", "<gml:pos>2.5 1.5</gml:pos>"),
+        ("gml2", "<gml:coordinates>1.5,2.5</gml:coordinates>"),
+    ]:
+        out = str(tmp_path / fmt)
+        lineage = export_dataset(ray.data.from_arrow(t), out, format=fmt).take_all()
+        body = open(lineage[0]["path"]).read()
+        assert body.startswith('<?xml version="1.0"')
+        assert needle in body
+        assert "<url>https://x/&lt;a&gt;&amp;b</url>" in body  # XML escaping
+        assert 'fid="f1"' in body
+
+
+def test_leaflet_export(ray_session, tmp_path):
+    import json
+    import re
+
+    import ray.data
+
+    from geomesa_nifi_ray.export import export_dataset
+
+    t = pa.table({"id": ["a"], "lon": pa.array([3.0]), "lat": pa.array([4.0])})
+    out = str(tmp_path / "lf")
+    lineage = export_dataset(ray.data.from_arrow(t), out, format="leaflet").take_all()
+    body = open(lineage[0]["path"]).read()
+    assert body.startswith("<!DOCTYPE html>")
+    assert "L.geoJSON(data)" in body
+    fc = json.loads(re.search(r"var data = (\{.*?\});\n", body, re.S).group(1))
+    assert fc["features"][0]["geometry"]["coordinates"] == [3.0, 4.0]
+
+
+def test_bin_export_fixed_records(ray_session, tmp_path):
+    import struct
+    import zlib
+
+    import ray.data
+
+    from geomesa_nifi_ray.export import export_dataset
+
+    ts = pa.array([1_700_000_000_000_000, 1_700_000_123_000_000],
+                  pa.int64()).cast(pa.timestamp("us"))
+    t = pa.table({
+        "id": ["u1", "u2"], "warc_ts": ts,
+        "lat": pa.array([10.0, -5.5], pa.float64()),
+        "lon": pa.array([20.0, 30.25], pa.float64()),
+    })
+    out = str(tmp_path / "bin")
+    lineage = export_dataset(ray.data.from_arrow(t), out, format="bin").take_all()
+    data = open(lineage[0]["path"], "rb").read()
+    assert len(data) == 32  # 2 records x 16 bytes
+    r0 = struct.unpack("<iiff", data[:16])
+    assert r0[0] == (zlib.crc32(b"u1") & 0x7FFFFFFF)
+    assert r0[1] == 1_700_000_000
+    assert r0[2] == 10.0 and r0[3] == 20.0
