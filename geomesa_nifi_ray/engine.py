@@ -805,17 +805,27 @@ class CDCEngine:
 
     def _make_convert(self, stored_schema: pa.Schema):
         """Instantiate the converter, passing the table's hash kernel when
-        the factory accepts it (custom 4-arg factories keep working)."""
+        the factory accepts it (custom 4-arg factories keep working;
+        signature inspection, not try/except, so a genuine TypeError inside
+        a factory is never silently retried)."""
+        import inspect
+
         try:
+            params = inspect.signature(self.convert_fn_factory).parameters
+            accepts_kernel = "hash_kernel" in params or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+            )
+        except (TypeError, ValueError):  # builtins / odd callables
+            accepts_kernel = False
+        if accepts_kernel:
             return self.convert_fn_factory(
                 stored_schema, self.table.num_buckets, self.table.key,
                 self.table.order, hash_kernel=self.table.content_hash_kernel,
             )
-        except TypeError:
-            return self.convert_fn_factory(
-                stored_schema, self.table.num_buckets, self.table.key,
-                self.table.order,
-            )
+        return self.convert_fn_factory(
+            stored_schema, self.table.num_buckets, self.table.key,
+            self.table.order,
+        )
 
     # -- epoch application --------------------------------------------------
 
