@@ -214,6 +214,8 @@ def export_dataset(ds, out_dir: str, format: str = "parquet", gzip: bool = False
     """Write a Dataset to ``out_dir`` in the requested format; returns a
     small lineage table (shard path, rows, bytes) for non-parquet formats
     or the output dir for parquet."""
+    if format == "avro-native":   # reference surface alias: our avro IS the
+        format = "avro"           # plain (non-Geo) container
     if format not in FORMATS:
         raise ValueError(f"unknown export format {format!r}; supported: {FORMATS}")
     os.makedirs(out_dir, exist_ok=True)
@@ -282,10 +284,14 @@ def export_dataset(ds, out_dir: str, format: str = "parquet", gzip: bool = False
             data = _gzip.compress(data, compresslevel=6, mtime=0)
         name = f"shard-{_digest_key(data)}.{ext}" + (".gz" if gzip else "")
         path = os.path.join(out_dir, name)
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, path)
+        # resume skip: the name IS the content hash, so an existing file of
+        # the right size already holds these bytes (a half-written crash
+        # leaves only .tmp files, never a short final file)
+        if not (os.path.exists(path) and os.path.getsize(path) == len(data)):
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
         return pa.table(
             {
                 "path": pa.array([path]),
