@@ -224,23 +224,26 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
 
 
 def make_generic_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
-                            order: list[str], hash_cols: list[str] | None = None):
+                            order: list[str], hash_cols: list[str] | None = None,
+                            hash_kernel: str = "md5"):
     """Payload-agnostic convert kernel for NON-page tables: dead-letter rows
-    with null key/order columns, project to the stored schema, md5 content
-    hash over ``hash_cols`` (default: key + order), crc32 bucket, per-batch
-    partial LWW. Lets the same CDC engine (schema evolution, delta merges,
-    exactly-once commit) run over any keyed table — the engine's converter
-    stage is pluggable via ``CDCEngine(convert_fn_factory=...)`` exactly
-    like the reference swaps converter configs per processor."""
-    import hashlib as _hashlib
-
-    from geomesa_nifi_ray.hashing import bucket_ids
+    with null key/order columns, project to the stored schema, content
+    hash over ``hash_cols`` (default: key + order; md5 or vectorized xx64
+    per ``hash_kernel``), crc32 bucket, per-batch partial LWW, per-row
+    ``_mode`` directive passthrough. Lets the same CDC engine (schema
+    evolution, delta merges, exactly-once commit) run over any keyed
+    table — the engine's converter stage is pluggable via
+    ``CDCEngine(convert_fn_factory=...)`` exactly like the reference swaps
+    converter configs per processor."""
+    from geomesa_nifi_ray.hashing import bucket_ids, content_hash_generic
 
     hash_cols = list(hash_cols or [key] + order)
     pre_hash_schema = pa.schema([f for f in stored_schema if f.name != "content_hash"])
     out_cols = [f.name for f in stored_schema] + ["bucket", "_dead"]
 
     def convert(batch: pa.Table) -> pa.Table:
+        has_mode = MODE_COLUMN in batch.column_names
+        cols = out_cols + [MODE_COLUMN] if has_mode else out_cols
         valid = pc.is_valid(batch[key])
         for c in order:
             valid = pc.and_(valid, pc.is_valid(batch[c]))
@@ -248,25 +251,22 @@ def make_generic_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str
         dead = batch.filter(pc.invert(valid))
         parts = []
         if good.num_rows:
+            good = lww_dedupe(good, key, order)   # combiner first: hash winners only
+            mode_col = pc.cast(good[MODE_COLUMN], pa.string()) if has_mode else None
             good = project_to_schema(good, pre_hash_schema)
-            joined = [
-                pc.cast(pc.cast(good[c], pa.string()), pa.string()) for c in hash_cols
-            ]
-            concat = pc.binary_join_element_wise(*joined, "\x1f") if len(joined) > 1 else joined[0]
-            hashes = [
-                None if v is None else _hashlib.md5(v.encode()).hexdigest()
-                for v in concat.to_pylist()
-            ]
-            good = good.append_column("content_hash", pa.array(hashes, type=pa.string()))
+            good = good.append_column(
+                "content_hash", content_hash_generic(good, hash_cols, hash_kernel)
+            )
             keys = [str(k) for k in good[key].to_pylist()]
             good = good.append_column(
                 "bucket", pa.array(bucket_ids(keys, num_buckets), type=pa.int32())
             )
-            good = lww_dedupe(good, key, order)
+            if has_mode:
+                good = good.append_column(MODE_COLUMN, mode_col)
             good = good.append_column(
                 "_dead", pa.nulls(good.num_rows, pa.int8()).fill_null(0)
             )
-            parts.append(good.select(out_cols))
+            parts.append(good.select(cols))
         if dead.num_rows:
             import numpy as np
 
@@ -278,11 +278,18 @@ def make_generic_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str
             skel = skel.append_column(
                 "_dead", pa.array(np.ones(len(keys), dtype=np.int8))
             )
-            parts.append(skel.select(out_cols))
+            if has_mode:
+                skel = skel.append_column(
+                    MODE_COLUMN, pa.nulls(len(keys), type=pa.string())
+                )
+            parts.append(skel.select(cols))
         if not parts:
             out = stored_schema.empty_table()
             out = out.append_column("bucket", pa.array([], type=pa.int32()))
-            return out.append_column("_dead", pa.array([], type=pa.int8()))
+            out = out.append_column("_dead", pa.array([], type=pa.int8()))
+            if has_mode:
+                out = out.append_column(MODE_COLUMN, pa.array([], type=pa.string()))
+            return out
         return pa.concat_tables(parts)
 
     return convert

@@ -92,6 +92,39 @@ def content_hash_xx64(batch: pa.Table, url_col: str = "url",
     return _hex16(h)
 
 
+def content_hash_generic(batch: pa.Table, hash_cols: list[str],
+                         kernel: str = "md5") -> pa.Array:
+    """Content hash over arbitrary columns (``\\x1f``-joined string casts,
+    nulls -> ''). md5 keeps the DuckDB-oracle form ``md5(c1 || chr(31) ||
+    c2 …)``; xx64 is the vectorized scale kernel (module docstring)."""
+    if kernel not in CONTENT_HASH_KERNELS:
+        raise ValueError(f"unknown content hash kernel {kernel!r}; "
+                         f"supported: {CONTENT_HASH_KERNELS}")
+    parts = [pc.cast(batch[c], pa.string()) for c in hash_cols]
+    parts = [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+             for p in parts]
+    # a null in ANY hash column keeps the hash null (join's emit_null
+    # default) — matching the established generic-convert semantics
+    joined = (pc.binary_join_element_wise(*parts, HASH_SEP)
+              if len(parts) > 1 else parts[0])
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    if kernel == "xx64":
+        import polars as pl
+
+        null_mask = pc.is_null(joined)
+        h = pl.from_arrow(pc.fill_null(joined, "")).hash(seed=0) \
+            .to_numpy().astype(np.uint64)
+        hexed = _hex16(h)
+        if joined.null_count:
+            hexed = pc.if_else(null_mask, pa.nulls(len(hexed), pa.string()),
+                               hexed)
+        return hexed
+    out = [None if v is None else hashlib.md5(v.encode("utf-8")).hexdigest()
+           for v in joined.to_pylist()]
+    return pa.array(out, type=pa.string())
+
+
 def content_hash_rows(
     urls: list[str],
     ts_us: np.ndarray,
