@@ -606,3 +606,61 @@ def test_prometheus_text_and_endpoint(ray_session, tmp_path):
         assert "404" in str(e)
     finally:
         server.shutdown()
+
+
+# ------------------------------------------------------ stress behaviors --
+
+
+def test_large_page_payloads(ray_session, tmp_path):
+    """FIXTURES F1 allows html up to ~256 KB; the engine must ingest large
+    payloads (large_binary offsets, batch memory) and keep the text
+    invariant."""
+    import ray.data
+
+    from geomesa_nifi_ray.text import extract_text
+
+    big_body = ("<p>" + "lorem ipsum dolor sit amet " * 2000 + "</p>") * 4
+    htmls = [(f"<html><body>{big_body}<i>v{i}</i></body></html>").encode()
+             for i in range(8)]
+    assert len(htmls[0]) > 200_000
+    t = pa.table({
+        "url": pa.array([f"https://big/{i}" for i in range(8)]),
+        "warc_ts": pa.array([1_000_000 + i for i in range(8)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array(htmls, pa.large_binary()),
+        "lang": pa.array(["en"] * 8),
+        "offset": pa.array(list(range(8)), pa.int64()),
+    })
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    res = eng.apply_epoch(ray.data.from_arrow(t), epoch=0, offset_range=(0, 7))
+    assert res.rows_failed == 0
+    snap = eng.table.snapshot_table()
+    assert snap.num_rows == 8
+    by_url = dict(zip(snap["url"].to_pylist(), snap["text"].to_pylist()))
+    assert by_url["https://big/3"] == extract_text(htmls[3])
+
+
+def test_hot_key_flood_collapses_before_shuffle(ray_session, tmp_path):
+    """Skew lever: 50k duplicate events for TWO urls collapse to one row
+    per url per batch in the combiner; the table ends at 2 rows and the
+    manifest records the collapse."""
+    import numpy as np
+    import ray.data
+
+    n = 50_000
+    urls = np.where(np.arange(n) % 2 == 0, "https://hot/a", "https://hot/b")
+    t = pa.table({
+        "url": pa.array(urls.tolist()),
+        "warc_ts": pa.array(np.arange(n, dtype=np.int64) + 1_000_000).cast(
+            pa.timestamp("us")),
+        "html": pa.array([b"<p>x</p>"] * n, pa.large_binary()),
+        "lang": pa.array(["en"] * n),
+        "offset": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=4)
+    res = eng.apply_epoch(ray.data.from_arrow(t), epoch=0, offset_range=(0, n - 1))
+    snap = eng.table.snapshot_table()
+    assert snap.num_rows == 2
+    # LWW picked the max-(warc_ts, offset) event per url
+    assert sorted(snap["offset"].to_pylist()) == [n - 2, n - 1]
+    assert res.rows_collapsed > 0.9 * n   # the combiner did the work
