@@ -31,30 +31,30 @@ from geomesa_nifi_ray.similarity import fixed_dim_matrix
 # ------------------------------------------------------------- exact dedup --
 
 
-def add_content_hash(ds, cols: list[str], out_col: str = "content_hash"):
-    """md5 over the concatenated columns (chr(31)-separated) — DuckDB oracle:
-    ``md5(col1 || chr(31) || col2 …)``."""
+def add_content_hash(ds, cols: list[str], out_col: str = "content_hash",
+                     kernel: str = "md5"):
+    """Content hash over the concatenated columns (chr(31)-separated).
+    ``md5`` (default) matches the DuckDB oracle ``md5(col1 || chr(31) ||
+    col2 …)``; ``xx64`` is the vectorized scale kernel (hashing.py)."""
+    from geomesa_nifi_ray.hashing import content_hash_generic
 
     def stage(batch: pa.Table) -> pa.Table:
-        parts = [pc.cast(batch[c], pa.string()) for c in cols]
-        joined = pc.binary_join_element_wise(*parts, "\x1f") if len(parts) > 1 else parts[0]
-        hashes = [
-            None if v is None else hashlib.md5(v.encode("utf-8")).hexdigest()
-            for v in joined.to_pylist()
-        ]
-        return batch.append_column(out_col, pa.array(hashes, type=pa.string()))
+        return batch.append_column(
+            out_col, content_hash_generic(batch, cols, kernel)
+        )
 
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
-def exact_dedup(ds, cols: list[str], id_col: str, keep: str = "min"):
+def exact_dedup(ds, cols: list[str], id_col: str, keep: str = "min",
+                hash_kernel: str = "md5"):
     """Keep one representative row per exact content (min/max id wins).
 
     Two-phase: per-batch partial reduction (combiner) then one groupby over
     the already-reduced rows — a duplicate-heavy corpus mostly collapses
     before the shuffle.
     """
-    ds = add_content_hash(ds, cols)
+    ds = add_content_hash(ds, cols, kernel=hash_kernel)
 
     def reduce_one_per_hash(t: pa.Table) -> pa.Table:
         """Arrow-native: sort by (hash, id) then keep the first/last row of
