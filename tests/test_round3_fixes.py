@@ -664,3 +664,29 @@ def test_hot_key_flood_collapses_before_shuffle(ray_session, tmp_path):
     # LWW picked the max-(warc_ts, offset) event per url
     assert sorted(snap["offset"].to_pylist()) == [n - 2, n - 1]
     assert res.rows_collapsed > 0.9 * n   # the combiner did the work
+
+
+def test_cc_random_graphs_match_union_find(ray_session):
+    """Five seeded random graphs (mixed densities, int ids): the
+    alternating-star Dataset CC must equal driver union-find exactly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from geomesa_nifi_ray.dedup import duplicate_clusters_dataset
+
+    for seed in range(5):
+        rng = np.random.RandomState(seed)
+        n_nodes = int(rng.randint(20, 400))
+        n_edges = int(rng.randint(10, 600))
+        a = rng.randint(0, n_nodes, n_edges)
+        b = rng.randint(0, n_nodes, n_edges)
+        keep = a != b
+        edges = list(zip(a[keep].tolist(), b[keep].tolist()))
+        if not edges:
+            continue
+        df = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+        out = duplicate_clusters_dataset(ray.data.from_pandas(df),
+                                         num_shards=8).to_pandas()
+        got = dict(zip(out["doc_id"], out["cluster"]))
+        assert got == _cc_reference(edges), f"seed={seed}"
