@@ -690,3 +690,33 @@ def test_cc_random_graphs_match_union_find(ray_session):
                                          num_shards=8).to_pandas()
         got = dict(zip(out["doc_id"], out["cluster"]))
         assert got == _cc_reference(edges), f"seed={seed}"
+
+
+# ------------------------------------------------------ epoch time travel --
+
+
+def test_snapshot_time_travel(ray_session, tmp_path):
+    """Manifests are a full commit history: snapshot(epoch=N) reproduces
+    the table state as of epoch N exactly (within the vacuum retention
+    window), including pre-evolution states."""
+    meta = write_binlog(
+        str(tmp_path / "bl"), BinlogSpec(num_events=600, num_urls=150, num_epochs=3)
+    )
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=4)
+    e0 = meta["epochs"][0]
+    eng.apply_epoch(e0["files"], epoch=0,
+                    offset_range=(e0["offset_min"], e0["offset_max"]))
+    state0 = eng.table.snapshot_table()
+    for e in meta["epochs"][1:]:
+        eng.apply_epoch(e["files"], epoch=int(e["epoch"]),
+                        offset_range=(e["offset_min"], e["offset_max"]))
+    # historical read is byte-identical to the live read taken at the time
+    assert eng.table.snapshot_table(epoch=0).equals(state0)
+    assert eng.table.committed_epoch() == 2
+    assert not eng.table.snapshot_table().equals(state0)
+    # max offset visible at epoch 0 stays within epoch 0's range
+    assert max(eng.table.snapshot_table(epoch=0)["offset"].to_pylist()) \
+        <= int(e0["offset_max"])
+    # vacuum keeping 3 epochs preserves all three read points
+    eng.table.vacuum(retain_epochs=3)
+    assert eng.table.snapshot_table(epoch=0).equals(state0)
