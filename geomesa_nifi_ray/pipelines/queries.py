@@ -1250,6 +1250,32 @@ FROM events
 """
 
 
+def q_cdc_lang_counts_view(sf_dir: str):
+    """Incrementally-maintained materialized view (the downstream-consumer
+    loop a CDC engine exists for): COUNT(*) GROUP BY lang over the lake's
+    winners, maintained per epoch from change deltas (+new winner / -prior
+    value of the same key), never rescanned. Oracle: full GROUP BY over
+    the LWW winner set — incremental must equal recompute exactly."""
+    from geomesa_nifi_ray.derived import GroupCountView
+
+    eng = run_cdc_replay(sf_dir)
+    view = GroupCountView(eng.table, os.path.join(eng.lake_root, "views"),
+                          group_col="lang")
+    view.refresh()
+    return view.as_table()
+
+
+_CDC_LANG_COUNTS_SQL = """
+WITH ranked AS (
+  SELECT lang,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, "offset" DESC) AS rn
+  FROM read_parquet('{glob}')
+  WHERE html IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n FROM ranked WHERE rn = 1 GROUP BY lang
+"""
+
+
 def q_multimodal_features(sf_dir: str):
     """Multimodal actor-pool plumbing: deterministic synthetic media rows
     -> image-feature extraction (stub decoder; real Ray pipeline). The
@@ -1347,6 +1373,7 @@ QUERIES = {
     "cdc_backfill_rewrite": q_cdc_backfill_rewrite,
     "cdc_dynamic_mode": q_cdc_dynamic_mode,
     "union_resolve_events": q_union_resolve_events,
+    "cdc_lang_counts_view": q_cdc_lang_counts_view,
     # training-data ops with SQL oracles
     "exact_dedup_documents": q_exact_dedup_documents,
     "content_hash_documents": q_content_hash_documents,
@@ -1443,6 +1470,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             epoch1=os.path.join(meta["epochs"][1]["path"], "*.parquet"),
         ),
         "union_resolve_events": _UNION_RESOLVE_SQL,
+        "cdc_lang_counts_view": _CDC_LANG_COUNTS_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         "exact_dedup_documents": _EXACT_DEDUP_SQL,
         "content_hash_documents": _CONTENT_HASH_SQL,
         "token_stats_documents": _TOKEN_STATS_SQL,

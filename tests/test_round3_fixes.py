@@ -720,3 +720,73 @@ def test_snapshot_time_travel(ray_session, tmp_path):
     # vacuum keeping 3 epochs preserves all three read points
     eng.table.vacuum(retain_epochs=3)
     assert eng.table.snapshot_table(epoch=0).equals(state0)
+
+
+# -------------------------------------- incremental materialized view --
+
+
+def _lang_counts_of(snap):
+    import collections
+    return dict(collections.Counter(snap["lang"].to_pylist()))
+
+
+def test_group_count_view_incremental_equals_recompute(ray_session, tmp_path):
+    """After every epoch, the incrementally-maintained view must equal a
+    full recompute over the live winners."""
+    from geomesa_nifi_ray.derived import GroupCountView
+
+    meta = write_binlog(
+        str(tmp_path / "bl"), BinlogSpec(num_events=900, num_urls=220, num_epochs=3)
+    )
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=4)
+    view = GroupCountView(eng.table, str(tmp_path / "views"), group_col="lang")
+    for e in meta["epochs"]:
+        eng.apply_epoch(e["files"], epoch=int(e["epoch"]),
+                        offset_range=(e["offset_min"], e["offset_max"]))
+        assert view.refresh() == 1
+        assert view.counts() == _lang_counts_of(eng.table.snapshot_table()), \
+            f"epoch {e['epoch']}"
+    # idempotent: nothing new to apply, state unchanged
+    before = view.counts()
+    assert view.refresh() == 0
+    assert view.counts() == before
+    # rebuild from scratch agrees with the incremental state
+    view2 = GroupCountView(eng.table, str(tmp_path / "views2"), group_col="lang")
+    view2.rebuild()
+    assert view2.counts() == before
+
+
+def test_group_count_view_after_update_epoch(ray_session, tmp_path):
+    """An update-mode epoch changes existing keys' group values in place;
+    the view's +new/-old delta must track it."""
+    import ray.data
+
+    from geomesa_nifi_ray.derived import GroupCountView
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    base = pa.table({
+        "url": pa.array([f"https://u/{i}" for i in range(6)]),
+        "warc_ts": pa.array([1_000_000 + i for i in range(6)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([b"<p>x</p>"] * 6, pa.large_binary()),
+        "lang": pa.array(["en", "en", "en", "de", "de", "fr"]),
+        "offset": pa.array(list(range(6)), pa.int64()),
+    })
+    eng.apply_epoch(ray.data.from_arrow(base), epoch=0, offset_range=(0, 5))
+    view = GroupCountView(eng.table, str(tmp_path / "views"), group_col="lang")
+    view.refresh()
+    assert view.counts() == {"en": 3, "de": 2, "fr": 1}
+
+    upd = pa.table({
+        "url": pa.array(["https://u/0", "https://u/3"]),
+        "warc_ts": pa.array([9_000_000, 9_000_001], pa.int64()).cast(
+            pa.timestamp("us")),
+        "html": pa.array([b"<p>y</p>"] * 2, pa.large_binary()),
+        "lang": pa.array(["zh", "zh"]),      # en->zh, de->zh
+        "offset": pa.array([10, 11], pa.int64()),
+    })
+    eng.apply_epoch(ray.data.from_arrow(upd), epoch=1, offset_range=(10, 11),
+                    mode="update")
+    view.refresh()
+    assert view.counts() == {"en": 2, "de": 1, "fr": 1, "zh": 2}
+    assert view.counts() == _lang_counts_of(eng.table.snapshot_table())
