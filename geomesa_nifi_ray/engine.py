@@ -95,7 +95,19 @@ COMPUTED_COLUMNS = ("text", "content_hash")
 # epoch default. A directive, not data: never stored, never part of the
 # schema check.
 MODE_COLUMN = "_mode"
-DIRECTIVE_COLUMNS = (MODE_COLUMN,)
+
+# Per-row operation directive — delete events. The reference's upstream
+# Kafka model carries GeoMessage.Delete alongside Change
+# (GetGeoMesaKafkaRecord.scala:273 collects only Change); real CDC replay
+# needs both, so a change row tagged ``_op='delete'`` removes its key,
+# ranked against upserts by the same (warc_ts, offset) LWW order — a later
+# upsert resurrects the key, a later delete wins over an earlier upsert.
+# Delete events carry no payload (html may be null without dead-lettering).
+# Buckets receiving deletes take the full-merge (compaction) path, so no
+# tombstone ever persists in the lake files — the documented trade-off is
+# delete-heavy epochs pay bucket compaction instead of a delta append.
+OP_COLUMN = "_op"
+DIRECTIVE_COLUMNS = (MODE_COLUMN, OP_COLUMN)
 
 PAGE_SCHEMA = pa.schema(
     [
@@ -128,6 +140,7 @@ class EpochResult:
     rows_in: int
     rows_applied: int          # change rows surviving dedup + merge input
     rows_failed: int           # dead-lettered (null key/ts/html) + no-match updates
+    rows_deleted: int = 0      # keys removed by delete events this epoch
     rows_collapsed: int = 0    # duplicates collapsed by the LWW combiner
     buckets_touched: int = 0
     buckets_carried: int = 0
@@ -154,10 +167,23 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
 
     def convert(batch: pa.Table) -> pa.Table:
         has_mode = MODE_COLUMN in batch.column_names
-        cols = out_cols + [MODE_COLUMN] if has_mode else out_cols
+        has_op = OP_COLUMN in batch.column_names
+        cols = list(out_cols)
+        if has_mode:
+            cols.append(MODE_COLUMN)
+        if has_op:
+            cols.append(OP_COLUMN)
+        html_ok = pc.is_valid(batch["html"])
+        if has_op:
+            # delete events are payload-less: key+ts suffice
+            html_ok = pc.or_(
+                html_ok,
+                pc.equal(pc.fill_null(pc.cast(batch[OP_COLUMN], pa.string()), ""),
+                         "delete"),
+            )
         valid = pc.and_(
             pc.and_(pc.is_valid(batch[key]), pc.is_valid(batch["warc_ts"])),
-            pc.is_valid(batch["html"]),
+            html_ok,
         )
         good = batch.filter(valid)
         dead = batch.filter(pc.invert(valid))
@@ -173,6 +199,7 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
             good = lww_dedupe(good, key, order)
             text = extract_text_batch(good["html"])
             mode_col = pc.cast(good[MODE_COLUMN], pa.string()) if has_mode else None
+            op_col = pc.cast(good[OP_COLUMN], pa.string()) if has_op else None
             if "text" in good.column_names:
                 good = good.drop_columns(["text"])
             good = good.append_column("text", text)
@@ -181,6 +208,8 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
                                        kernel=hash_kernel)
             if has_mode:   # directive rides the row; the LWW winner's wins
                 good = good.append_column(MODE_COLUMN, mode_col)
+            if has_op:
+                good = good.append_column(OP_COLUMN, op_col)
             good = good.append_column(
                 "_dead", pa.nulls(good.num_rows, pa.int8()).fill_null(0)
             )
@@ -210,6 +239,10 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
                 skel = skel.append_column(
                     MODE_COLUMN, pa.nulls(len(urls), type=pa.string())
                 )
+            if has_op:
+                skel = skel.append_column(
+                    OP_COLUMN, pa.nulls(len(urls), type=pa.string())
+                )
             parts.append(skel.select(cols))
         if not parts:
             out = stored_schema.empty_table()
@@ -217,6 +250,8 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
             out = out.append_column("_dead", pa.array([], type=pa.int8()))
             if has_mode:
                 out = out.append_column(MODE_COLUMN, pa.array([], type=pa.string()))
+            if has_op:
+                out = out.append_column(OP_COLUMN, pa.array([], type=pa.string()))
             return out
         return pa.concat_tables(parts)
 
@@ -333,7 +368,7 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
     live_ref = ray.put(live)
 
     def _lineage_row(bucket, file, deltas, epoch_file, rows, rows_changed,
-                     failed, digest) -> pa.Table:
+                     failed, digest, deleted=0) -> pa.Table:
         return pa.table(
             {
                 "bucket": pa.array([bucket], type=pa.int32()),
@@ -343,6 +378,7 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
                 "rows": pa.array([rows], type=pa.int64()),
                 "rows_changed": pa.array([rows_changed], type=pa.int64()),
                 "rows_failed": pa.array([failed], type=pa.int64()),
+                "rows_deleted": pa.array([deleted], type=pa.int64()),
                 "digest": pa.array([digest], type=pa.string()),
             }
         )
@@ -355,6 +391,27 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
             dead_mask = pc.equal(changes["_dead"], pa.scalar(1, pa.int8()))
             failed = pc.sum(pc.cast(dead_mask, pa.int64())).as_py() or 0
             changes = changes.filter(pc.invert(dead_mask)).drop_columns(["_dead"])
+        # per-row op directive: split delete events out first. Deletes rank
+        # against the surviving winner by the same (warc_ts, offset) order
+        # in the final filter below; unknown ops dead-letter.
+        delete_part = None
+        if OP_COLUMN in changes.column_names:
+            ocol = pc.fill_null(pc.cast(changes[OP_COLUMN], pa.string()), "")
+            is_del = pc.equal(ocol, "delete")
+            op_known = pc.or_(
+                pc.or_(is_del, pc.equal(ocol, "upsert")), pc.equal(ocol, "")
+            )
+            n_bad_op = pc.sum(pc.cast(pc.invert(op_known), pa.int64())).as_py() or 0
+            if n_bad_op:
+                failed += n_bad_op
+                changes = changes.filter(op_known)
+                ocol = ocol.filter(op_known)
+                is_del = pc.equal(ocol, "delete")
+            changes = changes.drop_columns([OP_COLUMN])
+            if (pc.sum(pc.cast(is_del, pa.int64())).as_py() or 0) > 0:
+                delete_part = changes.filter(is_del)
+                changes = changes.filter(pc.invert(is_del))
+
         # per-row mode directive (DynamicWriters at row granularity):
         # explicit 'update'/'upsert' wins, null/'' follows the epoch
         # default; unknown directives dead-letter (counted failed), like
@@ -383,12 +440,13 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
         entry = ray.get(live_ref).get(bucket)
         rows_changed = changes.num_rows + (
             update_part.num_rows if update_part is not None else 0
-        )
+        ) + (delete_part.num_rows if delete_part is not None else 0)
         chain = LakeTable.chain_files(entry) if entry else []
 
         use_delta = (
             mode == "upsert"
             and (update_part is None or update_part.num_rows == 0)
+            and (delete_part is None or delete_part.num_rows == 0)
             and entry is not None
             and changes.num_rows > 0
             and len(entry.get("deltas", [])) < max_deltas
@@ -450,15 +508,38 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
             merged, unmatched = merge_update(base, changes, key, order)
             failed += unmatched
             merged = project_to_schema(merged, stored_schema)
+        rows_deleted = 0
+        if delete_part is not None and delete_part.num_rows:
+            # rank delete events against the surviving winners: concat with
+            # an _op tag, per-key LWW under the same total order, and drop
+            # keys whose winner is a delete. Absent-key deletes are no-ops
+            # (removeFeatures-on-missing-id semantics).
+            dels = project_to_schema(delete_part, stored_schema)
+            tagged = pa.concat_tables([
+                merged.append_column(
+                    OP_COLUMN, pa.nulls(merged.num_rows, pa.string()).fill_null("")
+                ),
+                dels.append_column(
+                    OP_COLUMN,
+                    pa.nulls(dels.num_rows, pa.string()).fill_null("delete"),
+                ),
+            ])
+            win = lww_dedupe(tagged, key, order)
+            kept = win.filter(
+                pc.invert(pc.equal(win[OP_COLUMN], "delete"))
+            ).drop_columns([OP_COLUMN])
+            rows_deleted = merged.num_rows - kept.num_rows
+            merged = kept
         if merged.num_rows == 0 and base is None:
-            # bucket touched only by dead-letter skeletons: keep no file,
-            # report the failures
-            return _lineage_row(bucket, None, [], None, 0, 0, failed, "")
+            # bucket touched only by dead-letter skeletons / no-op deletes:
+            # keep no file, report the failures
+            return _lineage_row(bucket, None, [], None, 0, rows_changed,
+                                failed, "", rows_deleted)
         merged = merged.take(pc.sort_indices(merged, sort_keys=[(key, "ascending")]))
         rel = sink.write_partition(merged, bucket, epoch)
         digest = digest_of_hashes(merged["content_hash"].to_pylist())
         return _lineage_row(bucket, rel, [], rel, merged.num_rows, rows_changed,
-                            failed, digest)
+                            failed, digest, rows_deleted)
 
     return merge_bucket
 
@@ -1048,6 +1129,7 @@ class CDCEngine:
         # duplicates collapsed by LWW are neither (rows_collapsed)
         rows_applied = sum(int(r["rows_changed"]) for r in touched.values())
         rows_failed = sum(int(r["rows_failed"]) for r in touched.values())
+        rows_deleted = sum(int(r.get("rows_deleted", 0) or 0) for r in touched.values())
         rows_collapsed = max(0, rows_in - rows_applied - rows_failed)
         if offset_range is None:
             offset_range = (-1, -1)
@@ -1060,6 +1142,7 @@ class CDCEngine:
             "rows_in": int(rows_in),
             "rows_applied": int(rows_applied),
             "rows_failed": int(rows_failed),
+            "rows_deleted": int(rows_deleted),
             "rows_collapsed": int(rows_collapsed),
             "mode": mode,
             "schema_version": self.table.meta["schema_version"],
@@ -1074,6 +1157,7 @@ class CDCEngine:
             rows_in=rows_in,
             rows_applied=rows_applied,
             rows_failed=rows_failed,
+            rows_deleted=rows_deleted,
             rows_collapsed=rows_collapsed,
             buckets_touched=len(touched),
             buckets_carried=carried,

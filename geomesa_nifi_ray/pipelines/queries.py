@@ -1276,6 +1276,72 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n FROM ranked WHERE rn = 1 GROUP BY lan
 """
 
 
+def q_cdc_deletes(sf_dir: str):
+    """Delete events (the reference's upstream GeoMessage.Delete, which
+    GetGeoMesaKafkaRecord.scala:273 filters out): epoch 0 upserted, then
+    epoch 1 replayed with rows at ``offset % 5 == 0`` turned into
+    payload-less deletes (html nulled, ``_op='delete'``). A delete removes
+    its key iff it wins the (warc_ts, offset) LWW against every other
+    version. Oracle: rank ALL events per url (deletes included) and keep
+    non-delete winners."""
+    import ray.data
+
+    meta = get_binlog(sf_dir)
+    lake_root = os.path.join(
+        CDC_ROOT, _sf_name(sf_dir), f"lake_del-{_lake_key(meta)}"
+    )
+    eng = CDCEngine(lake_root, num_buckets=16)
+    if eng.table.committed_epoch() != 1:
+        e0, e1 = meta["epochs"][0], meta["epochs"][1]
+        eng.apply_epoch(e0["files"], epoch=0,
+                        offset_range=(e0["offset_min"], e0["offset_max"]))
+
+        def tag(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            off = pc.cast(t["offset"], pa.int64()).to_numpy(zero_copy_only=False)
+            is_del = (off % 5) == 0
+            ops = np.where(is_del, "delete", None)
+            mask = pa.array(~is_del)
+            html = pc.if_else(mask, t["html"],
+                              pa.nulls(t.num_rows, t["html"].type))
+            t = t.set_column(t.schema.get_field_index("html"), "html", html)
+            return t.append_column("_op", pa.array(ops.tolist(), pa.string()))
+
+        ds = ray.data.read_parquet(e1["files"]).map_batches(
+            tag, batch_format="pyarrow"
+        )
+        eng.apply_epoch(ds, epoch=1,
+                        offset_range=(e1["offset_min"], e1["offset_max"]))
+    return eng.table.snapshot_table().select(SNAPSHOT_COLS)
+
+
+_CDC_DELETES_SQL = """
+WITH events AS (
+  SELECT url, warc_ts, text, lang, "offset", 'row' AS op
+  FROM read_parquet('{epoch0}')
+  WHERE html IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
+  UNION ALL
+  SELECT url, warc_ts,
+         CASE WHEN "offset" % 5 = 0 THEN NULL ELSE text END AS text,
+         CASE WHEN "offset" % 5 = 0 THEN NULL ELSE lang END AS lang,
+         "offset",
+         CASE WHEN "offset" % 5 = 0 THEN 'delete' ELSE 'row' END AS op
+  FROM read_parquet('{epoch1}')
+  WHERE url IS NOT NULL AND warc_ts IS NOT NULL
+    AND (html IS NOT NULL OR "offset" % 5 = 0)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, "offset" DESC) AS rn
+  FROM events
+)
+SELECT url, warc_ts, text, lang,
+       md5(url || chr(31) || CAST(epoch_us(warc_ts) AS VARCHAR)
+               || chr(31) || text || chr(31) || lang) AS content_hash,
+       "offset"
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def q_multimodal_features(sf_dir: str):
     """Multimodal actor-pool plumbing: deterministic synthetic media rows
     -> image-feature extraction (stub decoder; real Ray pipeline). The
@@ -1374,6 +1440,7 @@ QUERIES = {
     "cdc_dynamic_mode": q_cdc_dynamic_mode,
     "union_resolve_events": q_union_resolve_events,
     "cdc_lang_counts_view": q_cdc_lang_counts_view,
+    "cdc_deletes": q_cdc_deletes,
     # training-data ops with SQL oracles
     "exact_dedup_documents": q_exact_dedup_documents,
     "content_hash_documents": q_content_hash_documents,
@@ -1471,6 +1538,10 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         ),
         "union_resolve_events": _UNION_RESOLVE_SQL,
         "cdc_lang_counts_view": _CDC_LANG_COUNTS_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
+        "cdc_deletes": _CDC_DELETES_SQL.format(
+            epoch0=os.path.join(meta["epochs"][0]["path"], "*.parquet"),
+            epoch1=os.path.join(meta["epochs"][1]["path"], "*.parquet"),
+        ),
         "exact_dedup_documents": _EXACT_DEDUP_SQL,
         "content_hash_documents": _CONTENT_HASH_SQL,
         "token_stats_documents": _TOKEN_STATS_SQL,

@@ -47,6 +47,10 @@ class SchemaError(ValueError):
 def _is_assignable(src: pa.DataType, dst: pa.DataType) -> bool:
     if src.equals(dst):
         return True
+    if pa.types.is_null(src):
+        # an all-null column (e.g. payload-less delete events) carries no
+        # type information; projection null-fills it into any stored type
+        return True
     numeric_rank = {
         pa.int8(): 0, pa.int16(): 1, pa.int32(): 2, pa.int64(): 3,
         pa.float32(): 4, pa.float64(): 5,

@@ -790,3 +790,104 @@ def test_group_count_view_after_update_epoch(ray_session, tmp_path):
     view.refresh()
     assert view.counts() == {"en": 2, "de": 1, "fr": 1, "zh": 2}
     assert view.counts() == _lang_counts_of(eng.table.snapshot_table())
+
+
+# ------------------------------------------------- delete events (_op) --
+
+
+def test_delete_events_lww_ranked(ray_session, tmp_path):
+    """GeoMessage.Delete analog: payload-less delete events remove keys,
+    ranked by the same (warc_ts, offset) order — a STALE delete (older ts
+    than the surviving version) must NOT remove the key; absent-key deletes
+    are no-ops."""
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    base = pa.table({
+        "url": pa.array([f"https://d/{i}" for i in range(4)]),
+        "warc_ts": pa.array([5_000_000 + i for i in range(4)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([b"<p>x</p>"] * 4, pa.large_binary()),
+        "lang": pa.array(["en"] * 4),
+        "offset": pa.array(list(range(4)), pa.int64()),
+    })
+    eng.apply_epoch(ray.data.from_arrow(base), epoch=0, offset_range=(0, 3))
+
+    ops = pa.table({
+        "url": pa.array(["https://d/0", "https://d/1", "https://d/9",
+                         "https://d/new"]),
+        "warc_ts": pa.array([9_000_000,      # newer -> deletes d/0
+                             1_000_000,      # STALE -> d/1 survives
+                             9_000_002,      # absent key -> no-op
+                             9_000_003],     # plain upsert rides along
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([None, None, None, b"<p>n</p>"], pa.large_binary()),
+        "lang": pa.array([None, None, None, "fr"]),
+        "offset": pa.array([10, 11, 12, 13], pa.int64()),
+        "_op": pa.array(["delete", "delete", "delete", None]),
+    })
+    res = eng.apply_epoch(ray.data.from_arrow(ops), epoch=1,
+                          offset_range=(10, 13))
+    assert res.rows_deleted == 1          # only d/0 actually removed
+    assert res.rows_failed == 0           # payload-less deletes are valid
+    urls = set(eng.table.snapshot_table()["url"].to_pylist())
+    assert urls == {"https://d/1", "https://d/2", "https://d/3",
+                    "https://d/new"}
+    assert res.manifest["rows_deleted"] == 1
+
+
+def test_delete_then_resurrect_same_epoch(ray_session, tmp_path):
+    """Within one epoch, delete + later upsert of the same key: the later
+    upsert wins (LWW over ops); delete after the upsert kills it."""
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    t = pa.table({
+        "url": pa.array(["https://r/a"] * 2 + ["https://r/b"] * 2),
+        "warc_ts": pa.array([1_000_000, 2_000_000, 1_000_000, 2_000_000],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([None, b"<p>res</p>", b"<p>b</p>", None],
+                         pa.large_binary()),
+        "lang": pa.array([None, "en", "en", None]),
+        "offset": pa.array([0, 1, 2, 3], pa.int64()),
+        "_op": pa.array(["delete", None, None, "delete"]),
+    })
+    eng.apply_epoch(ray.data.from_arrow(t), epoch=0, offset_range=(0, 3))
+    snap = eng.table.snapshot_table()
+    assert snap["url"].to_pylist() == ["https://r/a"]   # b deleted, a resurrected
+    assert snap["text"].to_pylist() == ["res"]
+
+
+def test_delete_crash_resume_identical(ray_session, tmp_path):
+    import glob
+    import os
+
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    base = pa.table({
+        "url": pa.array([f"https://c/{i}" for i in range(5)]),
+        "warc_ts": pa.array([1_000_000 + i for i in range(5)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([b"<p>x</p>"] * 5, pa.large_binary()),
+        "lang": pa.array(["en"] * 5),
+        "offset": pa.array(list(range(5)), pa.int64()),
+    })
+    eng.apply_epoch(ray.data.from_arrow(base), epoch=0, offset_range=(0, 4))
+    dels = pa.table({
+        "url": pa.array(["https://c/1", "https://c/3"]),
+        "warc_ts": pa.array([9_000_000, 9_000_001], pa.int64()).cast(
+            pa.timestamp("us")),
+        "html": pa.array([None, None], pa.large_binary()),
+        "lang": pa.array([None, None]),
+        "offset": pa.array([10, 11], pa.int64()),
+        "_op": pa.array(["delete", "delete"]),
+    })
+    eng.apply_epoch(ray.data.from_arrow(dels), epoch=1, offset_range=(10, 11))
+    snap1 = eng.table.snapshot_table()
+    # crash: drop the epoch-1 manifest, replay the delete epoch
+    log = sorted(glob.glob(str(tmp_path / "lake/pages/_log/epoch-*.json")))[-1]
+    os.remove(log)
+    eng2 = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    eng2.apply_epoch(ray.data.from_arrow(dels), epoch=1, offset_range=(10, 11))
+    assert eng2.table.snapshot_table().equals(snap1)
