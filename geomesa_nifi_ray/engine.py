@@ -1165,6 +1165,46 @@ class CDCEngine:
             manifest=manifest,
         )
 
+    def truncate(self, epoch: int | None = None) -> EpochResult | None:
+        """Whole-table clear as an exactly-once epoch — the GeoMessage.Clear
+        analog of the reference's upstream Kafka model (the companion to
+        ``_op='delete'``). Commits a manifest referencing NO bucket files:
+        readers resolve through manifests only, so the table is empty from
+        this epoch on while pre-clear epochs remain time-travel-readable
+        until vacuumed. No data file is touched or deleted here (vacuum
+        reclaims them by the normal retention rule)."""
+        committed = self.table.committed_epoch()
+        if epoch is None:
+            epoch = 0 if committed is None else committed + 1
+        if committed is not None and epoch <= committed:
+            logger.info("epoch %d already committed; skipping truncate", epoch)
+            return None
+        manifest = {
+            "epoch": int(epoch),
+            "epochs_covered": [int(epoch), int(epoch)],
+            "table": self.table_name,
+            "offset_min": -1,
+            "offset_max": -1,
+            "rows_in": 0,
+            "rows_applied": 0,
+            "rows_failed": 0,
+            "rows_deleted": sum(
+                int(e["rows"]) for e in self.table.live_entries().values()
+            ),
+            "rows_collapsed": 0,
+            "mode": "clear",
+            "schema_version": self.table.meta["schema_version"],
+            "schema_fingerprint": self.table.schema_fingerprint(),
+            "kernel_version": TEXT_KERNEL_VERSION,
+            "buckets": {},
+        }
+        self.sink.commit(manifest)
+        return EpochResult(
+            epoch=int(epoch), rows_in=0, rows_applied=0, rows_failed=0,
+            rows_deleted=int(manifest["rows_deleted"]), buckets_touched=0,
+            buckets_carried=0, table_rows=0, manifest=manifest,
+        )
+
     def rewrite_epoch(self, fn, epoch: int | None = None) -> EpochResult:
         """Lake-wide rewrite as a new epoch: apply a batch function to every
         live bucket and commit the result atomically (the UPDATE-WHERE /

@@ -891,3 +891,39 @@ def test_delete_crash_resume_identical(ray_session, tmp_path):
     eng2 = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
     eng2.apply_epoch(ray.data.from_arrow(dels), epoch=1, offset_range=(10, 11))
     assert eng2.table.snapshot_table().equals(snap1)
+
+
+def test_truncate_clear_epoch(ray_session, tmp_path):
+    """GeoMessage.Clear analog: a clear epoch empties the table
+    exactly-once; time travel to pre-clear epochs still works; ingest
+    resumes cleanly afterwards."""
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    base = pa.table({
+        "url": pa.array([f"https://t/{i}" for i in range(5)]),
+        "warc_ts": pa.array([1_000_000 + i for i in range(5)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([b"<p>x</p>"] * 5, pa.large_binary()),
+        "lang": pa.array(["en"] * 5),
+        "offset": pa.array(list(range(5)), pa.int64()),
+    })
+    eng.apply_epoch(ray.data.from_arrow(base), epoch=0, offset_range=(0, 4))
+    pre = eng.table.snapshot_table()
+
+    res = eng.truncate()
+    assert res.epoch == 1 and res.rows_deleted == 5
+    assert eng.table.snapshot_table().num_rows == 0
+    assert eng.table.snapshot_table(epoch=0).equals(pre)   # time travel
+    assert eng.truncate(epoch=1) is None                   # idempotent
+
+    nxt = pa.table({
+        "url": pa.array(["https://t/0"]),
+        "warc_ts": pa.array([9_000_000], pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([b"<p>again</p>"], pa.large_binary()),
+        "lang": pa.array(["de"]),
+        "offset": pa.array([10], pa.int64()),
+    })
+    eng.apply_epoch(ray.data.from_arrow(nxt), epoch=2, offset_range=(10, 10))
+    snap = eng.table.snapshot_table()
+    assert snap.num_rows == 1 and snap["lang"].to_pylist() == ["de"]
