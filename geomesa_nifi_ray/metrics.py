@@ -47,6 +47,7 @@ def lineage_table(table: LakeTable) -> pa.Table:
                     "offset_max": int(m["offset_max"]),
                     "rows_in": int(m["rows_in"]),
                     "rows_failed": int(m["rows_failed"]),
+                    "rows_deleted": int(m.get("rows_deleted", 0)),
                     "schema_version": int(m["schema_version"]),
                     "kernel_version": m["kernel_version"],
                 }
@@ -66,6 +67,7 @@ def lineage_table(table: LakeTable) -> pa.Table:
                 "offset_max": pa.array([], type=pa.int64()),
                 "rows_in": pa.array([], type=pa.int64()),
                 "rows_failed": pa.array([], type=pa.int64()),
+                "rows_deleted": pa.array([], type=pa.int64()),
                 "schema_version": pa.array([], type=pa.int64()),
                 "kernel_version": pa.array([], type=pa.string()),
             }
@@ -94,7 +96,7 @@ def prometheus_text(table: LakeTable) -> str:
     committed state."""
     name = table.name
     epochs = table.manifest_epochs()
-    rows_in = applied = failed = 0
+    rows_in = applied = failed = deleted = 0
     last_epoch = -1
     last_offset = -1
     for e in epochs:
@@ -102,6 +104,7 @@ def prometheus_text(table: LakeTable) -> str:
         rows_in += int(m["rows_in"])
         applied += int(m.get("rows_applied", 0))
         failed += int(m["rows_failed"])
+        deleted += int(m.get("rows_deleted", 0))
         last_epoch = max(last_epoch, int(e))
         last_offset = max(last_offset, int(m["offset_max"]))
     entries = table.live_entries()
@@ -117,6 +120,9 @@ def prometheus_text(table: LakeTable) -> str:
         "# HELP geomesa_ingest_failures change rows dead-lettered/unmatched",
         "# TYPE geomesa_ingest_failures counter",
         f"geomesa_ingest_failures{lab} {failed}",
+        "# HELP geomesa_ingest_deletes keys removed by delete/clear events",
+        "# TYPE geomesa_ingest_deletes counter",
+        f"geomesa_ingest_deletes{lab} {deleted}",
         "# HELP geomesa_table_rows live table row count",
         "# TYPE geomesa_table_rows gauge",
         f"geomesa_table_rows{lab} {table_rows}",
