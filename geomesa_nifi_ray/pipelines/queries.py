@@ -1342,6 +1342,51 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_embedding_clusters(sf_dir: str):
+    """Distributed connected components with a FULLY-SQL oracle: near-dup
+    pairs from the exact-cosine criterion (same as embedding_neardup),
+    clustered by the alternating Large-Star/Small-Star Dataset algorithm;
+    the oracle computes the transitive closure with a recursive CTE and
+    takes the per-component minimum — the CC math itself is SQL-checked,
+    not golden-pinned."""
+    import ray.data
+
+    from geomesa_nifi_ray.dedup import duplicate_clusters_dataset
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               override_num_blocks=_DOC_BLOCKS)
+    pairs = dd.embedding_lsh_neardup_pairs(ds, tau=0.4, planes=4, tables=32)
+    out = duplicate_clusters_dataset(pairs.select_columns(["doc_a", "doc_b"]))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": t["doc_id"], "cluster": t["cluster"]})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+_EMBEDDING_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+), edges AS (
+  SELECT pa AS a, pb AS b FROM pairs
+  UNION
+  SELECT pb, pa FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+), nodes AS (
+  SELECT DISTINCT a AS n FROM edges
+)
+SELECT n AS vec_id,
+       LEAST(n, MIN(r.b)) AS cluster
+FROM nodes JOIN reach r ON r.a = n
+GROUP BY n
+"""
+
+
 def q_multimodal_features(sf_dir: str):
     """Multimodal actor-pool plumbing: deterministic synthetic media rows
     -> image-feature extraction (stub decoder; real Ray pipeline). The
@@ -1441,6 +1486,7 @@ QUERIES = {
     "union_resolve_events": q_union_resolve_events,
     "cdc_lang_counts_view": q_cdc_lang_counts_view,
     "cdc_deletes": q_cdc_deletes,
+    "embedding_clusters": q_embedding_clusters,
     # training-data ops with SQL oracles
     "exact_dedup_documents": q_exact_dedup_documents,
     "content_hash_documents": q_content_hash_documents,
@@ -1550,6 +1596,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "schema_project_documents": _SCHEMA_PROJECT_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+        "embedding_clusters": _EMBEDDING_CLUSTERS_SQL,
         "ngram_dedup_documents": _NGRAM_DEDUP_SQL,
         "nested_pages_stats": _NESTED_PAGES_SQL.format(path=_nested_pages_path(sf_dir)),
         "training_data_prep": _TRAINING_PREP_SQL,
