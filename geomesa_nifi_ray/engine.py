@@ -278,7 +278,12 @@ def make_generic_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str
 
     def convert(batch: pa.Table) -> pa.Table:
         has_mode = MODE_COLUMN in batch.column_names
-        cols = out_cols + [MODE_COLUMN] if has_mode else out_cols
+        has_op = OP_COLUMN in batch.column_names
+        cols = list(out_cols)
+        if has_mode:
+            cols.append(MODE_COLUMN)
+        if has_op:
+            cols.append(OP_COLUMN)
         valid = pc.is_valid(batch[key])
         for c in order:
             valid = pc.and_(valid, pc.is_valid(batch[c]))
@@ -288,6 +293,7 @@ def make_generic_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str
         if good.num_rows:
             good = lww_dedupe(good, key, order)   # combiner first: hash winners only
             mode_col = pc.cast(good[MODE_COLUMN], pa.string()) if has_mode else None
+            op_col = pc.cast(good[OP_COLUMN], pa.string()) if has_op else None
             good = project_to_schema(good, pre_hash_schema)
             good = good.append_column(
                 "content_hash", content_hash_generic(good, hash_cols, hash_kernel)
@@ -298,6 +304,8 @@ def make_generic_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str
             )
             if has_mode:
                 good = good.append_column(MODE_COLUMN, mode_col)
+            if has_op:
+                good = good.append_column(OP_COLUMN, op_col)
             good = good.append_column(
                 "_dead", pa.nulls(good.num_rows, pa.int8()).fill_null(0)
             )
@@ -317,6 +325,10 @@ def make_generic_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str
                 skel = skel.append_column(
                     MODE_COLUMN, pa.nulls(len(keys), type=pa.string())
                 )
+            if has_op:
+                skel = skel.append_column(
+                    OP_COLUMN, pa.nulls(len(keys), type=pa.string())
+                )
             parts.append(skel.select(cols))
         if not parts:
             out = stored_schema.empty_table()
@@ -324,6 +336,8 @@ def make_generic_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str
             out = out.append_column("_dead", pa.array([], type=pa.int8()))
             if has_mode:
                 out = out.append_column(MODE_COLUMN, pa.array([], type=pa.string()))
+            if has_op:
+                out = out.append_column(OP_COLUMN, pa.array([], type=pa.string()))
             return out
         return pa.concat_tables(parts)
 

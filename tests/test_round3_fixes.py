@@ -927,3 +927,37 @@ def test_truncate_clear_epoch(ray_session, tmp_path):
     eng.apply_epoch(ray.data.from_arrow(nxt), epoch=2, offset_range=(10, 10))
     snap = eng.table.snapshot_table()
     assert snap.num_rows == 1 and snap["lang"].to_pylist() == ["de"]
+
+
+def test_generic_table_delete_events(ray_session, tmp_path):
+    """Delete directives work through the generic (non-page) converter and
+    an alternate Sink backend path too."""
+    import ray.data
+
+    from geomesa_nifi_ray.engine import make_generic_convert_fn
+
+    schema = pa.schema([
+        pa.field("k", pa.string()), pa.field("v", pa.int64()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("content_hash", pa.string()), pa.field("offset", pa.int64()),
+    ])
+    eng = CDCEngine(str(tmp_path / "lake"), table_name="kv", schema=schema,
+                    num_buckets=2, key="k",
+                    convert_fn_factory=make_generic_convert_fn)
+    base = pa.table({
+        "k": ["a", "b", "c"], "v": pa.array([1, 2, 3], pa.int64()),
+        "warc_ts": pa.array([1_000_000 + i for i in range(3)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "offset": pa.array([0, 1, 2], pa.int64()),
+    })
+    eng.apply_epoch(ray.data.from_arrow(base), epoch=0, offset_range=(0, 2))
+    dels = pa.table({
+        "k": ["b"], "v": pa.array([None], pa.int64()),
+        "warc_ts": pa.array([9_000_000], pa.int64()).cast(pa.timestamp("us")),
+        "offset": pa.array([10], pa.int64()),
+        "_op": pa.array(["delete"]),
+    })
+    res = eng.apply_epoch(ray.data.from_arrow(dels), epoch=1,
+                          offset_range=(10, 10))
+    assert res.rows_deleted == 1
+    assert set(eng.table.snapshot_table()["k"].to_pylist()) == {"a", "c"}
