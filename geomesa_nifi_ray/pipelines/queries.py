@@ -1387,6 +1387,21 @@ GROUP BY n
 """
 
 
+def q_multimodal_video_frames(sf_dir: str):
+    """Video path of the multimodal trio: deterministic media payloads ->
+    FrameSampleStage (frame-sample expansion as a batch-wise flat_map over
+    an actor pool; decoding stubbed per the container constraint, the Ray
+    plumbing — schema, expansion, per-frame hashing — real)."""
+    import ray.data
+
+    from geomesa_nifi_ray.multimodal import FrameSampleStage, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(64, seed=7))
+    return ds.map_batches(FrameSampleStage, batch_format="pyarrow",
+                          batch_size=16, concurrency=2,
+                          fn_constructor_kwargs={"num_frames": 3})
+
+
 def q_multimodal_features(sf_dir: str):
     """Multimodal actor-pool plumbing: deterministic synthetic media rows
     -> image-feature extraction (stub decoder; real Ray pipeline). The
@@ -1487,6 +1502,7 @@ QUERIES = {
     "cdc_lang_counts_view": q_cdc_lang_counts_view,
     "cdc_deletes": q_cdc_deletes,
     "embedding_clusters": q_embedding_clusters,
+    "multimodal_video_frames": q_multimodal_video_frames,
     # training-data ops with SQL oracles
     "exact_dedup_documents": q_exact_dedup_documents,
     "content_hash_documents": q_content_hash_documents,
@@ -1525,6 +1541,7 @@ _GOLDEN_QUERIES = [
     "fingerprint_documents",
     "multimodal_features",
     "multimodal_audio_features",
+    "multimodal_video_frames",
     "embedding_ivf_topk",
 ]
 

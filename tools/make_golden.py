@@ -31,6 +31,7 @@ GOLDEN_QUERIES = [
     "fingerprint_documents",
     "multimodal_features",
     "multimodal_audio_features",
+    "multimodal_video_frames",
     "embedding_ivf_topk",
 ]
 
