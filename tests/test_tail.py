@@ -68,3 +68,41 @@ def test_tail_idle_stop(ray_session, tmp_path):
     assert time.time() - t0 < 30
     # nothing new -> immediate idle exit, no re-apply
     assert eng.tail(live, poll_interval=0.1, max_idle_polls=1) == []
+
+
+def test_tail_applies_delete_epoch(ray_session, tmp_path):
+    """End-to-end GeoMessage loop through the live tailer: an arriving
+    epoch dir containing payload-less delete events removes keys."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta, staging, live = _staged_binlog(tmp_path)
+    _publish(meta, staging, live, 0)
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=4)
+    eng.tail(live, poll_interval=0.05, max_idle_polls=2)
+    snap0 = eng.table.snapshot_table()
+    victims = snap0["url"].to_pylist()[:5]
+
+    # publish a hand-built delete epoch dir (next epoch number)
+    nxt = eng.table.committed_epoch() + 1
+    lo = int(meta["epochs"][0]["offset_max"]) + 1_000
+    newer = int(pa.compute.max(snap0["warc_ts"].cast(pa.int64())).as_py()) + 1_000_000
+    dels = pa.table({
+        "url": pa.array(victims),
+        "warc_ts": pa.array([newer + i for i in range(5)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([None] * 5, pa.large_binary()),
+        "lang": pa.array([None] * 5, pa.string()),
+        "offset": pa.array([lo + i for i in range(5)], pa.int64()),
+        "_op": pa.array(["delete"] * 5),
+    })
+    edir = os.path.join(live, f"epoch-{nxt:05d}")
+    os.makedirs(edir + ".tmp")
+    pq.write_table(dels, os.path.join(edir + ".tmp", "part-00000.parquet"))
+    os.replace(edir + ".tmp", edir)
+
+    res = eng.tail(live, poll_interval=0.05, max_idle_polls=2)
+    assert sum(r.rows_deleted for r in res) == 5
+    urls = set(eng.table.snapshot_table()["url"].to_pylist())
+    assert not urls & set(victims)
+    assert len(urls) == snap0.num_rows - 5
