@@ -33,6 +33,12 @@ Scope: offset-monotonic CDC epochs (upsert / update / per-row modes).
 Out-of-band rewrites (``rewrite_epoch``) change rows without advancing
 offsets; call ``rebuild()`` after one (documented, asserted by keeping
 the full-recompute path first-class).
+
+Cardinality: view state is a JSON counts map — right for group columns
+with up to ~10^6 distinct values (lang, host, content-type...). A
+high-cardinality view (group = url prefix, say) would keep the same
+delta math but store counts as a keyed parquet table updated through the
+generic CDC engine itself; the per-epoch delta computation is unchanged.
 """
 
 from __future__ import annotations
