@@ -644,11 +644,18 @@ def run_late_exchange(converted_mat, merge_bucket, key: str, order: list[str],
 
     winner_ids = [select_winners.remote(b, slices) for b in range(num_buckets)]
 
+    # Bucket-range pre-split of the extract outputs: each block's winner
+    # payloads come back as EG parts (one per bucket-range group), so a
+    # merge task pulls only its group's parts — per-NODE network is
+    # O(winner bytes), not O(winner bytes x nodes) (without the split,
+    # every node hosting merges pulls every extract object once).
+    EG = max(1, min(16, num_buckets))
+
     @ray.remote
-    def extract_block(block: pa.Table, block_id: int, winner_refs) -> pa.Table:
+    def extract_block(block: pa.Table, block_id: int, winner_refs):
         """Node-local payload extraction: take this block's winning rows
-        (across all buckets) in one pass; output sorted by (bucket, _row)
-        so merge tasks slice their range with searchsorted."""
+        (across all buckets) in one pass, sorted by (bucket, _row), and
+        pre-split into EG bucket-range parts for targeted fetch."""
         import numpy as np
         import ray as _ray
 
@@ -664,14 +671,28 @@ def run_late_exchange(converted_mat, merge_bucket, key: str, order: list[str],
                               "b": w["bucket"].filter(pa.array(m))})
                 )
         if not picks:
-            return block.schema.empty_table()
+            empty = block.schema.empty_table()
+            return tuple([empty] * EG) if EG > 1 else empty
         sel = pa.concat_tables(picks)
         rows = sel["_row"].to_numpy(zero_copy_only=False)
         bks = sel["b"].to_numpy(zero_copy_only=False)
         o = np.lexsort((rows, bks))
-        return block.take(pa.array(rows[o]))
+        extracted = block.take(pa.array(rows[o]))
+        if EG == 1:
+            return extracted
+        gs = (bks[o].astype(np.int64) * EG) // num_buckets
+        outs = []
+        for gi in range(EG):
+            lo = int(np.searchsorted(gs, gi, side="left"))
+            hi = int(np.searchsorted(gs, gi, side="right"))
+            outs.append(extracted.slice(lo, hi - lo))
+        return tuple(outs)
 
-    extracts = [extract_block.remote(r, i, winner_ids) for i, r in enumerate(refs)]
+    extracts = [
+        extract_block.options(num_returns=EG).remote(r, i, winner_ids)
+        if EG > 1 else [extract_block.remote(r, i, winner_ids)]
+        for i, r in enumerate(refs)
+    ]
 
     @ray.remote
     def merge_task(bucket: int, extract_refs):
@@ -679,7 +700,7 @@ def run_late_exchange(converted_mat, merge_bucket, key: str, order: list[str],
         import ray as _ray
 
         parts = []
-        for p in _ray.get(list(extract_refs)):   # winner payloads only (tiny)
+        for p in _ray.get(list(extract_refs)):   # this group's winner payloads
             if p.num_rows == 0:
                 continue
             bl = p["bucket"].to_numpy(zero_copy_only=False)
@@ -691,7 +712,11 @@ def run_late_exchange(converted_mat, merge_bucket, key: str, order: list[str],
             return None
         return merge_bucket(pa.concat_tables(parts))
 
-    per_bucket = [merge_task.remote(b, extracts) for b in range(num_buckets)]
+    per_bucket = [
+        merge_task.remote(b, [extracts[i][(b * EG) // num_buckets]
+                              for i in range(len(extracts))])
+        for b in range(num_buckets)
+    ]
     out = []
     for r in ray.get(per_bucket):
         if r is not None:
@@ -712,11 +737,12 @@ def run_late_exchange(converted_mat, merge_bucket, key: str, order: list[str],
         payload_b, payload_locs = _tot(refs)
         keys_b, _ = _tot(slices)
         winners_b, _ = _tot([w for w in winner_ids])
-        extract_b, extract_locs = _tot(extracts)
+        flat_extracts = [p for parts in extracts for p in parts]
+        extract_b, extract_locs = _tot(flat_extracts)
         colocated = total_pairs = 0
-        for blk_ref, ext_ref in zip(refs, extracts):
+        for blk_ref, part_refs in zip(refs, extracts):
             bn = payload_locs.get(blk_ref, {}).get("node_ids") or []
-            en = extract_locs.get(ext_ref, {}).get("node_ids") or []
+            en = extract_locs.get(part_refs[0], {}).get("node_ids") or []
             if bn and en:
                 total_pairs += 1
                 if set(bn) & set(en):
