@@ -1402,6 +1402,69 @@ def q_multimodal_video_frames(sf_dir: str):
                           fn_constructor_kwargs={"num_frames": 3})
 
 
+def q_sample_documents(sf_dir: str):
+    """Deterministic hash sample (SURVEY §2.6 gap: reproducible,
+    cluster-size-independent sampling for training mixes): keep documents
+    whose md5(doc_id) sorts below hex '28' (~15.6%)."""
+    import ray.data
+
+    from geomesa_nifi_ray.sampling import hash_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    return hash_sample(ds, "doc_id", threshold="28")
+
+
+_SAMPLE_DOCS_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) < '28'
+"""
+
+
+def q_shuffle_documents(sf_dir: str):
+    """Seeded deterministic global shuffle: the permutation is
+    md5('s0' || doc_id) — identical on any cluster size (ds.random_shuffle
+    is not reproducible across runs/parallelism; this is)."""
+    import ray.data
+
+    from geomesa_nifi_ray.sampling import deterministic_shuffle
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    return deterministic_shuffle(ds, "doc_id", seed="s0")
+
+
+_SHUFFLE_DOCS_SQL = """
+SELECT doc_id, md5('s0' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents
+"""
+
+
+def q_stratified_cap_documents(sf_dir: str):
+    """Per-group quota (the training-mix lever: cap rows per language/
+    domain): at most 40 documents per lang, chosen by the stable seeded
+    hash order so the selection survives resharding."""
+    import ray.data
+
+    from geomesa_nifi_ray.sampling import stratified_cap
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    return stratified_cap(ds, "lang", "doc_id", cap=40, seed="s0")
+
+
+_STRATIFIED_CAP_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('s0' || CAST(doc_id AS VARCHAR))
+         ) AS rn
+  FROM documents
+) WHERE rn <= 40
+"""
+
+
 def q_multimodal_features(sf_dir: str):
     """Multimodal actor-pool plumbing: deterministic synthetic media rows
     -> image-feature extraction (stub decoder; real Ray pipeline). The
@@ -1503,6 +1566,9 @@ QUERIES = {
     "cdc_deletes": q_cdc_deletes,
     "embedding_clusters": q_embedding_clusters,
     "multimodal_video_frames": q_multimodal_video_frames,
+    "sample_documents": q_sample_documents,
+    "shuffle_documents": q_shuffle_documents,
+    "stratified_cap_documents": q_stratified_cap_documents,
     # training-data ops with SQL oracles
     "exact_dedup_documents": q_exact_dedup_documents,
     "content_hash_documents": q_content_hash_documents,
@@ -1614,6 +1680,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "embedding_clusters": _EMBEDDING_CLUSTERS_SQL,
+        "sample_documents": _SAMPLE_DOCS_SQL,
+        "shuffle_documents": _SHUFFLE_DOCS_SQL,
+        "stratified_cap_documents": _STRATIFIED_CAP_SQL,
         "ngram_dedup_documents": _NGRAM_DEDUP_SQL,
         "nested_pages_stats": _NESTED_PAGES_SQL.format(path=_nested_pages_path(sf_dir)),
         "training_data_prep": _TRAINING_PREP_SQL,
