@@ -1465,6 +1465,109 @@ SELECT doc_id, lang FROM (
 """
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+def q_pii_scrub_documents(sf_dir: str):
+    """PII scrubbing (training-data hygiene): emails and phone-like spans
+    replaced with placeholder tokens, fully vectorized Arrow-RE2 passes.
+    DuckDB's regexp_replace runs the same RE2 engine, so the oracle is
+    byte-exact."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        x = pc.replace_substring_regex(t["text"], pattern=_PII_EMAIL,
+                                       replacement="<EMAIL>")
+        x = pc.replace_substring_regex(x, pattern=_PII_PHONE,
+                                       replacement="<PHONE>")
+        return pa.table({"doc_id": t["doc_id"], "text": x})
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+_PII_SCRUB_SQL = """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+         '{phone}', '<PHONE>', 'g') AS text
+FROM documents
+"""
+
+
+def q_contamination_documents(sf_dir: str):
+    """Benchmark-contamination screen: flag documents containing any
+    snippet from a (deterministic) blocklist — the blocklist is broadcast
+    once via ray.put and each batch runs vectorized substring matches (the
+    small-side broadcast pattern; no join shuffle). Blocklist = the first
+    40 chars of docs 0-2, so the oracle can derive the same set."""
+    import ray
+    import ray.data
+
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    dt = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bl = [v[:40] for v in
+          dt.filter(pc.less(dt["doc_id"], pa.scalar(3)))["text"].to_pylist()
+          if v and len(v) >= 40]
+    bl_ref = ray.put(bl)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def screen(t: pa.Table) -> pa.Table:
+        snips = ray.get(bl_ref)
+        hit = pa.array([False] * t.num_rows)
+        for sn in snips:
+            hit = pc.or_(hit, pc.fill_null(
+                pc.match_substring(t["text"], sn), False))
+        return pa.table({"doc_id": t["doc_id"],
+                         "contaminated": pc.cast(hit, pa.bool_())})
+
+    return ds.map_batches(screen, batch_format="pyarrow")
+
+
+_CONTAMINATION_SQL = """
+WITH bl AS (
+  SELECT substr(text, 1, 40) AS snip FROM documents
+  WHERE doc_id < 3 AND length(text) >= 40
+)
+SELECT d.doc_id,
+       EXISTS (SELECT 1 FROM bl WHERE contains(d.text, bl.snip)) AS contaminated
+FROM documents d
+"""
+
+
+def q_repetition_documents(sf_dir: str):
+    """Repetition stats (the Gopher-style dup-line signal): per doc, total
+    and distinct line counts as exact integers (a high dup fraction flags
+    boilerplate). Vectorized: one split + unique per batch via pandas."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        lines = df["text"].fillna("").str.split("\n")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_lines": lines.map(len).astype("int64"),
+            "n_distinct_lines": lines.map(lambda l: len(set(l))).astype("int64"),
+        })
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+_REPETITION_SQL = """
+SELECT doc_id,
+       CAST(len(split(text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(list_distinct(split(text, chr(10)))) AS BIGINT) AS n_distinct_lines
+FROM documents
+"""
+
+
 def q_multimodal_features(sf_dir: str):
     """Multimodal actor-pool plumbing: deterministic synthetic media rows
     -> image-feature extraction (stub decoder; real Ray pipeline). The
@@ -1569,6 +1672,9 @@ QUERIES = {
     "sample_documents": q_sample_documents,
     "shuffle_documents": q_shuffle_documents,
     "stratified_cap_documents": q_stratified_cap_documents,
+    "pii_scrub_documents": q_pii_scrub_documents,
+    "contamination_documents": q_contamination_documents,
+    "repetition_documents": q_repetition_documents,
     # training-data ops with SQL oracles
     "exact_dedup_documents": q_exact_dedup_documents,
     "content_hash_documents": q_content_hash_documents,
@@ -1683,6 +1789,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "sample_documents": _SAMPLE_DOCS_SQL,
         "shuffle_documents": _SHUFFLE_DOCS_SQL,
         "stratified_cap_documents": _STRATIFIED_CAP_SQL,
+        "pii_scrub_documents": _PII_SCRUB_SQL.format(
+            email=_PII_EMAIL, phone=_PII_PHONE,
+        ),
+        "contamination_documents": _CONTAMINATION_SQL,
+        "repetition_documents": _REPETITION_SQL,
         "ngram_dedup_documents": _NGRAM_DEDUP_SQL,
         "nested_pages_stats": _NESTED_PAGES_SQL.format(path=_nested_pages_path(sf_dir)),
         "training_data_prep": _TRAINING_PREP_SQL,
