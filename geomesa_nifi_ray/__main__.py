@@ -9,6 +9,8 @@ cluster-size knob of the two-cluster-size scaling protocol)::
     python -m geomesa_nifi_ray snapshot --lake /tmp/lake --out /tmp/snap --format csv
     python -m geomesa_nifi_ray egress --lake /tmp/lake --epoch 2 --out /tmp/changes --format jsonl
     python -m geomesa_nifi_ray vacuum --lake /tmp/lake --retain 2
+    python -m geomesa_nifi_ray truncate --lake /tmp/lake
+    python -m geomesa_nifi_ray metrics --lake /tmp/lake [--serve --port 9464]
 """
 
 from __future__ import annotations
@@ -92,6 +94,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     cp.add_argument("--lake", required=True)
     cp.add_argument("--buckets", type=int, default=64)
+
+    tr = sub.add_parser(
+        "truncate",
+        description="Whole-table clear as an exactly-once epoch "
+        "(GeoMessage.Clear analog); pre-clear epochs stay readable via "
+        "time travel until vacuumed.",
+    )
+    tr.add_argument("--lake", required=True)
+    tr.add_argument("--buckets", type=int, default=64)
+
+    mx = sub.add_parser(
+        "metrics",
+        description="Prometheus text exposition for a lake table; --serve "
+        "starts a scrape endpoint (GET /metrics) until interrupted.",
+    )
+    mx.add_argument("--lake", required=True)
+    mx.add_argument("--serve", action="store_true")
+    mx.add_argument("--port", type=int, default=9464)
 
     args = p.parse_args(argv)
 
@@ -193,6 +213,37 @@ def main(argv: list[str] | None = None) -> int:
         t = LakeTable.load(args.lake, "pages")
         deleted = t.vacuum(retain_epochs=args.retain)
         print(json.dumps({"deleted_files": len(deleted)}))
+        return 0
+
+    if args.cmd == "truncate":
+        _ray_session(args.num_cpus)
+        from geomesa_nifi_ray.engine import CDCEngine
+
+        eng = CDCEngine(args.lake, num_buckets=args.buckets)
+        r = eng.truncate()
+        print(json.dumps({
+            "epoch": None if r is None else r.epoch,
+            "rows_deleted": 0 if r is None else r.rows_deleted,
+        }))
+        return 0
+
+    if args.cmd == "metrics":
+        from geomesa_nifi_ray.lake import LakeTable
+        from geomesa_nifi_ray.metrics import prometheus_text, serve_metrics
+
+        t = LakeTable.load(args.lake, "pages")
+        if not args.serve:
+            sys.stdout.write(prometheus_text(t))
+            return 0
+        server, port = serve_metrics(t, port=args.port)
+        print(f"# serving on http://127.0.0.1:{port}/metrics", file=sys.stderr)
+        try:
+            import time as _time
+
+            while True:
+                _time.sleep(3600)
+        except KeyboardInterrupt:
+            server.shutdown()
         return 0
 
     if args.cmd == "compact":
