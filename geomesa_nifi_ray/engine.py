@@ -57,7 +57,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from geomesa_nifi_ray.hashing import add_hash_and_bucket, digest_of_hashes
-from geomesa_nifi_ray.lake import LakeTable
+from geomesa_nifi_ray.lake import TOMB_COLUMN, LakeTable
 from geomesa_nifi_ray.schema import (
     CompatibilityMode,
     SchemaError,
@@ -103,9 +103,11 @@ MODE_COLUMN = "_mode"
 # ranked against upserts by the same (warc_ts, offset) LWW order — a later
 # upsert resurrects the key, a later delete wins over an earlier upsert.
 # Delete events carry no payload (html may be null without dead-lettering).
-# Buckets receiving deletes take the full-merge (compaction) path, so no
-# tombstone ever persists in the lake files — the documented trade-off is
-# delete-heavy epochs pay bucket compaction instead of a delta append.
+# Steady-state deletes write TOMBSTONE rows into the normal delta files
+# (_tomb=1 marker; see lake.TOMB_COLUMN) — O(changes) IO like any upsert
+# delta; chain readers suppress tombstoned keys and compaction folds the
+# markers away. Equivalence with the full-merge path is tested
+# delta-vs-compaction snapshot-for-snapshot.
 OP_COLUMN = "_op"
 DIRECTIVE_COLUMNS = (MODE_COLUMN, OP_COLUMN)
 
@@ -460,21 +462,44 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
         use_delta = (
             mode == "upsert"
             and (update_part is None or update_part.num_rows == 0)
-            and (delete_part is None or delete_part.num_rows == 0)
             and entry is not None
-            and changes.num_rows > 0
+            and (changes.num_rows > 0
+                 or (delete_part is not None and delete_part.num_rows > 0))
             and len(entry.get("deltas", [])) < max_deltas
         )
         if use_delta:
+            # winners + TOMBSTONES in one delta: a delete that beats the
+            # stored winner writes a _tomb=1 marker row (key + order +
+            # content_hash only) instead of forcing an O(bucket) compaction;
+            # chain readers (merge_chain_tables) suppress tombstoned keys.
             changes = project_to_schema(changes, stored_schema)
             changes = lww_dedupe(changes, key, order)
-            min_cols = [key] + order
-            cur = pa.concat_tables(
-                [sink.read_partition(p, columns=min_cols).select(min_cols) for p in chain]
+            combined = changes.append_column(
+                TOMB_COLUMN, pa.nulls(changes.num_rows, pa.int8()).fill_null(0)
             )
+            if delete_part is not None and delete_part.num_rows:
+                dels = project_to_schema(
+                    lww_dedupe(delete_part, key, order), stored_schema
+                )
+                dels = dels.append_column(
+                    TOMB_COLUMN, pa.nulls(dels.num_rows, pa.int8()).fill_null(1)
+                )
+                combined = lww_dedupe(
+                    pa.concat_tables([combined, dels]), key, order
+                )
+            min_cols = [key] + order
+            cur_parts = []
+            for p in chain:
+                part = sink.read_partition(p, columns=min_cols + [TOMB_COLUMN])
+                if TOMB_COLUMN not in part.column_names:
+                    part = part.append_column(
+                        TOMB_COLUMN, pa.nulls(part.num_rows, pa.int8()).fill_null(0)
+                    )
+                cur_parts.append(part.select(min_cols + [TOMB_COLUMN]))
+            cur = pa.concat_tables(cur_parts)
             cur = cur.take(pa.array(np.sort(lww_indices(cur, key, order))))
             cur_pd = cur.to_pandas()
-            ch_pd = changes.select(min_cols).to_pandas()
+            ch_pd = combined.select(min_cols + [TOMB_COLUMN]).to_pandas()
             j = ch_pd.merge(cur_pd, on=key, how="left", suffixes=("", "_cur"))
             have = j[f"{order[0]}_cur"].notna().to_numpy()
             ge = lex_ge(
@@ -482,20 +507,35 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
                 [j[f"{c}_cur"].to_numpy() for c in order],
             )
             wins = ~have | ge  # ties go to the change row (concat-order parity)
-            inserts = int((wins & ~have).sum())
-            delta = changes.filter(pa.array(wins))
+            w_tomb = j[TOMB_COLUMN].to_numpy() == 1
+            cur_tomb_raw = j[f"{TOMB_COLUMN}_cur"].to_numpy()
+            cur_tomb = have & (np.nan_to_num(
+                cur_tomb_raw.astype(np.float64), nan=0.0) == 1.0)
+            # visible-row accounting: a live winner inserts when the key was
+            # absent OR tombstoned; a tombstone deletes only a live key;
+            # tombstones for absent/already-deleted keys are no-ops (parity
+            # with the compaction path) and are not written.
+            inserts = int((wins & ~w_tomb & (~have | cur_tomb)).sum())
+            dels_applied = int((wins & w_tomb & have & ~cur_tomb).sum())
+            keep = wins & (~w_tomb | (have & ~cur_tomb))
+            delta = combined.filter(pa.array(keep))
             if delta.num_rows == 0:
                 # every change lost to the stored winners: chain unchanged
                 return _lineage_row(bucket, entry["file"], entry.get("deltas", []),
                                     None, int(entry["rows"]), rows_changed, failed,
                                     entry["digest"])
+            if (pc.sum(pc.cast(pc.equal(delta[TOMB_COLUMN],
+                                        pa.scalar(1, pa.int8())),
+                               pa.int64())).as_py() or 0) == 0:
+                # no tombstones -> keep the historical delta file schema
+                delta = delta.drop_columns([TOMB_COLUMN])
             delta = delta.take(pc.sort_indices(delta, sort_keys=[(key, "ascending")]))
             rel = sink.write_partition(delta, bucket, epoch, kind="delta")
             digest = digest_of_hashes(delta["content_hash"].to_pylist())
             return _lineage_row(bucket, entry["file"],
                                 entry.get("deltas", []) + [rel], rel,
-                                int(entry["rows"]) + inserts, rows_changed,
-                                failed, digest)
+                                int(entry["rows"]) + inserts - dels_applied,
+                                rows_changed, failed, digest, dels_applied)
 
         # full-merge path: epoch-0 creation, compaction, partial update,
         # and mixed per-row modes

@@ -52,6 +52,40 @@ TABLE_META = "_table.json"
 LOG_DIR = "_log"
 DATA_DIR = "data"
 
+# Tombstone marker column inside DELTA files only: a row with _tomb=1
+# carries (key, order..., content_hash) of a delete event and suppresses
+# the key when it wins the chain LWW. Base files never contain tombstones
+# (compaction folds them away), and deltas without deletes omit the column
+# entirely, so pre-tombstone lakes read unchanged.
+TOMB_COLUMN = "_tomb"
+
+
+def merge_chain_tables(tables, schema: pa.Schema, key: str, order: list[str]) -> pa.Table:
+    """Merge a bucket chain (base first) into its current visible state:
+    per-key LWW with input position as the final tiebreak, tombstone
+    winners removed. Shared by driver-side and task-side chain readers."""
+    import pyarrow.compute as pc
+
+    from geomesa_nifi_ray.upsert import lww_dedupe
+
+    any_tomb = any(TOMB_COLUMN in t.column_names for t in tables)
+    if not any_tomb:
+        parts = [project_to_schema(t, schema) for t in tables]
+        if len(parts) == 1:
+            return parts[0]
+        return lww_dedupe(pa.concat_tables(parts), key, order)
+    parts = []
+    for t in tables:
+        tomb = (pc.cast(pc.fill_null(t[TOMB_COLUMN], 0), pa.int8())
+                if TOMB_COLUMN in t.column_names
+                else pa.nulls(t.num_rows, pa.int8()).fill_null(0))
+        parts.append(project_to_schema(t, schema).append_column(TOMB_COLUMN, tomb))
+    merged = lww_dedupe(pa.concat_tables(parts), key, order)
+    merged = merged.filter(
+        pc.equal(merged[TOMB_COLUMN], pa.scalar(0, pa.int8()))
+    )
+    return merged.drop_columns([TOMB_COLUMN])
+
 
 def _atomic_write_json(path: str, payload: dict) -> None:
     tmp = f"{path}.tmp.{os.getpid()}"
@@ -219,14 +253,10 @@ class LakeTable:
         return [entry["file"], *entry.get("deltas", [])]
 
     def merge_chain(self, tables: list[pa.Table], schema: pa.Schema | None = None) -> pa.Table:
-        """Merge a bucket chain (base first) into its current state."""
-        from geomesa_nifi_ray.upsert import lww_dedupe
-
-        schema = schema or self.schema
-        parts = [project_to_schema(t, schema) for t in tables]
-        if len(parts) == 1:
-            return parts[0]
-        return lww_dedupe(pa.concat_tables(parts), self.key, self.order)
+        """Merge a bucket chain (base first) into its current state
+        (tombstone-aware; see :func:`merge_chain_tables`)."""
+        return merge_chain_tables(tables, schema or self.schema,
+                                  self.key, self.order)
 
     def abs_path(self, rel: str) -> str:
         return os.path.join(self.table_dir, rel)
@@ -385,15 +415,19 @@ class LakeTable:
         full_schema = self.schema
 
         def read_chain(batch: pa.Table) -> pa.Table:
-            from geomesa_nifi_ray.upsert import lww_dedupe
-
             out = []
             for idx in batch["chain"].to_pylist():
-                tabs = [pq.read_table(p, columns=read_cols) for p in chains[idx]]
-                base = pa.schema([f for f in full_schema if read_cols is None or f.name in read_cols])
-                merged = pa.concat_tables([project_to_schema(t, base) for t in tabs])
-                if len(tabs) > 1:
-                    merged = lww_dedupe(merged, key, order)
+                tabs = []
+                for p in chains[idx]:
+                    names = set(pq.read_schema(p).names)
+                    cols_p = (None if read_cols is None
+                              else [c for c in read_cols if c in names])
+                    if cols_p is not None and TOMB_COLUMN in names:
+                        cols_p = cols_p + [TOMB_COLUMN]
+                    tabs.append(pq.read_table(p, columns=cols_p))
+                base = pa.schema([f for f in full_schema
+                                  if read_cols is None or f.name in read_cols])
+                merged = merge_chain_tables(tabs, base, key, order)
                 out.append(project_to_schema(merged, schema))
             return pa.concat_tables(out)
 

@@ -65,7 +65,13 @@ class ParquetLakeSink:
     def read_partition(self, ref: str, columns: list[str] | None = None) -> pa.Table:
         import pyarrow.parquet as pq
 
-        return pq.read_table(self.table.abs_path(ref), columns=columns)
+        path = self.table.abs_path(ref)
+        if columns is not None:
+            # lenient projection: requesting a column the partition lacks
+            # (e.g. the optional _tomb marker) simply omits it
+            avail = set(pq.read_schema(path).names)
+            columns = [c for c in columns if c in avail]
+        return pq.read_table(path, columns=columns)
 
     def commit(self, manifest: dict) -> None:
         self.table.commit_epoch(manifest)

@@ -961,3 +961,85 @@ def test_generic_table_delete_events(ray_session, tmp_path):
                           offset_range=(10, 10))
     assert res.rows_deleted == 1
     assert set(eng.table.snapshot_table()["k"].to_pylist()) == {"a", "c"}
+
+
+def _pages(rows):
+    """rows: (url, ts_us, html|None, lang|None, offset, op|None)"""
+    return pa.table({
+        "url": pa.array([r[0] for r in rows]),
+        "warc_ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "html": pa.array([r[2] for r in rows], pa.large_binary()),
+        "lang": pa.array([r[3] for r in rows], pa.string()),
+        "offset": pa.array([r[4] for r in rows], pa.int64()),
+        "_op": pa.array([r[5] for r in rows], pa.string()),
+    })
+
+
+def test_tombstone_delta_equals_compaction(ray_session, tmp_path):
+    """Deletes through the DELTA path (tombstone rows, O(changes) IO) must
+    leave the same visible table as the compaction path (max_deltas=0),
+    across multiple epochs including a resurrect."""
+    import ray.data
+
+    base = [(f"https://q/{i}", 1_000_000 + i, b"<p>x</p>", "en", i, None)
+            for i in range(8)]
+    e1 = [
+        ("https://q/0", 9_000_000, None, None, 10, "delete"),   # delete live
+        ("https://q/1", 500_000, None, None, 11, "delete"),     # stale delete
+        ("https://q/zz", 9_000_002, None, None, 12, "delete"),  # absent no-op
+        ("https://q/2", 9_000_003, b"<p>u2</p>", "fr", 13, None),  # upsert
+    ]
+    e2 = [
+        ("https://q/0", 9_900_000, b"<p>back</p>", "de", 20, None),  # resurrect
+        ("https://q/3", 9_900_001, None, None, 21, "delete"),        # delete live
+    ]
+    snaps = {}
+    for label, max_deltas in [("delta", 4), ("compact", 0)]:
+        eng = CDCEngine(str(tmp_path / f"lake_{label}"), num_buckets=2,
+                        max_deltas=max_deltas)
+        for i, rows in enumerate([base, e1, e2]):
+            t = _pages(rows)
+            offs = t["offset"].to_pylist()
+            eng.apply_epoch(ray.data.from_arrow(t), epoch=i,
+                            offset_range=(min(offs), max(offs)))
+        snaps[label] = eng.table.snapshot_table()
+        # dataset reader agrees with driver reader (chain merge parity)
+        ds_rows = eng.table.snapshot_dataset().count()
+        assert ds_rows == snaps[label].num_rows, label
+    assert snaps["delta"].equals(snaps["compact"])
+    urls = set(snaps["delta"]["url"].to_pylist())
+    assert "https://q/3" not in urls          # deleted via tombstone
+    assert "https://q/0" in urls              # resurrected
+    by = dict(zip(snaps["delta"]["url"].to_pylist(),
+                  snaps["delta"]["lang"].to_pylist()))
+    assert by["https://q/0"] == "de"
+    assert len(urls) == 7                     # 8 - q/0(deleted,back) - q/3 + 0
+
+
+def test_tombstone_delta_crash_resume(ray_session, tmp_path):
+    """Tombstone deltas keep exactly-once: dropping the manifest and
+    replaying the delete epoch reproduces byte-identical state."""
+    import glob
+    import os
+
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2, max_deltas=4)
+    base = _pages([(f"https://w/{i}", 1_000_000 + i, b"<p>x</p>", "en", i, None)
+                   for i in range(6)])
+    eng.apply_epoch(ray.data.from_arrow(base), epoch=0, offset_range=(0, 5))
+    dels = _pages([("https://w/1", 9_000_000, None, None, 10, "delete"),
+                   ("https://w/4", 9_000_001, None, None, 11, "delete")])
+    eng.apply_epoch(ray.data.from_arrow(dels), epoch=1, offset_range=(10, 11))
+    snap1 = eng.table.snapshot_table()
+    assert snap1.num_rows == 4
+    log = sorted(glob.glob(str(tmp_path / "lake/pages/_log/epoch-*.json")))[-1]
+    os.remove(log)
+    eng2 = CDCEngine(str(tmp_path / "lake"), num_buckets=2, max_deltas=4)
+    eng2.apply_epoch(ray.data.from_arrow(dels), epoch=1, offset_range=(10, 11))
+    assert eng2.table.snapshot_table().equals(snap1)
+    # compaction (identity rewrite) folds tombstones into a clean base
+    r = eng2.rewrite_epoch(lambda t: t)
+    assert eng2.table.snapshot_table().equals(snap1)
+    assert r.table_rows == 4
