@@ -1043,3 +1043,53 @@ def test_tombstone_delta_crash_resume(ray_session, tmp_path):
     r = eng2.rewrite_epoch(lambda t: t)
     assert eng2.table.snapshot_table().equals(snap1)
     assert r.table_rows == 4
+
+
+def test_tombstone_delta_sqlite_backend(ray_session, tmp_path):
+    """Tombstone deltas round-trip through the alternate Sink backend (the
+    SPI's schema-fidelity side table carries the _tomb marker)."""
+    import ray.data
+
+    from geomesa_nifi_ray.engine import make_generic_convert_fn
+    from geomesa_nifi_ray.sinks import SqliteSink
+
+    schema = pa.schema([
+        pa.field("k", pa.string()), pa.field("v", pa.int64()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("content_hash", pa.string()), pa.field("offset", pa.int64()),
+    ])
+    eng = CDCEngine(
+        str(tmp_path / "lake"), table_name="kv", schema=schema, num_buckets=2,
+        key="k", convert_fn_factory=make_generic_convert_fn,
+        sink_factory=lambda t: SqliteSink(str(tmp_path / "dbs"), t),
+        max_deltas=4,
+    )
+    base = pa.table({
+        "k": ["a", "b", "c"], "v": pa.array([1, 2, 3], pa.int64()),
+        "warc_ts": pa.array([1_000_000 + i for i in range(3)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "offset": pa.array([0, 1, 2], pa.int64()),
+    })
+    eng.apply_epoch(ray.data.from_arrow(base), epoch=0, offset_range=(0, 2))
+    dels = pa.table({
+        "k": ["b"], "v": pa.array([None], pa.int64()),
+        "warc_ts": pa.array([9_000_000], pa.int64()).cast(pa.timestamp("us")),
+        "offset": pa.array([10], pa.int64()),
+        "_op": pa.array(["delete"]),
+    })
+    res = eng.apply_epoch(ray.data.from_arrow(dels), epoch=1,
+                          offset_range=(10, 10))
+    assert res.rows_deleted == 1
+    # the delete rode a DELTA (chain grew), not a compaction
+    entry = eng.table.live_entries()[
+        [b for b, e in eng.table.live_entries().items() if e.get("deltas")][0]]
+    assert len(entry["deltas"]) == 1
+    # visible state through the sink-aware reader
+    from geomesa_nifi_ray.upsert import lww_dedupe  # noqa: F401
+    parts = [eng.sink.read_partition(f)
+             for f in type(eng.table).chain_files(entry)]
+    from geomesa_nifi_ray.lake import merge_chain_tables
+    merged = merge_chain_tables(parts, eng.table.schema, "k",
+                                eng.table.order)
+    ks = set(merged["k"].to_pylist())
+    assert "b" not in ks
