@@ -164,20 +164,33 @@ class GroupCountView:
         def bucket_delta(batch: pa.Table) -> pa.Table:
             import pyarrow.parquet as pq
 
+            from geomesa_nifi_ray.lake import TOMB_COLUMN
             from geomesa_nifi_ray.upsert import lww_dedupe
 
             outs = []
             for i in batch["i"].to_pylist():
                 spec = touched[i]
-                new = pq.read_table(spec["new_file"], columns=[key, col, "offset"])
+                names = set(pq.read_schema(spec["new_file"]).names)
+                cols_n = [key, col, "offset"] + (
+                    [TOMB_COLUMN] if TOMB_COLUMN in names else [])
+                new = pq.read_table(spec["new_file"], columns=cols_n)
                 off = new["offset"]
                 mask = pc.and_(pc.greater_equal(off, pa.scalar(lo)),
                                pc.less_equal(off, pa.scalar(hi)))
                 new = new.filter(mask)
                 if new.num_rows == 0:
                     continue
-                plus = GroupCountView._partial_counts(new.select([col]), col)
-                outs.append(plus)
+                # tombstone rows contribute NO +1 (the key is leaving);
+                # their keys still drive the -old subtraction below
+                live_new = new
+                if TOMB_COLUMN in new.column_names:
+                    live_new = new.filter(pc.invert(pc.equal(
+                        pc.fill_null(new[TOMB_COLUMN], 0),
+                        pa.scalar(1, pa.int8()))))
+                if live_new.num_rows:
+                    plus = GroupCountView._partial_counts(
+                        live_new.select([col]), col)
+                    outs.append(plus)
                 if spec["old_files"]:
                     old = [pq.read_table(f, columns=[key, col] + [
                         c for c in lww_order if c not in (key, col)])

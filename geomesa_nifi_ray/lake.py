@@ -438,13 +438,18 @@ class LakeTable:
         ).repartition(len(chains))
         return control.map_batches(read_chain, batch_format="pyarrow")
 
-    def epoch_changes_dataset(self, epoch: int):
+    def epoch_changes_dataset(self, epoch: int, include_ops: bool = False):
         """CDC egress: the net row-level changes epoch ``epoch`` produced —
         rows of the table-as-of-``epoch`` whose winning ``offset`` falls in
         the epoch's offset range. The change-stream-to-records path of
         ``GetGeoMesaKafkaRecord`` re-expressed over manifests: only bucket
         files the epoch touched are read, then a vectorized offset filter.
-        """
+
+        ``include_ops=True`` appends an ``_op`` column ('upsert'/'delete')
+        so downstream consumers see deletions explicitly (tombstone rows
+        otherwise surface as null-payload rows) — the full GeoMessage
+        Change/Delete stream, not the Change-only subset the reference's
+        processor emits."""
         import ray.data
 
         m = self.manifest(epoch)
@@ -468,7 +473,25 @@ class LakeTable:
         ds = ray.data.read_parquet(
             files, filter=(_pds.field("offset") >= lo) & (_pds.field("offset") <= hi)
         )
-        return ds.map_batches(lambda t: project_to_schema(t, schema), batch_format="pyarrow")
+
+        def finish(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            tomb = (pc.fill_null(t[TOMB_COLUMN], 0)
+                    if TOMB_COLUMN in t.column_names else None)
+            out = project_to_schema(t, schema)
+            if include_ops:
+                if tomb is None:
+                    ops = pa.nulls(out.num_rows, pa.string()).fill_null("upsert")
+                else:
+                    ops = pc.if_else(
+                        pc.equal(pc.cast(tomb, pa.int8()), pa.scalar(1, pa.int8())),
+                        pa.scalar("delete"), pa.scalar("upsert"),
+                    )
+                out = out.append_column("_op", ops)
+            return out
+
+        return ds.map_batches(finish, batch_format="pyarrow")
 
     def snapshot_table(self, epoch: int | None = None,
                        include_pending: bool = False) -> pa.Table:

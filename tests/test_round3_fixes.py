@@ -1093,3 +1093,48 @@ def test_tombstone_delta_sqlite_backend(ray_session, tmp_path):
                                 eng.table.order)
     ks = set(merged["k"].to_pylist())
     assert "b" not in ks
+
+
+def test_group_count_view_after_delete_epoch(ray_session, tmp_path):
+    """The incremental view must subtract a deleted key's old group and add
+    nothing for the tombstone itself (delta path)."""
+    import ray.data
+
+    from geomesa_nifi_ray.derived import GroupCountView
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2, max_deltas=4)
+    base = _pages([(f"https://v/{i}", 1_000_000 + i, b"<p>x</p>",
+                    ["en", "en", "de", "fr"][i], i, None) for i in range(4)])
+    eng.apply_epoch(ray.data.from_arrow(base), epoch=0, offset_range=(0, 3))
+    view = GroupCountView(eng.table, str(tmp_path / "views"), group_col="lang")
+    view.refresh()
+    assert view.counts() == {"en": 2, "de": 1, "fr": 1}
+    dels = _pages([("https://v/0", 9_000_000, None, None, 10, "delete"),
+                   ("https://v/2", 9_000_001, None, None, 11, "delete")])
+    eng.apply_epoch(ray.data.from_arrow(dels), epoch=1, offset_range=(10, 11))
+    view.refresh()
+    assert view.counts() == {"en": 1, "fr": 1}
+    assert view.counts() == _lang_counts_of(eng.table.snapshot_table())
+
+
+def test_egress_includes_delete_ops(ray_session, tmp_path):
+    """Change-stream egress surfaces delete events explicitly with
+    include_ops=True (Change + Delete, beyond the reference's Change-only
+    collect)."""
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2, max_deltas=4)
+    base = _pages([(f"https://e/{i}", 1_000_000 + i, b"<p>x</p>", "en", i, None)
+                   for i in range(4)])
+    eng.apply_epoch(ray.data.from_arrow(base), epoch=0, offset_range=(0, 3))
+    mixed = _pages([
+        ("https://e/1", 9_000_000, None, None, 10, "delete"),
+        ("https://e/new", 9_000_001, b"<p>n</p>", "fr", 11, None),
+    ])
+    eng.apply_epoch(ray.data.from_arrow(mixed), epoch=1, offset_range=(10, 11))
+    rows = eng.table.epoch_changes_dataset(1, include_ops=True).take_all()
+    ops = {r["url"]: r["_op"] for r in rows}
+    assert ops == {"https://e/1": "delete", "https://e/new": "upsert"}
+    # default egress shape unchanged (no _op column)
+    plain = eng.table.epoch_changes_dataset(1).take_all()
+    assert "_op" not in plain[0]
