@@ -94,6 +94,13 @@ class GroupCountView:
         for i, e in enumerate(epochs):
             if last is not None and e <= last:
                 continue
+            if self.table.manifest(e).get("mode") == "clear":
+                # truncate epoch: the table state is now empty, so the view
+                # resets — symmetric with rebuild() over an empty snapshot
+                state = {"last_epoch": int(e), "counts": {}}
+                _atomic_write_json(self._path, state)
+                applied += 1
+                continue
             prev = epochs[i - 1] if i > 0 else None
             delta = self._epoch_delta(e, prev)
             counts = dict(state["counts"])
@@ -129,7 +136,10 @@ class GroupCountView:
     @staticmethod
     def _partial_counts(t: pa.Table, col: str | None = None) -> pa.Table:
         c = col or t.column_names[0]
-        vc = t[c].combine_chunks().value_counts()
+        # null group values are skipped (JSON state cannot key on null;
+        # rebuild() and the incremental path both route through here, so
+        # the skip is consistent end-to-end)
+        vc = t[c].combine_chunks().drop_null().value_counts()
         return pa.table({
             "k": pc.cast(vc.field("values"), pa.string()),
             "n": pc.cast(vc.field("counts"), pa.int64()),
@@ -160,12 +170,19 @@ class GroupCountView:
         if not touched:
             return {}
         lww_key, lww_order = self.table.key, self.table.order
+        # prev-chain reads must be tombstone-aware: a delta file's _tomb row
+        # can be the LWW winner for its key (the key was deleted), in which
+        # case the key has NO previous live value to subtract. Reuse the
+        # lake's canonical chain merge over just the columns we need.
+        full_schema = self.table.schema
+        prev_cols = [lww_key, col] + [c for c in lww_order
+                                      if c not in (lww_key, col)]
+        prev_schema = pa.schema([f for f in full_schema if f.name in prev_cols])
 
         def bucket_delta(batch: pa.Table) -> pa.Table:
             import pyarrow.parquet as pq
 
-            from geomesa_nifi_ray.lake import TOMB_COLUMN
-            from geomesa_nifi_ray.upsert import lww_dedupe
+            from geomesa_nifi_ray.lake import TOMB_COLUMN, merge_chain_tables
 
             outs = []
             for i in batch["i"].to_pylist():
@@ -192,12 +209,16 @@ class GroupCountView:
                         live_new.select([col]), col)
                     outs.append(plus)
                 if spec["old_files"]:
-                    old = [pq.read_table(f, columns=[key, col] + [
-                        c for c in lww_order if c not in (key, col)])
-                        for f in spec["old_files"]]
-                    prev_tbl = pa.concat_tables(old, promote_options="permissive")
-                    if len(spec["old_files"]) > 1:
-                        prev_tbl = lww_dedupe(prev_tbl, lww_key, lww_order)
+                    old = []
+                    for f in spec["old_files"]:
+                        fnames = set(pq.read_schema(f).names)
+                        cols_o = [c for c in prev_cols if c in fnames]
+                        if TOMB_COLUMN in fnames:
+                            cols_o = cols_o + [TOMB_COLUMN]
+                        old.append(pq.read_table(f, columns=cols_o))
+                    # tombstone-aware LWW: a deleted key yields no prev row
+                    prev_tbl = merge_chain_tables(
+                        old, prev_schema, lww_key, lww_order)
                     hit = prev_tbl.filter(
                         pc.is_in(prev_tbl[key], value_set=new[key].combine_chunks())
                     )

@@ -97,13 +97,28 @@ _GML_NS = {
 }
 
 
+def _ncname(name: str) -> str:
+    """Sanitize a column name into a valid XML NCName (element names may
+    not contain spaces/colons/etc. and may not start with a digit — all
+    legal in Arrow schemas). Invalid chars -> '_', leading digit gets a
+    '_' prefix, empty -> '_'."""
+    import re
+
+    s = re.sub(r"[^A-Za-z0-9_.\-À-￿]", "_", name)
+    if not s or not (s[0].isalpha() or s[0] == "_"):
+        s = "_" + s
+    return s
+
+
 def _encode_gml(batch: pa.Table, version: str) -> bytes:
     """GML FeatureCollection: one featureMember per row, each column an
-    element (XML-escaped); lon/lat columns emit a gml:Point, otherwise the
-    geometry element is omitted (no geometry in the payload analog)."""
+    element (XML-escaped, names NCName-sanitized); lon/lat columns emit a
+    gml:Point, otherwise the geometry element is omitted (no geometry in
+    the payload analog)."""
     from xml.sax.saxutils import escape
 
     ns, _ = _GML_NS[version]
+    tags = {c: _ncname(c) for c in batch.column_names}
     out = [
         '<?xml version="1.0" encoding="UTF-8"?>\n',
         f'<gml:FeatureCollection xmlns:gml="{ns}">\n',
@@ -120,7 +135,8 @@ def _encode_gml(batch: pa.Table, version: str) -> bytes:
         for k, v in row.items():
             if k in _GEO_LON_COLS + _GEO_LAT_COLS:
                 continue
-            out.append(f"    <{k}>{escape('' if v is None else str(v))}</{k}>\n")
+            tag = tags.get(k) or _ncname(k)
+            out.append(f"    <{tag}>{escape('' if v is None else str(v))}</{tag}>\n")
         out.append("  </feature></gml:featureMember>\n")
     out.append("</gml:FeatureCollection>\n")
     return "".join(out).encode("utf-8")

@@ -125,6 +125,23 @@ def content_hash_generic(batch: pa.Table, hash_cols: list[str],
     return pa.array(out, type=pa.string())
 
 
+def kernel_fingerprint(kernel: str) -> str | None:
+    """Environment fingerprint of a content-hash kernel: the kernel's own
+    hash of a fixed sentinel payload. md5 is standardized, so it needs no
+    fingerprint (returns None). xx64 rides on polars' hash kernel, which
+    polars documents as unstable across versions — so lakes created with
+    xx64 stamp this fingerprint in ``_table.json`` at create time and
+    :meth:`LakeTable.load` verifies it, failing loudly if a library
+    upgrade changed hash values (instead of silently diverging epoch
+    digests). Behavior-based, so polars upgrades that DON'T change the
+    hash keep working."""
+    if kernel != "xx64":
+        return None
+    sentinel = pa.table(
+        {"s": pa.array(["geomesa-nifi-ray/xx64-fingerprint/v1"])})
+    return content_hash_generic(sentinel, ["s"], kernel="xx64")[0].as_py()
+
+
 def content_hash_rows(
     urls: list[str],
     ts_us: np.ndarray,

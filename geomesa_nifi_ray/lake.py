@@ -136,6 +136,14 @@ class LakeTable:
             "kernel_version": TEXT_KERNEL_VERSION,
             "content_hash_kernel": content_hash_kernel,
         }
+        from geomesa_nifi_ray.hashing import kernel_fingerprint
+
+        fp = kernel_fingerprint(content_hash_kernel)
+        if fp is not None:
+            # non-standardized kernels (xx64 rides on polars' hash, which
+            # is unstable across polars versions) stamp a behavior
+            # fingerprint, verified on every load()
+            meta["content_hash_fingerprint"] = fp
         _atomic_write_json(os.path.join(t.table_dir, TABLE_META), meta)
         t._meta = meta
         return t
@@ -144,6 +152,19 @@ class LakeTable:
     def load(cls, root: str, name: str) -> "LakeTable":
         t = cls(root, name)
         t.meta  # force read, raises if absent
+        stamped = t.meta.get("content_hash_fingerprint")
+        if stamped is not None:
+            from geomesa_nifi_ray.hashing import kernel_fingerprint
+
+            current = kernel_fingerprint(t.content_hash_kernel)
+            if current != stamped:
+                raise RuntimeError(
+                    f"content-hash kernel {t.content_hash_kernel!r} of table "
+                    f"{name!r} no longer reproduces the fingerprint stamped "
+                    f"at create time ({stamped!r} -> {current!r}); the hash "
+                    "library changed behavior (e.g. a polars upgrade). "
+                    "Re-hash the lake or pin the library version."
+                )
         return t
 
     @classmethod

@@ -1,0 +1,200 @@
+"""Round-4 fixes: regression tests for ADVICE.md items and round-4 verdict
+work (derived-view tombstone delta, truncate-aware views, hashing kernel
+fingerprint, GML NCName sanitization)."""
+
+import collections
+
+import pyarrow as pa
+import pytest
+
+from geomesa_nifi_ray.engine import CDCEngine
+
+
+def _lang_counts_of(snap):
+    return {k: v for k, v in
+            collections.Counter(snap["lang"].to_pylist()).items()
+            if k is not None}
+
+
+def _base_epoch(eng, n=6):
+    import ray.data
+
+    base = pa.table({
+        "url": pa.array([f"https://v/{i}" for i in range(n)]),
+        "warc_ts": pa.array([1_000_000 + i for i in range(n)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([b"<p>x</p>"] * n, pa.large_binary()),
+        "lang": pa.array((["en", "de", "fr"] * n)[:n]),
+        "offset": pa.array(list(range(n)), pa.int64()),
+    })
+    eng.apply_epoch(ray.data.from_arrow(base), epoch=0,
+                    offset_range=(0, n - 1))
+
+
+# --------------------- ADVICE high: tombstone wins the prev-chain LWW --
+
+
+def test_view_delete_then_reupsert(ray_session, tmp_path):
+    """Delete a key in epoch 1, re-upsert it in epoch 2: the view's
+    prev-chain read at epoch 2 must see the tombstone as 'no previous
+    value' (subtract nothing), not subtract a phantom null group."""
+    import ray.data
+
+    from geomesa_nifi_ray.derived import GroupCountView
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    _base_epoch(eng)
+    view = GroupCountView(eng.table, str(tmp_path / "views"), group_col="lang")
+    view.refresh()
+    assert view.counts() == _lang_counts_of(eng.table.snapshot_table())
+
+    dels = pa.table({
+        "url": pa.array(["https://v/0"]),
+        "warc_ts": pa.array([9_000_000], pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([None], pa.large_binary()),
+        "lang": pa.array([None], pa.string()),
+        "offset": pa.array([10], pa.int64()),
+        "_op": pa.array(["delete"]),
+    })
+    eng.apply_epoch(ray.data.from_arrow(dels), epoch=1, offset_range=(10, 10))
+    view.refresh()
+    assert view.counts() == _lang_counts_of(eng.table.snapshot_table())
+
+    res = pa.table({
+        "url": pa.array(["https://v/0"]),
+        "warc_ts": pa.array([11_000_000], pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([b"<p>back</p>"], pa.large_binary()),
+        "lang": pa.array(["zh"]),
+        "offset": pa.array([20], pa.int64()),
+    })
+    eng.apply_epoch(ray.data.from_arrow(res), epoch=2, offset_range=(20, 20))
+    view.refresh()          # pre-fix: TypeError (None key) or phantom -null
+    expect = _lang_counts_of(eng.table.snapshot_table())
+    assert view.counts() == expect
+    assert view.counts().get("zh") == 1
+    # and the incremental state matches a from-scratch rebuild exactly
+    view2 = GroupCountView(eng.table, str(tmp_path / "views2"),
+                           group_col="lang")
+    view2.rebuild()
+    assert view2.counts() == view.counts()
+
+
+def test_view_delete_only_epoch_subtracts(ray_session, tmp_path):
+    """A pure-delete epoch must subtract the deleted keys' old groups."""
+    import ray.data
+
+    from geomesa_nifi_ray.derived import GroupCountView
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    _base_epoch(eng)
+    view = GroupCountView(eng.table, str(tmp_path / "views"), group_col="lang")
+    view.refresh()
+    dels = pa.table({
+        "url": pa.array(["https://v/1", "https://v/2"]),
+        "warc_ts": pa.array([9_000_000, 9_000_001],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([None, None], pa.large_binary()),
+        "lang": pa.array([None, None], pa.string()),
+        "offset": pa.array([10, 11], pa.int64()),
+        "_op": pa.array(["delete", "delete"]),
+    })
+    eng.apply_epoch(ray.data.from_arrow(dels), epoch=1, offset_range=(10, 11))
+    view.refresh()
+    assert view.counts() == _lang_counts_of(eng.table.snapshot_table())
+
+
+# ------------------- ADVICE medium: truncate epoch resets the view --
+
+
+def test_view_truncate_resets_counts(ray_session, tmp_path):
+    """After eng.truncate() the incremental view must report {} (it used
+    to silently keep the stale pre-truncate counts)."""
+    import ray.data
+
+    from geomesa_nifi_ray.derived import GroupCountView
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    _base_epoch(eng)
+    view = GroupCountView(eng.table, str(tmp_path / "views"), group_col="lang")
+    view.refresh()
+    assert view.counts() != {}
+    eng.truncate()
+    assert view.refresh() == 1
+    assert view.counts() == {}
+    # ingest resumes cleanly after the clear and the view follows
+    nxt = pa.table({
+        "url": pa.array(["https://v/после"]),
+        "warc_ts": pa.array([12_000_000], pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([b"<p>n</p>"], pa.large_binary()),
+        "lang": pa.array(["ru"]),
+        "offset": pa.array([30], pa.int64()),
+    })
+    eng.apply_epoch(ray.data.from_arrow(nxt),
+                    epoch=eng.table.committed_epoch() + 1,
+                    offset_range=(30, 30))
+    view.refresh()
+    assert view.counts() == {"ru": 1}
+
+
+# -------------- ADVICE low: xx64 kernel fingerprint stamped + verified --
+
+
+def test_xx64_fingerprint_stamped_and_verified(tmp_path):
+    import json
+    import os
+
+    from geomesa_nifi_ray.lake import TABLE_META, LakeTable
+
+    schema = pa.schema([
+        ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+        ("text", pa.string()), ("lang", pa.string()),
+        ("offset", pa.int64()),
+    ])
+    t = LakeTable.create(str(tmp_path), "pages", schema, num_buckets=2,
+                         content_hash_kernel="xx64")
+    assert "content_hash_fingerprint" in t.meta
+    # clean load verifies and succeeds
+    LakeTable.load(str(tmp_path), "pages")
+    # simulate a polars upgrade that changed hash values
+    mp = os.path.join(str(tmp_path), "pages", TABLE_META)
+    with open(mp) as f:
+        meta = json.load(f)
+    meta["content_hash_fingerprint"] = "0" * 16
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(RuntimeError, match="fingerprint"):
+        LakeTable.load(str(tmp_path), "pages")
+
+
+def test_md5_tables_carry_no_fingerprint(tmp_path):
+    from geomesa_nifi_ray.lake import LakeTable
+
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("offset", pa.int64())])
+    t = LakeTable.create(str(tmp_path), "p2", schema, num_buckets=2)
+    assert "content_hash_fingerprint" not in t.meta
+    LakeTable.load(str(tmp_path), "p2")  # no verification path for md5
+
+
+# ---------------------- ADVICE low: GML column names must be NCNames --
+
+
+def test_gml_sanitizes_bad_column_names():
+    import xml.etree.ElementTree as ET
+
+    from geomesa_nifi_ray.export import _encode_gml
+
+    t = pa.table({
+        "good": pa.array(["a"]),
+        "has space": pa.array(["b"]),
+        "ns:col": pa.array(["c"]),
+        "1lead": pa.array(["d"]),
+    })
+    for version in ("gml", "gml2"):
+        xml = _encode_gml(t, version)
+        root = ET.fromstring(xml)       # pre-fix: ParseError
+        text = xml.decode()
+        assert "<has_space>b</has_space>" in text
+        assert "<ns_col>c</ns_col>" in text
+        assert "<_1lead>d</_1lead>" in text
+        assert root is not None
