@@ -802,6 +802,19 @@ def run_late_exchange(converted_mat, merge_bucket, key: str, order: list[str],
 LAST_EXCHANGE_STATS: dict | None = None
 
 
+def _alive_node_count() -> int:
+    """Alive Ray nodes, for exchange auto-selection (1 when Ray is not
+    initialised — standalone library use stays single-node-shaped)."""
+    import ray
+
+    try:
+        if not ray.is_initialized():
+            return 1
+        return len([n for n in ray.nodes() if n.get("Alive")])
+    except Exception:
+        return 1
+
+
 def run_split_exchange(converted_mat, merge_bucket, num_buckets: int,
                        num_groups: int = 16) -> list[dict]:
     """Two-wave manual hash exchange for small/mid epochs — the band between
@@ -970,6 +983,9 @@ class CDCEngine:
 
         self._counters = EpochCounters(table_name)
         self.last_stats: str | None = None
+        # which exchange the previous apply_epoch auto-selected
+        # ("tiny" | "split" | "late" | "sort"); observability + tests
+        self.last_exchange_strategy: str | None = None
 
     def _make_convert(self, stored_schema: pa.Schema):
         """Instantiate the converter, passing the table's hash kernel when
@@ -1125,7 +1141,23 @@ class CDCEngine:
                     and rows_in <= 8 * batch_size * self.table.num_buckets)
             )
         )
-        use_late = exchange == "late" and mode == "upsert" and not salted_reduce
+        # Late is explicit opt-in OR the AUTO-DEFAULT for large upsert
+        # epochs on a multi-node cluster: the sort exchange ships every
+        # change row's full html payload all-to-all, which is exactly what
+        # the late exchange (network = O(keys + deduped winners)) exists to
+        # prevent. Single node keeps sort (plasma makes it near-zero-copy
+        # and it measures fastest); explicit exchange= always wins.
+        use_late = mode == "upsert" and not salted_reduce and (
+            exchange == "late"
+            or (exchange is None and not tiny_epoch and not split_epoch
+                and _alive_node_count() > 1)
+        )
+        self.last_exchange_strategy = (
+            "tiny" if (tiny_epoch and exchange is None and not salted_reduce)
+            else "split" if split_epoch
+            else "late" if use_late
+            else "sort"
+        )
         if tiny_epoch and exchange is None and not salted_reduce:
             # Steady-state tail epochs are small; Ray's sort shuffle has ~1 s
             # of fixed machinery that dwarfs the work. One task takes the

@@ -198,3 +198,73 @@ def test_gml_sanitizes_bad_column_names():
         assert "<ns_col>c</ns_col>" in text
         assert "<_1lead>d</_1lead>" in text
         assert root is not None
+
+
+# ------------- verdict #1: late exchange is the multi-node default --
+
+
+def _events_table(n, base_off=0):
+    return pa.table({
+        "url": pa.array([f"https://x/{i % (n // 2)}" for i in range(n)]),
+        "warc_ts": pa.array([1_000_000 + i for i in range(n)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([b"<p>hello</p>"] * n, pa.large_binary()),
+        "lang": pa.array(["en"] * n),
+        "offset": pa.array([base_off + i for i in range(n)], pa.int64()),
+    })
+
+
+def test_large_upsert_defaults_late_on_multinode(ray_session, tmp_path,
+                                                 monkeypatch):
+    """With no explicit exchange argument, a large upsert epoch must pick
+    the late exchange when >1 Ray node is alive, and the sort exchange on
+    one node — with identical manifests either way."""
+    import ray.data
+
+    import geomesa_nifi_ray.engine as eng_mod
+
+    n = 400   # > 8 * batch_size(8) * P(2) = 128 -> "large" band
+
+    # single node: sort stays the default
+    eng1 = CDCEngine(str(tmp_path / "lake1"), num_buckets=2)
+    monkeypatch.setattr(eng_mod, "_alive_node_count", lambda: 1)
+    eng1.apply_epoch(ray.data.from_arrow(_events_table(n)), epoch=0,
+                     offset_range=(0, n - 1), batch_size=8)
+    assert eng1.last_exchange_strategy == "sort"
+
+    # "multi-node": late becomes the default
+    eng2 = CDCEngine(str(tmp_path / "lake2"), num_buckets=2)
+    monkeypatch.setattr(eng_mod, "_alive_node_count", lambda: 2)
+    eng2.apply_epoch(ray.data.from_arrow(_events_table(n)), epoch=0,
+                     offset_range=(0, n - 1), batch_size=8)
+    assert eng2.last_exchange_strategy == "late"
+
+    # identical table state from either exchange
+    s1 = eng1.table.snapshot_table().sort_by("url")
+    s2 = eng2.table.snapshot_table().sort_by("url")
+    assert s1.equals(s2)
+
+
+def test_exchange_autoselect_respects_explicit_and_bands(ray_session,
+                                                         tmp_path,
+                                                         monkeypatch):
+    import ray.data
+
+    import geomesa_nifi_ray.engine as eng_mod
+
+    monkeypatch.setattr(eng_mod, "_alive_node_count", lambda: 4)
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    # tiny epoch stays on the single-task path even on multi-node
+    eng.apply_epoch(ray.data.from_arrow(_events_table(8)), epoch=0,
+                    offset_range=(0, 7), batch_size=8)
+    assert eng.last_exchange_strategy == "tiny"
+    # explicit sort wins over the multi-node default
+    eng.apply_epoch(ray.data.from_arrow(_events_table(400, base_off=1000)),
+                    epoch=1, offset_range=(1000, 1399), batch_size=8,
+                    exchange="sort")
+    assert eng.last_exchange_strategy == "sort"
+    # update mode never takes the late exchange
+    eng.apply_epoch(ray.data.from_arrow(_events_table(400, base_off=2000)),
+                    epoch=2, offset_range=(2000, 2399), batch_size=8,
+                    mode="update")
+    assert eng.last_exchange_strategy in ("sort", "split")

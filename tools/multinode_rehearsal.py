@@ -73,9 +73,14 @@ def main():
         shutil.rmtree(lake, ignore_errors=True)
         eng = CDCEngine(lake, num_buckets=32)
         t0 = time.time()
-        eng.replay_binlog(meta, catchup=True, exchange="late")
+        # NO explicit exchange: on >1 alive node, apply_epoch must
+        # auto-select the late exchange for the large catch-up epoch
+        eng.replay_binlog(meta, catchup=True)
         wall = time.time() - t0
         stats = dict(E.LAST_EXCHANGE_STATS or {})
+        auto = eng.last_exchange_strategy
+        print(f"# auto-selected exchange: {auto}", file=sys.stderr)
+        assert auto == "late", f"expected auto 'late' on 2 nodes, got {auto}"
         n_events = int(meta["total_rows"])
 
         # single-node sort-exchange control for manifest equality
