@@ -8,69 +8,216 @@ shuffle on a different node count, must select/order the exact same rows.
 Python's `random`, Ray's `random_shuffle()` and `ds.random_sample()` give
 none of that; hashing does.
 
-All three operators key on ``md5(cast(col as string))`` — embarrassingly
-parallel per batch, reproducible in DuckDB SQL (the oracle checks them
-exactly), and stable under any partitioning:
+All three operators key on a seeded hash of a column, embarrassingly
+parallel per batch and stable under any partitioning:
 
 - :func:`hash_sample` — keep rows whose hex digest sorts below a
   threshold prefix (rate = threshold/16^k); a per-batch filter, no
   shuffle, no coordination.
-- :func:`deterministic_shuffle` — a seeded total order: sort by
-  ``md5(seed || key)``. Same seed -> same permutation on any cluster.
+- :func:`deterministic_shuffle` — a seeded permutation keyed by
+  ``hash(seed || key)``. Same seed -> same permutation on any cluster.
+  Two physical layouts, auto-selected by cluster shape: ``bucketed``
+  (multi-node; one static-boundary hash exchange, no total-order sort)
+  range-buckets keys on their first 4 hex nibbles and sorts each bucket
+  internally — concatenating buckets in ``_shuffle_bucket`` order
+  reproduces the exact global permutation of ``sorted`` (single-node
+  default; measured faster there, see the function docstring). The
+  oracle checks the key set, identical under both layouts.
 - :func:`stratified_cap` — at most N rows per group (cap docs per
   domain/language — the classic training-mix lever), chosen by the same
   hash order so the selection is stable, one groupby shuffle.
+
+Hash kernels (mirrors ``hashing.py``'s per-table kernel selection):
+``md5`` (default) is DuckDB-oracle-reproducible (`md5(seed || col)`) but
+per-row C md5 (~2.6 us/row); ``xx64`` is the vectorized scale kernel
+(polars Rust hash + numpy hex, ~1.5 us/row, no per-row Python) for lakes
+that already opted into xx64 content hashes. Both produce uniform hex
+keys, so thresholds/permutations have identical semantics; only the
+concrete row selection/order differs by kernel (as it does by seed).
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+SAMPLING_KERNELS = ("md5", "xx64")
 
-def _md5_col(batch: pa.Table, col: str, seed: str = "") -> pa.Array:
-    vals = pc.cast(batch[col], pa.string()).to_pylist()
+# inverse hex LUT: ascii byte -> nibble value (only [0-9a-f] appear)
+_UNHEX = np.zeros(256, dtype=np.uint32)
+for _i, _c in enumerate(b"0123456789abcdef"):
+    _UNHEX[_c] = _i
+
+
+def _hash_col(batch: pa.Table, col: str, seed: str = "",
+              kernel: str = "md5") -> pa.Array:
+    """``hash(seed || cast(col as string))`` as a hex-string array.
+    md5 = per-row C md5, 32 hex chars, SQL-reproducible. xx64 = polars'
+    vectorized 64-bit hash + numpy hex encode, 16 hex chars."""
+    if kernel not in SAMPLING_KERNELS:
+        raise ValueError(f"unknown sampling hash kernel {kernel!r}; "
+                         f"supported: {SAMPLING_KERNELS}")
+    vals = pc.fill_null(pc.cast(batch[col], pa.string()), "")
+    if kernel == "xx64":
+        from geomesa_nifi_ray.hashing import content_hash_generic
+
+        if seed:
+            vals = pc.binary_join_element_wise(
+                pa.scalar(seed), vals, pa.scalar(""))
+        return content_hash_generic(pa.table({"v": vals}), ["v"],
+                                    kernel="xx64")
     return pa.array(
-        [hashlib.md5((seed + (v or "")).encode()).hexdigest() for v in vals],
+        [hashlib.md5((seed + v).encode()).hexdigest()
+         for v in vals.to_pylist()],
         type=pa.string(),
     )
 
 
-def hash_sample(ds, col: str, threshold: str = "28"):
-    """Deterministic sample: keep rows with ``md5(col) < threshold`` (hex
+def _bucket_from_hex(keys: pa.Array, num_buckets: int) -> pa.Array:
+    """Range bucket from the first 4 hex nibbles of each key:
+    ``floor(int(key[:4], 16) * B / 65536)``. Static boundaries (keys are
+    uniform hashes), so bucket i's keys all sort before bucket i+1's —
+    bucket order == key order. Fully vectorized via a numpy nibble LUT."""
+    prefix = pc.utf8_slice_codeunits(keys, 0, 4)
+    if isinstance(prefix, pa.ChunkedArray):
+        prefix = prefix.combine_chunks()
+    b = prefix.cast(pa.binary())
+    data = np.frombuffer(b.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(b.buffers()[1], dtype=np.int32)[
+        b.offset: b.offset + len(b) + 1]
+    raw = data[offs[:-1, None] + np.arange(4)]
+    nib = _UNHEX[raw]
+    val = (nib[:, 0] << 12) | (nib[:, 1] << 8) | (nib[:, 2] << 4) | nib[:, 3]
+    return pa.array((val.astype(np.uint64) * num_buckets // 65536)
+                    .astype(np.int32))
+
+
+def _check_kernel(kernel: str) -> None:
+    if kernel not in SAMPLING_KERNELS:
+        raise ValueError(f"unknown sampling hash kernel {kernel!r}; "
+                         f"supported: {SAMPLING_KERNELS}")
+
+
+def hash_sample(ds, col: str, threshold: str = "28", kernel: str = "md5"):
+    """Deterministic sample: keep rows with ``hash(col) < threshold`` (hex
     prefix compare; '28' ≈ 40/256 ≈ 15.6%). Pure per-batch filter."""
+    _check_kernel(kernel)
 
     def stage(t: pa.Table) -> pa.Table:
-        h = _md5_col(t, col)
+        h = _hash_col(t, col, kernel=kernel)
         return t.filter(pc.less(h, pa.scalar(threshold)))
 
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+def _multi_node() -> bool:
+    try:
+        import ray
+
+        return sum(1 for n in ray.nodes() if n.get("Alive")) > 1
+    except Exception:
+        return False
+
+
 def deterministic_shuffle(ds, col: str, seed: str = "s0",
-                          key_col: str = "shuffle_key"):
-    """Seeded deterministic global shuffle: append ``md5(seed || col)`` and
-    sort by it — the same permutation at any parallelism (unlike
+                          key_col: str = "shuffle_key",
+                          kernel: str = "md5",
+                          layout: str = "auto", num_buckets: int = 64):
+    """Seeded deterministic shuffle: the permutation is defined by
+    ``hash(seed || col)`` — the same at any parallelism (unlike
     ``ds.random_shuffle``). The key column stays in the output so the
-    order is verifiable downstream."""
+    order is verifiable downstream.
+
+    ``layout="bucketed"`` (the multi-node / 100 TB path): keys are
+    range-bucketed on their first 4 hex nibbles — static boundaries, no
+    sample pass — then ONE hash exchange (``repartition(P, keys=
+    ["_shuffle_bucket"], sort=True)`` under Ray's hash-shuffle strategy,
+    scoped to this dataset's own DataContext — the global context is not
+    touched) co-locates each bucket, and a zero-copy per-block
+    ``Table.sort_by`` orders ``(bucket, key)``. The output carries
+    ``_shuffle_bucket``; rows ordered by ``(_shuffle_bucket, key_col)``
+    — i.e. buckets concatenated in bucket order — are EXACTLY the
+    ``layout="sorted"`` permutation, because bucket boundaries are
+    key-prefix ranges (tested). Physical block order across buckets is
+    up to the executor: the contract is block-CONTENT determinism, and
+    each output block is internally in permutation order.
+
+    ``layout="sorted"``: the global ``ds.sort`` total order — one
+    physically ordered stream. Measured (BASELINE.md "deterministic
+    shuffle layouts"): single-node the sort wins (1.7 s vs 7.2 s at 2M
+    rows, 7.8 s vs 10.0 s at 10M — Ray's hash-shuffle aggregator pool
+    carries ~5 s fixed startup that amortizes slowly), so sort stays
+    the single-node choice; multi-node, the sort's boundary-sampling
+    pass + skew-sensitive range exchange lose to the static-boundary
+    hash exchange, which is the bucketed layout's reason to exist.
+
+    ``layout="auto"`` (default) picks bucketed on a multi-node cluster
+    and sorted on a single node — the same probe-and-select rule as the
+    engine's late-exchange default (``engine.py apply_epoch``).
+    """
+
+    _check_kernel(kernel)
 
     def stage(t: pa.Table) -> pa.Table:
-        return t.append_column(key_col, _md5_col(t, col, seed))
+        return t.append_column(key_col, _hash_col(t, col, seed, kernel))
 
-    return ds.map_batches(stage, batch_format="pyarrow").sort(key_col)
+    if layout == "auto":
+        layout = "bucketed" if _multi_node() else "sorted"
+    keyed = ds.map_batches(stage, batch_format="pyarrow")
+    if layout == "sorted":
+        return keyed.sort(key_col)
+    if layout != "bucketed":
+        raise ValueError(f"unknown layout {layout!r}")
+
+    def bucket_stage(t: pa.Table) -> pa.Table:
+        k = t[key_col]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        return t.append_column("_shuffle_bucket",
+                               _bucket_from_hex(k, num_buckets))
+
+    def block_sort(t: pa.Table) -> pa.Table:
+        return t.sort_by([("_shuffle_bucket", "ascending"),
+                          (key_col, "ascending")])
+
+    from ray.data.context import ShuffleStrategy
+
+    # The bucket COLUMN (num_buckets, part of the determinism contract) and
+    # the physical exchange width are independent: each hash-shuffle
+    # partition aggregator reserves CPU + memory, so cap physical
+    # partitions at the cluster CPU count (a partition holds whole
+    # buckets; block content stays deterministic for a fixed num_buckets).
+    try:
+        import ray
+
+        phys = max(2, min(num_buckets,
+                          int(ray.cluster_resources().get("CPU", 2))))
+    except Exception:
+        phys = num_buckets
+    out = (keyed.map_batches(bucket_stage, batch_format="pyarrow")
+           .repartition(phys, keys=["_shuffle_bucket"], sort=True)
+           .map_batches(block_sort, batch_format="pyarrow",
+                        batch_size=None, zero_copy_batch=True))
+    # scoped to this dataset chain's captured context; the process-global
+    # DataContext keeps its configured strategy
+    out.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return out
 
 
-def stratified_cap(ds, group_col: str, col: str, cap: int, seed: str = "s0"):
+def stratified_cap(ds, group_col: str, col: str, cap: int, seed: str = "s0",
+                   kernel: str = "md5"):
     """At most ``cap`` rows per group, selected by the seeded hash order
     (stable under resharding): the per-domain / per-language quota of a
     training mix. One groupby exchange; selection inside the group is a
     vectorized sort-head."""
+    _check_kernel(kernel)
 
     def stage(t: pa.Table) -> pa.Table:
-        return t.append_column("_sk", _md5_col(t, col, seed))
+        return t.append_column("_sk", _hash_col(t, col, seed, kernel))
 
     def head(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values("_sk").head(cap).drop(columns=["_sk"])
