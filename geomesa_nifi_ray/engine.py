@@ -815,6 +815,31 @@ def _alive_node_count() -> int:
         return 1
 
 
+class RefBlocks:
+    """A pre-converted epoch held as raw plasma block refs (one per input
+    file), produced by the pipelined replay's task-based conversion path.
+    Carrying refs instead of a ``Dataset`` lets ``apply_epoch`` feed the
+    split exchange with zero Dataset-executor involvement — no per-epoch
+    pipeline ramp, no driver-thread GIL contention (measured in BASELINE.md
+    "sequential vs catch-up")."""
+
+    def __init__(self, refs):
+        self.refs = list(refs)
+
+
+def _convert_file(path: str, convert_fn, batch_size: int) -> pa.Table:
+    """One raw conversion task: read one binlog part file, run the convert
+    fn per ``batch_size`` slice (same segmentation contract as
+    ``map_batches``; winners are re-reduced per bucket later, so slice
+    boundaries never change the final merge), return one block."""
+    t = pq.read_table(path)
+    outs = [
+        convert_fn(pa.Table.from_batches([b]))
+        for b in t.to_batches(max_chunksize=batch_size)
+    ]
+    return pa.concat_tables(outs) if outs else convert_fn(t.slice(0, 0))
+
+
 def run_split_exchange(converted_mat, merge_bucket, num_buckets: int,
                        num_groups: int = 16) -> list[dict]:
     """Two-wave manual hash exchange for small/mid epochs — the band between
@@ -835,7 +860,8 @@ def run_split_exchange(converted_mat, merge_bucket, num_buckets: int,
     import numpy as np
     import ray
 
-    refs = converted_mat.to_arrow_refs()
+    refs = (list(converted_mat.refs) if isinstance(converted_mat, RefBlocks)
+            else converted_mat.to_arrow_refs())
     G = max(1, min(num_groups, num_buckets))
 
     single_node = len([n for n in ray.nodes() if n.get("Alive")]) <= 1
@@ -1087,8 +1113,12 @@ class CDCEngine:
         if _converted is not None:
             # pipelined replay pre-converted this epoch (with the SAME
             # stored schema, asserted by the caller) while the previous
-            # epoch's exchange ran
+            # epoch's exchange ran; RefBlocks = raw task-converted blocks
             converted = _converted
+            if isinstance(converted, RefBlocks) and salted_reduce:
+                import ray.data as _rd
+
+                converted = _rd.from_arrow_refs(converted.refs)
         else:
             convert = self._make_convert(stored_schema)
             converted = ds.map_batches(convert, batch_format="pyarrow", batch_size=batch_size)
@@ -1179,22 +1209,46 @@ class CDCEngine:
                     outs.append(merger(t.slice(s0, s1 - s0)))
                 return pa.concat_tables(outs)
 
-            lineage_ds = converted.repartition(1).map_batches(
-                merge_all, batch_format="pyarrow", batch_size=None
-            )
-            lineage = [r for r in lineage_ds.take_all() if r.get("bucket") is not None]
-            self.last_stats = lineage_ds.stats()
+            if isinstance(converted, RefBlocks):
+                import ray as _ray
+
+                @_ray.remote
+                def _merge_all_refs(refs):
+                    return merge_all(pa.concat_tables(_ray.get(list(refs))))
+
+                res = (_ray.get(_merge_all_refs.remote(converted.refs))
+                       if converted.refs else pa.table({}))
+                lineage = [r for r in res.to_pylist()
+                           if r.get("bucket") is not None]
+                self.last_stats = None
+            else:
+                lineage_ds = converted.repartition(1).map_batches(
+                    merge_all, batch_format="pyarrow", batch_size=None
+                )
+                lineage = [r for r in lineage_ds.take_all() if r.get("bucket") is not None]
+                self.last_stats = lineage_ds.stats()
         elif split_epoch:
-            mat = converted.materialize()
-            self.last_stats = mat.stats()
-            lineage = run_split_exchange(mat, merger, self.table.num_buckets)
+            if isinstance(converted, RefBlocks):
+                self.last_stats = None
+            else:
+                converted = converted.materialize()
+                self.last_stats = converted.stats()
+            lineage = run_split_exchange(converted, merger, self.table.num_buckets)
         elif use_late:
+            if isinstance(converted, RefBlocks):
+                import ray.data as _rd
+
+                converted = _rd.from_arrow_refs(converted.refs)
             mat = converted.materialize()
             self.last_stats = mat.stats()
             lineage = run_late_exchange(
                 mat, merger, self.table.key, self.table.order, self.table.num_buckets
             )
         else:
+            if isinstance(converted, RefBlocks):
+                import ray.data as _rd
+
+                converted = _rd.from_arrow_refs(converted.refs)
             # Coalesce the (post-combiner) change set to P blocks before the
             # exchange: Ray's sort-based shuffle creates one output partition
             # per input block, so many tiny blocks make the all-to-all move
@@ -1529,15 +1583,26 @@ class CDCEngine:
         return results
 
     def _replay_pipelined(self, pending: list[dict], mode: str,
-                          batch_size: int = 8192, **apply_kwargs) -> list[EpochResult]:
-        """Sequential per-epoch replay with convert/merge overlap: epoch
-        e+1's read+convert materializes on a background thread while epoch
-        e's exchange+merge+commit runs — the driver-side analog of the
-        reference's consumer-thread prefetch (``GetGeoMesaKafkaRecord.scala:
-        263-304``: Kafka threads accumulate the next batch while onTrigger
-        writes the current one). Commit order, schema-evolution boundaries
-        and crash semantics are untouched: conversion is pure, only commits
-        are serialized.
+                          batch_size: int = 8192, lookahead: int = 3,
+                          **apply_kwargs) -> list[EpochResult]:
+        """Sequential per-epoch replay with convert/merge overlap: the next
+        ``lookahead`` epochs' read+convert pipelines materialize on
+        background threads while epoch e's exchange+merge+commit runs — the
+        driver-side analog of the reference's consumer-thread prefetch
+        (``GetGeoMesaKafkaRecord.scala:263-304``: Kafka threads accumulate
+        the next batch while onTrigger writes the current one). Commit
+        order, schema-evolution boundaries and crash semantics are
+        untouched: conversion is pure, only commits are serialized.
+
+        ``lookahead`` > 1 matters because conversion dominates per-epoch
+        wall time while the merge+commit it overlaps is short: with a
+        window of 1 the conversions run serially (each pays its own
+        pipeline ramp-up/ramp-down) and the ratio to catch-up stalls near
+        0.6; with 3 concurrent materializations the cluster's slots stay
+        saturated across epoch boundaries exactly as catch-up's single
+        pipeline keeps them (measured in BASELINE.md "sequential vs
+        catch-up"). The window also bounds object-store residency: at most
+        ``lookahead`` epochs' converted blocks are alive at once.
 
         The stored-schema timeline is precomputed on the driver (schema
         merging is deterministic), so a prefetched epoch converts with
@@ -1568,23 +1633,73 @@ class CDCEngine:
                 convert, batch_format="pyarrow", batch_size=batch_size
             )
 
-        try:  # warm thread-unsafe lazy imports before the background thread runs
+        try:  # warm thread-unsafe lazy imports before the background threads run
             import fsspec.implementations.http  # noqa: F401
         except Exception:
-            pass
+            # When aiohttp is absent this import FAILS — and failed imports
+            # are retried on every call, so the concurrent read_parquet
+            # plan constructions in the prefetch threads race on the
+            # half-initialized module and raise ImportError ("cannot import
+            # name HTTPFileSystem"), which escapes Ray's
+            # ModuleNotFoundError guard (ray/data/datasource/path_util.py
+            # _is_http_filesystem). Install a minimal stable stub so the
+            # import resolves deterministically; isinstance checks against
+            # the stub class are simply False (no http filesystem in play).
+            import sys as _sys
+            import types as _types
+
+            if "fsspec.implementations.http" not in _sys.modules:
+                try:
+                    import fsspec.implementations  # noqa: F401
+
+                    _mod = _types.ModuleType("fsspec.implementations.http")
+
+                    class _StubHTTPFileSystem:  # pragma: no cover
+                        pass
+
+                    _mod.HTTPFileSystem = _StubHTTPFileSystem
+                    _sys.modules["fsspec.implementations.http"] = _mod
+                except Exception:
+                    pass
+
+        # Task-based conversion path: when every part file is modest, skip
+        # Ray Data entirely for the conversion — submit one raw Ray task per
+        # (epoch, file), windowed ``window`` epochs ahead, and hand each
+        # epoch's block refs straight to the exchange via RefBlocks. This
+        # removes BOTH residual sequential-replay overheads the
+        # thread-prefetch design carries: the per-epoch Dataset pipeline
+        # ramp (~0.3-0.5 s each) and the driver-GIL contention between
+        # concurrent streaming executors (measured 0.4 s stalls between a
+        # conversion finishing and its apply starting). Oversized files
+        # (>64 MB — a task would under-parallelize) keep the thread path.
+        if all(os.path.getsize(f) <= (64 << 20) for _, fls, _ in plans for f in fls):
+            return self._replay_raw_tasks(plans, mode, batch_size,
+                                          window=max(int(lookahead), 8),
+                                          **apply_kwargs)
 
         results: list[EpochResult] = []
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            fut = None
+        lookahead = max(1, int(lookahead))
+        with ThreadPoolExecutor(max_workers=lookahead) as ex:
+            futs: dict[int, object] = {}
+
+            def submit(j: int) -> None:
+                if j < len(plans) and j not in futs:
+                    _, jfiles, jschema = plans[j]
+                    # plan construction AND materialize both run in the
+                    # background: read_parquet's fragment sampling costs
+                    # ~0.15 s/epoch of driver time, which serialized on the
+                    # main thread is most of the sequential/catch-up gap.
+                    # Thread-unsafe lazy imports are warmed above.
+                    futs[j] = ex.submit(
+                        lambda f=jfiles, s=jschema: build(f, s).materialize()
+                    )
+
+            for j in range(min(lookahead, len(plans)) if len(plans) > 1 else 0):
+                submit(j)
             for i, (e, files, schema_after) in enumerate(plans):
-                conv = fut.result() if fut is not None else build(files, schema_after).materialize()
-                fut = None
-                if i + 1 < len(plans):
-                    _, nfiles, nschema = plans[i + 1]
-                    # plan construction on the main thread (import safety);
-                    # only the blocking materialize runs in the background
-                    nds = build(nfiles, nschema)
-                    fut = ex.submit(nds.materialize)
+                conv = (futs.pop(i).result() if i in futs
+                        else build(files, schema_after).materialize())
+                submit(i + lookahead)
                 r = self.apply_epoch(
                     files,
                     epoch=int(e["epoch"]),
@@ -1601,6 +1716,56 @@ class CDCEngine:
                             "stored schema diverged from the precomputed timeline"
                         )
                     results.append(r)
+        return results
+
+    def _replay_raw_tasks(self, plans, mode: str, batch_size: int,
+                          window: int = 8, **apply_kwargs) -> list[EpochResult]:
+        """Sequential replay with task-based conversion (see
+        ``_replay_pipelined``): one raw Ray task per part file converts and
+        leaves its block in plasma; ``apply_epoch`` consumes each epoch's
+        refs through :class:`RefBlocks`. Conversion tasks for up to
+        ``window`` epochs are in flight at once (bounding object-store
+        residency of converted winners), and the cluster schedules them
+        fairly around each epoch's exchange tasks — the applies overlap the
+        remaining conversions with no driver threads at all. Commit order,
+        schema timeline and crash semantics are identical to the serial
+        path; the converted content is identical too (the convert fn runs
+        on the same ``batch_size`` row slices)."""
+        import ray
+
+        convert_task = ray.remote(_convert_file)
+        epoch_refs: dict[int, list] = {}
+
+        def submit(j: int) -> None:
+            if j < len(plans) and j not in epoch_refs:
+                _, jfiles, jschema = plans[j]
+                conv_ref = ray.put(self._make_convert(jschema))
+                epoch_refs[j] = [
+                    convert_task.remote(f, conv_ref, batch_size) for f in jfiles
+                ]
+
+        for j in range(min(window, len(plans))):
+            submit(j)
+        results: list[EpochResult] = []
+        for i, (e, files, schema_after) in enumerate(plans):
+            refs = epoch_refs.pop(i)
+            submit(i + window)
+            r = self.apply_epoch(
+                files,
+                epoch=int(e["epoch"]),
+                offset_range=(e["offset_min"], e["offset_max"]),
+                mode=mode,
+                batch_size=batch_size,
+                rows_hint=e.get("rows"),
+                _converted=RefBlocks(refs),
+                **apply_kwargs,
+            )
+            if r is not None:
+                if not self.table.schema.equals(schema_after):
+                    raise SchemaError(
+                        "stored schema diverged from the precomputed timeline"
+                    )
+                results.append(r)
         return results
 
     def snapshot(self, columns: list[str] | None = None,
