@@ -1093,7 +1093,8 @@ class CDCEngine:
         else:
             ds = source
             incoming_schema = pa.schema(ds.schema().base_schema)
-            rows_in = ds.count()
+            # a descriptor row count skips the extra count() execution
+            rows_in = rows_hint if rows_hint is not None else ds.count()
 
         # schema reconciliation, once per epoch on the driver (§1.3)
         merge = merge_schemas(
@@ -1489,6 +1490,7 @@ class CDCEngine:
         catchup: bool = False,
         max_batch_epochs: int | None = None,
         pipelined: bool = True,
+        source=None,
         **apply_kwargs,
     ) -> list[EpochResult]:
         """Run all uncommitted epochs of a binlog (resume-aware). The
@@ -1522,6 +1524,30 @@ class CDCEngine:
             if committed is None or int(e["epoch"]) > committed
         ]
         epoch_modes = [e.get("mode", mode) for e in pending]
+        # Non-file descriptors (a Source whose read() yields a Dataset —
+        # the message-bus seam) are applied serially per epoch: each epoch
+        # is one commit's worth of rows at tail cadence, and the parquet
+        # fast paths (footer stats, schema grouping, task-based conversion)
+        # don't apply to an opaque stream.
+        if any("files" not in e and "path" not in e for e in pending):
+            if source is None:
+                raise ValueError(
+                    "descriptors carry no files/path; pass the Source so "
+                    "epochs can be read (tail() does this automatically)"
+                )
+            results = []
+            for e, e_mode in zip(pending, epoch_modes):
+                r = self.apply_epoch(
+                    source.read(e),
+                    epoch=int(e["epoch"]),
+                    offset_range=(e["offset_min"], e["offset_max"]),
+                    mode=e_mode,
+                    rows_hint=e.get("rows"),
+                    **apply_kwargs,
+                )
+                if r is not None:
+                    results.append(r)
+            return results
         mixed_modes = len(set(epoch_modes)) > 1
         # A UNIFORM per-epoch override (every descriptor says e.g. 'update')
         # must win over the call-level default in the pipelined and catch-up
@@ -1790,55 +1816,37 @@ class CDCEngine:
         skipped forever (``epoch <= committed`` filter). Producers that
         cannot rename atomically should instead write a ``_SUCCESS`` marker
         as their last file and run the tailer with ``require_marker=True``,
-        which ignores epoch dirs until the marker exists."""
-        import glob as _glob
+        which ignores epoch dirs until the marker exists.
 
-        out = []
-        for d in sorted(_glob.glob(os.path.join(binlog_dir, "epoch-*"))):
-            if not os.path.isdir(d):
-                continue
-            if require_marker and not os.path.exists(os.path.join(d, "_SUCCESS")):
-                continue
-            epoch = int(os.path.basename(d).split("-")[1])
-            files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
-            if not files:
-                continue
-            lo, hi = None, None
-            for f in files:
-                md = pq.ParquetFile(f).metadata
-                idx = md.schema.to_arrow_schema().get_field_index("offset")
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    if st is not None and st.has_min_max:
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-            out.append(
-                {
-                    "epoch": epoch,
-                    "path": d,
-                    "files": files,
-                    "offset_min": -1 if lo is None else int(lo),
-                    "offset_max": -1 if hi is None else int(hi),
-                }
-            )
-        return out
+        Delegates to :class:`~geomesa_nifi_ray.sources.spi.
+        FilesystemEpochSource` — the default ``Source`` implementation."""
+        from geomesa_nifi_ray.sources.spi import FilesystemEpochSource
+
+        return FilesystemEpochSource(
+            binlog_dir, require_marker=require_marker
+        ).poll_epochs()
 
     def tail(
         self,
-        binlog_dir: str,
+        source,
         poll_interval: float = 1.0,
         max_idle_polls: int = 3,
         catchup: bool = True,
         require_marker: bool = False,
         **apply_kwargs,
     ) -> list[EpochResult]:
-        """Tail a growing binlog directory: poll for new epoch dirs, apply
-        pending ones (catch-up batched), commit, repeat; stop after
+        """Tail a growing change stream: poll the source for new epochs,
+        apply pending ones (catch-up batched), commit, repeat; stop after
         ``max_idle_polls`` consecutive polls with nothing new.
 
-        Epoch dirs must be published atomically (tmp dir + rename), or the
-        producer writes a ``_SUCCESS`` marker last and the tailer runs with
-        ``require_marker=True`` — see :meth:`discover_epochs`.
+        ``source`` is either a binlog directory path (wrapped in the
+        default :class:`~geomesa_nifi_ray.sources.spi.FilesystemEpochSource`
+        — epoch dirs must be published atomically, tmp dir + rename, or
+        with a ``_SUCCESS`` marker and ``require_marker=True``; see
+        :meth:`discover_epochs`) or any object implementing the
+        :class:`~geomesa_nifi_ray.sources.spi.Source` protocol — e.g.
+        :class:`~geomesa_nifi_ray.sources.spi.SqliteBinlogSource`, the
+        message-bus stand-in.
 
         The driver-loop analog of the reference's Kafka consumer + poll
         timeout + min/max batch envelope (``GetGeoMesaKafkaRecord.scala:
@@ -1849,12 +1857,15 @@ class CDCEngine:
         """
         import time as _time
 
+        if isinstance(source, str):
+            from geomesa_nifi_ray.sources.spi import FilesystemEpochSource
+
+            source = FilesystemEpochSource(source, require_marker=require_marker)
+
         results: list[EpochResult] = []
         idle = 0
         while idle < max_idle_polls:
-            pending_meta = {
-                "epochs": self.discover_epochs(binlog_dir, require_marker=require_marker)
-            }
+            pending_meta = {"epochs": source.poll_epochs()}
             committed = self.table.committed_epoch()
             has_new = any(
                 committed is None or e["epoch"] > committed
@@ -1862,7 +1873,8 @@ class CDCEngine:
             )
             if has_new:
                 results.extend(
-                    self.replay_binlog(pending_meta, catchup=catchup, **apply_kwargs)
+                    self.replay_binlog(pending_meta, catchup=catchup,
+                                       source=source, **apply_kwargs)
                 )
                 idle = 0
             else:

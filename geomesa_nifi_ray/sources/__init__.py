@@ -131,5 +131,12 @@ def read_avro_files(paths):
     return control.repartition(len(files)).map_batches(decode, batch_format="pyarrow")
 
 
+from geomesa_nifi_ray.sources.spi import (  # noqa: E402
+    FilesystemEpochSource,
+    Source,
+    SqliteBinlogSource,
+)
+
 __all__ = ["read_epoch", "read_records", "read_avro_files", "read_xml_files",
-           "RecordConverter", "FieldSpec"]
+           "RecordConverter", "FieldSpec", "Source", "FilesystemEpochSource",
+           "SqliteBinlogSource"]

@@ -1,0 +1,271 @@
+"""Source protocol: the pluggable change-stream surface (the consumer side
+of the reference's ``GetGeoMesaKafkaRecord.scala:100-188`` — poll for new
+batches, read them, let the engine commit offsets), mirroring the ``Sink``
+SPI (``sinks.py:25``).
+
+A ``Source`` is anything implementing the two-method protocol below. The
+engine's tailer (``CDCEngine.tail``) drives it: poll for epoch
+descriptors, filter by the lake's committed cursor, read + apply + commit,
+repeat. Offsets/epochs advance only at commit, so a crash at any poll
+boundary resumes exactly — the source never tracks consumer state, the
+lake's commit log is the single cursor (the consumer-group-offsets analog,
+except exactly-once because the cursor commits atomically WITH the data).
+
+Two built-ins:
+
+- :class:`FilesystemEpochSource` — the default: epoch directories of
+  parquet dropped into a watched dir (atomic rename or ``_SUCCESS``
+  marker publish). ``read`` returns file paths so the engine's
+  footer-statistics / rows-hint / catch-up-grouping fast paths all apply.
+- :class:`SqliteBinlogSource` — an append-only log TABLE (a stand-in for
+  any message bus / WAL a real deployment would tail): producers append
+  rows + publish the epoch row in one transaction, readers see epochs
+  atomically. ``read`` returns a ``ray.data.Dataset`` via
+  ``ray.data.read_sql``, proving the engine's non-file ingest seam.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+from typing import Protocol, runtime_checkable
+
+import pyarrow as pa
+
+from geomesa_nifi_ray.schema import schema_from_json, schema_to_json
+
+
+@runtime_checkable
+class Source(Protocol):
+    """Pluggable change-stream protocol.
+
+    ``poll_epochs()`` returns epoch descriptors — dicts with at least
+    ``epoch`` (int), ``offset_min``/``offset_max``; plus either
+    ``files``/``path`` (parquet fast path) or nothing file-like, in which
+    case the engine calls ``read(descriptor)`` for a Dataset. Optional
+    keys: ``rows`` (row-count hint), ``mode`` (per-epoch write mode).
+    Descriptors must be stable across polls (same epoch -> same content):
+    an epoch is immutable once published, exactly like a closed Kafka
+    batch. Sources hold no consumer state — the caller filters by its own
+    committed cursor."""
+
+    def poll_epochs(self) -> list[dict]:
+        """All currently published epochs, ascending by epoch."""
+        ...
+
+    def read(self, descriptor: dict):
+        """Materializable input for one epoch: a list of parquet paths or
+        a ``ray.data.Dataset`` in the event schema."""
+        ...
+
+
+class FilesystemEpochSource:
+    """Epoch directories (``epoch-NNNNN/``) polled from a filesystem dir —
+    the engine's original hardcoded tailer target, now behind the SPI.
+    Producers publish atomically (tmp dir + one rename), or write a
+    ``_SUCCESS`` marker last and set ``require_marker=True``
+    (``CDCEngine.discover_epochs`` documents the contract)."""
+
+    def __init__(self, binlog_dir: str, require_marker: bool = False):
+        self.binlog_dir = binlog_dir
+        self.require_marker = require_marker
+
+    def poll_epochs(self) -> list[dict]:
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        out = []
+        for d in sorted(_glob.glob(os.path.join(self.binlog_dir, "epoch-*"))):
+            if not os.path.isdir(d):
+                continue
+            if self.require_marker and not os.path.exists(
+                os.path.join(d, "_SUCCESS")
+            ):
+                continue
+            epoch = int(os.path.basename(d).split("-")[1])
+            files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+            if not files:
+                continue
+            lo, hi = None, None
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                idx = md.schema.to_arrow_schema().get_field_index("offset")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            out.append(
+                {
+                    "epoch": epoch,
+                    "path": d,
+                    "files": files,
+                    "offset_min": -1 if lo is None else int(lo),
+                    "offset_max": -1 if hi is None else int(hi),
+                }
+            )
+        return out
+
+    def read(self, descriptor: dict):
+        return descriptor["files"]
+
+
+def _sqlite_connect(path: str):
+    """Module-level so ``read_sql``'s connection factory pickles into the
+    read task."""
+    con = sqlite3.connect(path, timeout=60)
+    con.execute("PRAGMA journal_mode=WAL")  # concurrent reader + appender
+    return con
+
+
+class SqliteBinlogSource:
+    """Append-only log table as a change-stream source (the in-sandbox
+    stand-in for a message bus / database WAL).
+
+    Layout: one sqlite db with ``binlog`` (event rows + an ``epoch``
+    column) and ``epochs`` (one row per published epoch: offset range, row
+    count, optional mode). A producer appends an epoch with
+    :meth:`append_epoch` — event inserts and the ``epochs`` row commit in
+    ONE transaction, the ``epochs`` row last, so a poll either sees a
+    whole epoch or none of it (the atomic-publish contract the filesystem
+    source gets from ``os.rename``). The event schema is pinned as arrow
+    JSON in a ``_meta`` table at creation; timestamps store as int64
+    microseconds, binaries as BLOB.
+
+    ``read`` returns a ``ray.data.read_sql`` Dataset (the query runs in a
+    Ray task, not on the driver) cast back to the pinned schema. One task
+    per epoch read — right for steady-state tail cadence where an epoch is
+    one commit's worth of rows; a real bus source at catch-up scale would
+    shard reads by offset range (``read_sql(shard_keys=...)`` exists for
+    stores whose SQL can hash-shard; sqlite's cannot).
+    """
+
+    def __init__(self, db_path: str, schema: pa.Schema | None = None):
+        self.db_path = db_path
+        exists = os.path.exists(db_path)
+        if not exists and schema is None:
+            raise ValueError("new SqliteBinlogSource needs the event schema")
+        con = _sqlite_connect(db_path)
+        try:
+            with con:
+                con.execute(
+                    "CREATE TABLE IF NOT EXISTS _meta (k TEXT PRIMARY KEY, v TEXT)"
+                )
+                con.execute(
+                    "CREATE TABLE IF NOT EXISTS epochs (epoch INTEGER PRIMARY KEY, "
+                    "offset_min INTEGER, offset_max INTEGER, rows INTEGER, mode TEXT)"
+                )
+                row = con.execute(
+                    "SELECT v FROM _meta WHERE k = 'schema'"
+                ).fetchone()
+                if row is None:
+                    con.execute(
+                        "INSERT INTO _meta VALUES ('schema', ?)",
+                        (json.dumps(schema_to_json(schema)),),
+                    )
+                    decl = ", ".join(
+                        f'"{f.name}" {self._sql_type(f.type)}' for f in schema
+                    )
+                    con.execute(
+                        f'CREATE TABLE binlog (epoch INTEGER, {decl})'
+                    )
+                    con.execute("CREATE INDEX binlog_epoch ON binlog (epoch)")
+                    self.schema = schema
+                else:
+                    self.schema = schema_from_json(json.loads(row[0]))
+        finally:
+            con.close()
+
+    @staticmethod
+    def _sql_type(t: pa.DataType) -> str:
+        if pa.types.is_integer(t) or pa.types.is_boolean(t) or pa.types.is_timestamp(t):
+            return "INTEGER"
+        if pa.types.is_floating(t):
+            return "REAL"
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return "BLOB"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "TEXT"
+        raise ValueError(f"SqliteBinlogSource supports scalar columns only, got {t}")
+
+    # -- producer side -------------------------------------------------------
+
+    def append_epoch(self, events: pa.Table, epoch: int,
+                     mode: str | None = None) -> None:
+        """Atomically publish one epoch: event rows + the ``epochs``
+        registration commit in a single transaction (readers poll
+        ``epochs``, so a torn write is invisible). Idempotent-unsafe on
+        purpose: re-publishing an epoch id raises (epochs are immutable)."""
+        import pyarrow.compute as pc
+
+        events = events.select([f.name for f in self.schema])
+        cols = []
+        for f in self.schema:
+            col = events[f.name]
+            if pa.types.is_timestamp(f.type):
+                col = pc.cast(col, pa.int64())
+            cols.append(col.to_pylist())
+        offs = events["offset"].to_pylist() if "offset" in events.schema.names else []
+        lo = min(offs) if offs else -1
+        hi = max(offs) if offs else -1
+        con = _sqlite_connect(self.db_path)
+        try:
+            with con:
+                placeholders = ", ".join("?" * (1 + len(self.schema)))
+                con.executemany(
+                    f"INSERT INTO binlog VALUES ({placeholders})",
+                    [(epoch, *row) for row in zip(*cols)] if cols else [],
+                )
+                con.execute(
+                    "INSERT INTO epochs VALUES (?, ?, ?, ?, ?)",
+                    (epoch, lo, hi, events.num_rows, mode),
+                )
+        finally:
+            con.close()
+
+    # -- Source protocol -----------------------------------------------------
+
+    def poll_epochs(self) -> list[dict]:
+        con = _sqlite_connect(self.db_path)
+        try:
+            rows = con.execute(
+                "SELECT epoch, offset_min, offset_max, rows, mode "
+                "FROM epochs ORDER BY epoch"
+            ).fetchall()
+        finally:
+            con.close()
+        out = []
+        for epoch, lo, hi, n, mode in rows:
+            d = {"epoch": int(epoch), "offset_min": int(lo),
+                 "offset_max": int(hi), "rows": int(n)}
+            if mode:
+                d["mode"] = mode
+            out.append(d)
+        return out
+
+    def read(self, descriptor: dict):
+        import functools
+
+        import ray.data
+
+        schema = self.schema
+        names = ", ".join(f'"{f.name}"' for f in schema)
+        ds = ray.data.read_sql(
+            f"SELECT {names} FROM binlog WHERE epoch = {int(descriptor['epoch'])}",
+            functools.partial(_sqlite_connect, self.db_path),
+        )
+
+        def cast(t: pa.Table) -> pa.Table:
+            arrays = []
+            for f in schema:
+                col = t[f.name]
+                if pa.types.is_timestamp(f.type):
+                    col = col.cast(pa.int64()).cast(f.type)
+                elif not col.type.equals(f.type):
+                    col = col.cast(f.type)
+                arrays.append(col)
+            return pa.Table.from_arrays(arrays, schema=schema)
+
+        return ds.map_batches(cast, batch_format="pyarrow")
