@@ -179,18 +179,18 @@ class GroupCountView:
                                       if c not in (lww_key, col)]
         prev_schema = pa.schema([f for f in full_schema if f.name in prev_cols])
 
-        def bucket_delta(batch: pa.Table) -> pa.Table:
-            import pyarrow.parquet as pq
+        lake_fs = self.table.fs
 
+        def bucket_delta(batch: pa.Table) -> pa.Table:
             from geomesa_nifi_ray.lake import TOMB_COLUMN, merge_chain_tables
 
             outs = []
             for i in batch["i"].to_pylist():
                 spec = touched[i]
-                names = set(pq.read_schema(spec["new_file"]).names)
+                names = set(lake_fs.read_parquet_schema(spec["new_file"]).names)
                 cols_n = [key, col, "offset"] + (
                     [TOMB_COLUMN] if TOMB_COLUMN in names else [])
-                new = pq.read_table(spec["new_file"], columns=cols_n)
+                new = lake_fs.read_parquet(spec["new_file"], columns=cols_n)
                 off = new["offset"]
                 mask = pc.and_(pc.greater_equal(off, pa.scalar(lo)),
                                pc.less_equal(off, pa.scalar(hi)))
@@ -211,11 +211,11 @@ class GroupCountView:
                 if spec["old_files"]:
                     old = []
                     for f in spec["old_files"]:
-                        fnames = set(pq.read_schema(f).names)
+                        fnames = set(lake_fs.read_parquet_schema(f).names)
                         cols_o = [c for c in prev_cols if c in fnames]
                         if TOMB_COLUMN in fnames:
                             cols_o = cols_o + [TOMB_COLUMN]
-                        old.append(pq.read_table(f, columns=cols_o))
+                        old.append(lake_fs.read_parquet(f, columns=cols_o))
                     # tombstone-aware LWW: a deleted key yields no prev row
                     prev_tbl = merge_chain_tables(
                         old, prev_schema, lww_key, lww_order)

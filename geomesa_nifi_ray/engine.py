@@ -971,22 +971,26 @@ class CDCEngine:
         key: str = "url",
         order: tuple[str, ...] = ("warc_ts", "offset"),
         content_hash_kernel: str = "md5",
+        lake_fs=None,
     ):
         """``sink_factory(table: LakeTable) -> Sink`` plugs an alternate
         data-plane backend (the DataStoreService SPI analog); default is the
         bucketed Parquet lake. The metadata plane (schema, commit log,
-        cursor) always lives in the LakeTable."""
+        cursor) always lives in the LakeTable. ``lake_fs`` (a
+        :class:`~geomesa_nifi_ray.lake.LakeFS`) puts the lake on any
+        ``pyarrow.fs`` backend; default is local disk with tmp+rename."""
         self.lake_root = lake_root
         self.table_name = table_name
         self.compatibility = compatibility
         self.max_deltas = max_deltas
         self.convert_fn_factory = convert_fn_factory or make_convert_fn
-        if LakeTable.exists(lake_root, table_name):
-            self.table = LakeTable.load(lake_root, table_name)
+        if LakeTable.exists(lake_root, table_name, fs=lake_fs):
+            self.table = LakeTable.load(lake_root, table_name, fs=lake_fs)
         else:
             self.table = LakeTable.create(lake_root, table_name, schema, num_buckets,
                                           key=key, order=order,
-                                          content_hash_kernel=content_hash_kernel)
+                                          content_hash_kernel=content_hash_kernel,
+                                          fs=lake_fs)
         if sink_factory is None:
             from geomesa_nifi_ray.sinks import ParquetLakeSink
 

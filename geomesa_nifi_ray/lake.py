@@ -96,12 +96,129 @@ def _atomic_write_json(path: str, payload: dict) -> None:
     os.replace(tmp, path)
 
 
-class LakeTable:
-    """Handle to one lake table; cheap to construct, safe to use from tasks."""
+class LakeFS:
+    """Filesystem seam for the lake (the ``FileSystemDataStoreService.
+    scala:23-44`` analog): every lake IO goes through a
+    ``pyarrow.fs.FileSystem`` plus ONE publish primitive, so the same
+    table logic runs on local disk, HDFS, or an object store.
 
-    def __init__(self, root: str, name: str):
+    ``publish_*`` is the exactly-once building block. Two modes:
+
+    - ``rename_capable=True`` (local/HDFS default): write to a tmp name,
+      fsync, one atomic rename — a reader never observes a torn file.
+    - ``rename_capable=False`` (S3-style object stores): ONE direct write
+      call per object. This is correct on stores whose single-object PUT
+      is atomic (S3, GCS): readers see the old object or the whole new
+      one, never bytes in between. The lake's linearization point is
+      unchanged — data files first, the epoch manifest LAST, and readers
+      resolve files only through committed manifests, so an epoch is
+      visible exactly when its manifest object appears. Replayed epochs
+      rewrite identical bytes to identical keys (idempotent PUT). On
+      stores with conditional writes, pass the equivalent of
+      ``If-None-Match: *`` for ``_log/epoch-*.json`` to also fence two
+      concurrent writers racing the same epoch (single-writer deployments
+      don't need it; the commit-cursor check already rejects stale
+      epochs).
+
+    Instances are small and picklable (pyarrow filesystems serialize), so
+    a ``LakeTable`` carrying one stays safe to ship into merge tasks.
+    """
+
+    def __init__(self, fs=None, rename_capable: bool | None = None):
+        import pyarrow.fs as pafs
+
+        self.pafs = fs if fs is not None else pafs.LocalFileSystem()
+        if rename_capable is None:
+            rename_capable = isinstance(self.pafs, pafs.LocalFileSystem)
+        self.rename_capable = rename_capable
+
+    @property
+    def is_plain_local(self) -> bool:
+        """True for the default local filesystem — callers may then use
+        plain-path fast paths (os.* probes, Ray's own path resolution)."""
+        import pyarrow.fs as pafs
+
+        return type(self.pafs) is pafs.LocalFileSystem
+
+    # -- probes -------------------------------------------------------------
+
+    def exists(self, path: str) -> bool:
+        import pyarrow.fs as pafs
+
+        return self.pafs.get_file_info(path).type != pafs.FileType.NotFound
+
+    def makedirs(self, path: str) -> None:
+        self.pafs.create_dir(path, recursive=True)
+
+    def listdir(self, path: str) -> list[str]:
+        """Base names of files directly under ``path`` ([] if absent)."""
+        import pyarrow.fs as pafs
+
+        info = self.pafs.get_file_info(path)
+        if info.type == pafs.FileType.NotFound:
+            return []
+        sel = pafs.FileSelector(path, recursive=False, allow_not_found=True)
+        return [i.base_name for i in self.pafs.get_file_info(sel)
+                if i.type == pafs.FileType.File]
+
+    def walk_files(self, path: str) -> list[str]:
+        """All file paths under ``path``, recursive."""
+        import pyarrow.fs as pafs
+
+        sel = pafs.FileSelector(path, recursive=True, allow_not_found=True)
+        return [i.path for i in self.pafs.get_file_info(sel)
+                if i.type == pafs.FileType.File]
+
+    def remove(self, path: str) -> None:
+        self.pafs.delete_file(path)
+
+    # -- reads --------------------------------------------------------------
+
+    def read_json(self, path: str) -> dict:
+        with self.pafs.open_input_stream(path) as f:
+            return json.loads(f.read().decode())
+
+    def read_parquet(self, path: str, columns: list[str] | None = None) -> pa.Table:
+        return pq.read_table(path, columns=columns, filesystem=self.pafs)
+
+    def read_parquet_schema(self, path: str) -> pa.Schema:
+        return pq.read_schema(path, filesystem=self.pafs)
+
+    # -- publishes (the exactly-once primitive) ------------------------------
+
+    def publish_json(self, path: str, payload: dict) -> None:
+        data = json.dumps(payload, indent=1, sort_keys=True).encode()
+        if self.rename_capable:
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with self.pafs.open_output_stream(tmp) as f:
+                f.write(data)
+            self.pafs.move(tmp, path)
+        else:
+            with self.pafs.open_output_stream(path) as f:
+                f.write(data)
+
+    def publish_parquet(self, path: str, table: pa.Table) -> None:
+        if self.rename_capable:
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with self.pafs.open_output_stream(tmp) as f:
+                pq.write_table(table, f, compression="zstd", write_statistics=True)
+            self.pafs.move(tmp, path)
+        else:
+            with self.pafs.open_output_stream(path) as f:
+                pq.write_table(table, f, compression="zstd", write_statistics=True)
+
+
+class LakeTable:
+    """Handle to one lake table; cheap to construct, safe to use from tasks.
+
+    All IO goes through a :class:`LakeFS` (default: local filesystem with
+    the tmp+rename publish), so the same table runs over any
+    ``pyarrow.fs`` backend — pass ``fs=`` to ``create``/``load``."""
+
+    def __init__(self, root: str, name: str, fs: LakeFS | None = None):
         self.root = root
         self.name = name
+        self.fs = fs if fs is not None else LakeFS()
         self.table_dir = os.path.join(root, name)
         self._meta: dict | None = None
 
@@ -118,14 +235,15 @@ class LakeTable:
         order: tuple[str, ...] = ("warc_ts", "offset"),
         exist_ok: bool = False,
         content_hash_kernel: str = "md5",
+        fs: LakeFS | None = None,
     ) -> "LakeTable":
-        t = cls(root, name)
-        if os.path.exists(os.path.join(t.table_dir, TABLE_META)):
+        t = cls(root, name, fs=fs)
+        if t.fs.exists(os.path.join(t.table_dir, TABLE_META)):
             if exist_ok:
-                return cls.load(root, name)
+                return cls.load(root, name, fs=fs)
             raise FileExistsError(f"table {name} already exists under {root}")
-        os.makedirs(os.path.join(t.table_dir, LOG_DIR), exist_ok=True)
-        os.makedirs(os.path.join(t.table_dir, DATA_DIR), exist_ok=True)
+        t.fs.makedirs(os.path.join(t.table_dir, LOG_DIR))
+        t.fs.makedirs(os.path.join(t.table_dir, DATA_DIR))
         meta = {
             "name": name,
             "key": key,
@@ -144,13 +262,13 @@ class LakeTable:
             # is unstable across polars versions) stamp a behavior
             # fingerprint, verified on every load()
             meta["content_hash_fingerprint"] = fp
-        _atomic_write_json(os.path.join(t.table_dir, TABLE_META), meta)
+        t.fs.publish_json(os.path.join(t.table_dir, TABLE_META), meta)
         t._meta = meta
         return t
 
     @classmethod
-    def load(cls, root: str, name: str) -> "LakeTable":
-        t = cls(root, name)
+    def load(cls, root: str, name: str, fs: LakeFS | None = None) -> "LakeTable":
+        t = cls(root, name, fs=fs)
         t.meta  # force read, raises if absent
         stamped = t.meta.get("content_hash_fingerprint")
         if stamped is not None:
@@ -168,14 +286,15 @@ class LakeTable:
         return t
 
     @classmethod
-    def exists(cls, root: str, name: str) -> bool:
-        return os.path.exists(os.path.join(root, name, TABLE_META))
+    def exists(cls, root: str, name: str, fs: LakeFS | None = None) -> bool:
+        if fs is None:
+            return os.path.exists(os.path.join(root, name, TABLE_META))
+        return fs.exists(os.path.join(root, name, TABLE_META))
 
     @property
     def meta(self) -> dict:
         if self._meta is None:
-            with open(os.path.join(self.table_dir, TABLE_META)) as f:
-                self._meta = json.load(f)
+            self._meta = self.fs.read_json(os.path.join(self.table_dir, TABLE_META))
         return self._meta
 
     @property
@@ -208,7 +327,7 @@ class LakeTable:
         meta = dict(self.meta)
         meta["schema"] = schema_to_json(new_schema)
         meta["schema_version"] = int(meta["schema_version"]) + 1
-        _atomic_write_json(os.path.join(self.table_dir, TABLE_META), meta)
+        self.fs.publish_json(os.path.join(self.table_dir, TABLE_META), meta)
         self._meta = meta
 
     # -- commit log ---------------------------------------------------------
@@ -222,11 +341,15 @@ class LakeTable:
         log is not necessarily contiguous — consumers must iterate this
         list, never ``range(committed + 1)``."""
         log_dir = os.path.join(self.table_dir, LOG_DIR)
-        if not os.path.isdir(log_dir):
-            return []
+        if self.fs.is_plain_local:
+            if not os.path.isdir(log_dir):
+                return []
+            names = os.listdir(log_dir)
+        else:
+            names = self.fs.listdir(log_dir)
         return sorted(
             int(n[len("epoch-") : -len(".json")])
-            for n in os.listdir(log_dir)
+            for n in names
             if n.startswith("epoch-") and n.endswith(".json")
         )
 
@@ -235,8 +358,7 @@ class LakeTable:
         return max(epochs) if epochs else None
 
     def manifest(self, epoch: int) -> dict:
-        with open(self._log_path(epoch)) as f:
-            return json.load(f)
+        return self.fs.read_json(self._log_path(epoch))
 
     def commit_epoch(self, manifest: dict) -> None:
         epoch = int(manifest["epoch"])
@@ -251,7 +373,7 @@ class LakeTable:
         first = int(manifest.get("epochs_covered", [epoch, epoch])[0])
         if first > expected:
             raise SchemaError(f"cannot commit epoch {epoch}; next expected is {expected}")
-        _atomic_write_json(self._log_path(epoch), manifest)
+        self.fs.publish_json(self._log_path(epoch), manifest)
 
     # -- data files ---------------------------------------------------------
 
@@ -305,13 +427,14 @@ class LakeTable:
         committed = self.committed_epoch()
         nxt = 0 if committed is None else committed + 1
         entries = dict(self.live_entries())
+        _exists = (os.path.exists if self.fs.is_plain_local else self.fs.exists)
         for b in range(self.num_buckets):
             base_rel = self.bucket_file(b, nxt, "base")
             delta_rel = self.bucket_file(b, nxt, "delta")
-            if os.path.exists(self.abs_path(base_rel)):
+            if _exists(self.abs_path(base_rel)):
                 entries[b] = {"file": base_rel, "deltas": [], "rows": -1,
                               "digest": None, "pending": True}
-            elif os.path.exists(self.abs_path(delta_rel)):
+            elif _exists(self.abs_path(delta_rel)):
                 prev = entries.get(b)
                 if prev is None:
                     entries[b] = {"file": delta_rel, "deltas": [], "rows": -1,
@@ -335,7 +458,7 @@ class LakeTable:
         (``GeoAvroRecordSetWriterFactory.scala:34-49``)."""
         rel = self.bucket_file(bucket, epoch, kind)
         path = self.abs_path(rel)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        self.fs.makedirs(os.path.dirname(path))
         meta = self.meta
         user_data = {
             b"lake.key": meta["key"].encode(),
@@ -346,9 +469,7 @@ class LakeTable:
             b"lake.epoch": str(epoch).encode(),
         }
         table = table.replace_schema_metadata({**(table.schema.metadata or {}), **user_data})
-        tmp = f"{path}.tmp.{os.getpid()}"
-        pq.write_table(table, tmp, compression="zstd", write_statistics=True)
-        os.replace(tmp, path)
+        self.fs.publish_parquet(path, table)
         return rel
 
     def vacuum(self, retain_epochs: int = 2) -> list[str]:
@@ -373,13 +494,11 @@ class LakeTable:
                 keep.update(self.chain_files(entry))
         deleted = []
         data_root = os.path.join(self.table_dir, DATA_DIR)
-        for dirpath, _, files in os.walk(data_root):
-            for name in files:
-                abs_path = os.path.join(dirpath, name)
-                rel = os.path.relpath(abs_path, self.table_dir)
-                if name.endswith(".parquet") and rel not in keep:
-                    os.remove(abs_path)
-                    deleted.append(rel)
+        for abs_path in self.fs.walk_files(data_root):
+            rel = os.path.relpath(abs_path, self.table_dir)
+            if abs_path.endswith(".parquet") and rel not in keep:
+                self.fs.remove(abs_path)
+                deleted.append(rel)
         return deleted
 
     # -- reads --------------------------------------------------------------
@@ -420,7 +539,10 @@ class LakeTable:
             return ray.data.from_arrow(schema.empty_table())
         if all(not e.get("deltas") for e in entries.values()):
             files = [self.abs_path(e["file"]) for e in entries.values()]
-            ds = ray.data.read_parquet(files, columns=list(columns) if columns else None)
+            ds = ray.data.read_parquet(
+                files, columns=list(columns) if columns else None,
+                filesystem=None if self.fs.is_plain_local else self.fs.pafs,
+            )
             return ds.map_batches(
                 lambda t, s=schema: project_to_schema(t, s), batch_format="pyarrow"
             )
@@ -434,18 +556,19 @@ class LakeTable:
             [self.abs_path(f) for f in self.chain_files(e)] for e in entries.values()
         ]
         full_schema = self.schema
+        fs = self.fs
 
         def read_chain(batch: pa.Table) -> pa.Table:
             out = []
             for idx in batch["chain"].to_pylist():
                 tabs = []
                 for p in chains[idx]:
-                    names = set(pq.read_schema(p).names)
+                    names = set(fs.read_parquet_schema(p).names)
                     cols_p = (None if read_cols is None
                               else [c for c in read_cols if c in names])
                     if cols_p is not None and TOMB_COLUMN in names:
                         cols_p = cols_p + [TOMB_COLUMN]
-                    tabs.append(pq.read_table(p, columns=cols_p))
+                    tabs.append(fs.read_parquet(p, columns=cols_p))
                 base = pa.schema([f for f in full_schema
                                   if read_cols is None or f.name in read_cols])
                 merged = merge_chain_tables(tabs, base, key, order)
@@ -492,7 +615,8 @@ class LakeTable:
         import pyarrow.dataset as _pds
 
         ds = ray.data.read_parquet(
-            files, filter=(_pds.field("offset") >= lo) & (_pds.field("offset") <= hi)
+            files, filter=(_pds.field("offset") >= lo) & (_pds.field("offset") <= hi),
+            filesystem=None if self.fs.is_plain_local else self.fs.pafs,
         )
 
         def finish(t: pa.Table) -> pa.Table:
@@ -524,7 +648,8 @@ class LakeTable:
             return schema.empty_table()
         parts = [
             self.merge_chain(
-                [pq.read_table(self.abs_path(f)) for f in self.chain_files(e)], schema
+                [self.fs.read_parquet(self.abs_path(f)) for f in self.chain_files(e)],
+                schema,
             )
             for _, e in sorted(entries.items())
         ]

@@ -63,15 +63,13 @@ class ParquetLakeSink:
         return self.table.write_bucket_file(data, bucket, epoch, kind)
 
     def read_partition(self, ref: str, columns: list[str] | None = None) -> pa.Table:
-        import pyarrow.parquet as pq
-
         path = self.table.abs_path(ref)
         if columns is not None:
             # lenient projection: requesting a column the partition lacks
             # (e.g. the optional _tomb marker) simply omits it
-            avail = set(pq.read_schema(path).names)
+            avail = set(self.table.fs.read_parquet_schema(path).names)
             columns = [c for c in columns if c in avail]
-        return pq.read_table(path, columns=columns)
+        return self.table.fs.read_parquet(path, columns=columns)
 
     def commit(self, manifest: dict) -> None:
         self.table.commit_epoch(manifest)
