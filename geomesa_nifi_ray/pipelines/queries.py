@@ -1513,20 +1513,15 @@ def q_contamination_documents(sf_dir: str):
     bl = [v[:40] for v in
           dt.filter(pc.less(dt["doc_id"], pa.scalar(3)))["text"].to_pylist()
           if v and len(v) >= 40]
-    bl_ref = ray.put(bl)
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
+    from geomesa_nifi_ray.textstats import ContaminationStage
 
-    def screen(t: pa.Table) -> pa.Table:
-        snips = ray.get(bl_ref)
-        hit = pa.array([False] * t.num_rows)
-        for sn in snips:
-            hit = pc.or_(hit, pc.fill_null(
-                pc.match_substring(t["text"], sn), False))
-        return pa.table({"doc_id": t["doc_id"],
-                         "contaminated": pc.cast(hit, pa.bool_())})
-
-    return ds.map_batches(screen, batch_format="pyarrow")
+    # one RE2 alternation (DFA over the whole blocklist) per batch —
+    # O(rows), not O(snippets x rows); see ContaminationStage
+    stage = ContaminationStage(bl)
+    return (ds.map_batches(stage, batch_format="pyarrow")
+            .select_columns(["doc_id", "contaminated"]))
 
 
 _CONTAMINATION_SQL = """

@@ -130,3 +130,55 @@ def add_fingerprint(ds, text_col: str = "text", window: int = 16):
         return batch.append_column("fingerprint", pa.array(fps, type=pa.int64()))
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def _blocklist_pattern(snippets) -> str:
+    """One RE2 alternation of literal snippets. RE2 compiles a large
+    literal alternation into a DFA/prefilter (its Aho-Corasick analog), so
+    matching is one automaton pass per value — O(text bytes), independent
+    of the snippet count — instead of one `match_substring` scan per
+    snippet. Control characters are re-escaped as \\n/\\t/\\r sequences
+    (re.escape leaves them as backslash+raw-byte, which RE2 rejects).
+    Sorted for determinism; order can't change a boolean match."""
+    import re as _re
+
+    parts = []
+    for s in sorted(set(snippets)):
+        p = _re.escape(s)
+        parts.append(p.replace("\\\n", "\\n").replace("\\\t", "\\t")
+                      .replace("\\\r", "\\r"))
+    return "|".join(parts)
+
+
+class ContaminationStage:
+    """Benchmark-contamination screen: flag rows whose ``text`` contains
+    ANY blocklist snippet. The pattern (possibly built from 10^4+ snippets)
+    ships to each actor once via ``ray.put`` and is matched with a single
+    vectorized ``match_substring_regex`` kernel per batch — ~O(rows) total,
+    vs the naive per-snippet loop's O(snippets x rows) (measured in
+    BASELINE.md "contamination screen"). Use as
+    ``ds.map_batches(ContaminationStage(snippets), batch_format="pyarrow",
+    zero_copy_batch=True)``; the instance holds only the broadcast ref, so
+    pickling it into tasks is cheap."""
+
+    def __init__(self, snippets, text_col: str = "text",
+                 out_col: str = "contaminated"):
+        import ray
+
+        self.text_col = text_col
+        self.out_col = out_col
+        self.pattern_ref = ray.put(_blocklist_pattern(snippets))
+        self.empty = not any(True for _ in snippets)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import ray
+
+        if self.empty:
+            hit = pa.array([False] * t.num_rows, type=pa.bool_())
+        else:
+            hit = pc.fill_null(
+                pc.match_substring_regex(t[self.text_col],
+                                         ray.get(self.pattern_ref)),
+                False,
+            )
+        return t.append_column(self.out_col, pc.cast(hit, pa.bool_()))

@@ -363,3 +363,69 @@ def test_sampling_rejects_unknown_kernel(ray_session):
 
     with pytest.raises(ValueError, match="kernel"):
         hash_sample(_doc_ds(10), "doc_id", kernel="sha9").take_all()
+
+
+# ----------------- round-4 verdict #8: contamination screen at scale ---
+
+
+def test_contamination_alternation_equals_naive_loop(ray_session):
+    """The single RE2 alternation must agree with the per-snippet
+    match_substring loop on tricky content (regex metachars, newlines,
+    tabs, unicode)."""
+    import ray.data
+
+    from geomesa_nifi_ray.textstats import ContaminationStage
+
+    snippets = ["a.b*c", "line1\nline2", "tab\there", "naïve café",
+                "(paren) [brack]", "x" * 40, "plain snippet"]
+    texts = [
+        "contains a.b*c here", "axbxc should NOT match", "no hit at all",
+        "pre line1\nline2 post", "tab\there exact", "tab here spaced",
+        "prefix naïve café suffix", "((paren) [brack])", "y" + "x" * 40,
+        "x" * 39, None, "plain snippet",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+
+    got = (ray.data.from_arrow(t)
+           .map_batches(ContaminationStage(snippets), batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id")["contaminated"].tolist())
+    want = []
+    for tx in texts:
+        want.append(bool(tx) and any(sn in tx for sn in snippets))
+    assert got == want
+
+
+def test_contamination_scales_with_rows_not_snippets(ray_session):
+    """10^4-snippet blocklist: wall time must scale ~O(rows) (the DFA is
+    snippet-count-independent), and a 10x bigger blocklist must not cost
+    10x. Loose bounds — this guards the complexity class, not the host."""
+    import time
+
+    import ray.data
+
+    from geomesa_nifi_ray.textstats import ContaminationStage
+
+    rng = __import__("numpy").random.default_rng(7)
+    snippets = ["".join(map(chr, rng.integers(97, 123, size=24)))
+                for _ in range(10_000)]
+    docs = ["".join(map(chr, rng.integers(97, 123, size=400)))
+            for _ in range(2_000)]
+    # plant a few hits
+    docs[17] += snippets[3]
+    docs[991] = snippets[777] + docs[991]
+
+    def run(texts, snips):
+        t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+        ds = ray.data.from_arrow(t).map_batches(
+            ContaminationStage(snips), batch_format="pyarrow")
+        t0 = time.perf_counter()
+        out = ds.to_pandas()
+        return time.perf_counter() - t0, int(out["contaminated"].sum())
+
+    t_1x, hits = run(docs, snippets)
+    assert hits == 2
+    t_4x, _ = run(docs * 4, snippets)
+    # O(rows): 4x rows should cost < 10x (noise headroom), not O(snips*rows)
+    assert t_4x < 10 * max(t_1x, 0.05)
