@@ -13,6 +13,7 @@ whose output is a vectorized Arrow kernel:
     date('yyyy-MM-dd', e)  Java-pattern timestamp parse -> timestamp[us]
     concat(a, b, …)      string concatenation
     lower/upper/trim/length/md5/tostring(e)
+    point(x, y[, decimals]) WKT POINT constructor (geometry.wkt_point)
     replace(e, 'a', 'b') substring replace
     coalesce(a, b, …)
     lineno()             global row number within the stream
@@ -272,6 +273,31 @@ def _compile_call(node: Node, error_mode: str):
                 s = pd.to_datetime(arr.to_pandas(), format=fmt, errors="coerce")
                 return pa.array(s, type=pa.timestamp("us"))
         return date_fn
+
+    if name == "point":
+        # point(x, y[, decimals]) -> WKT POINT string; the convert2 DSL's
+        # point() geometry constructor feeding the WKT field converter
+        # (SimpleFeatureRecordConverter.scala:427-433, encoding selection
+        # :253-257). Vectorized via geometry.wkt_point.
+        if len(args) not in (2, 3):
+            raise ConvertError("point(x, y[, decimals]) needs 2 or 3 args")
+        decimals = 6
+        if len(args) == 3:
+            if node.args[2].kind != "lit":
+                raise ConvertError("point() decimals must be a literal int")
+            decimals = int(node.args[2].value)
+        fx, fy = args[0], args[1]
+
+        def point_fn(batch, ctx):
+            from geomesa_nifi_ray.geometry import wkt_point
+
+            n = batch.num_rows
+            return wkt_point(
+                pc.cast(_as_array(fx(batch, ctx), n), pa.float64()),
+                pc.cast(_as_array(fy(batch, ctx), n), pa.float64()),
+                decimals=decimals,
+            )
+        return point_fn
 
     unary = {
         "lower": lambda a: pc.utf8_lower(a),

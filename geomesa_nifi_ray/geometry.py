@@ -1,0 +1,260 @@
+"""Geometry field converters and the Z2 space-filling-curve index.
+
+Closes the last documented divergence from the reference: GeoMesa is a
+*geo* engine, and its record converter ships WKT/WKB geometry field
+converters (``SimpleFeatureRecordConverter.scala:427-441`` —
+``GeometryWktFieldConverter`` string<->geometry, ``GeometryWkbFieldConverter``
+bytes<->geometry, encoding selected per field at :168-172/:253-257), while
+its datastore indexes points on a Z-order space-filling curve and answers
+bbox queries by scanning covering Z ranges then refining exactly (the
+published GeoMesa Z2/Z3 design; see also the XZ2 paper, Böhm et al.).
+
+This module re-expresses those as vectorized Arrow/numpy kernels over
+point geometries (the only geometry type the payload analog carries):
+
+- ``wkt_point`` / ``parse_wkt_point``   — string encoding, printf-fixed
+  decimals so a SQL oracle (`printf('%.Nf', x)`) reproduces bytes exactly.
+- ``wkb_point`` / ``parse_wkb_point``   — ISO WKB (little-endian, type 1),
+  built as one (n, 21)-byte numpy matrix, zero per-row Python.
+- ``z2_encode``                          — lon/lat -> uint64 Morton key via
+  magic-number bit spreading (Morton 1966 / "Bit Twiddling Hacks" part1by1),
+  vectorized in numpy.
+- ``z2_covering_ranges``                 — driver-side quadtree decomposition
+  of a bbox into <= max_ranges inclusive Z-key ranges (the index scan plan).
+- ``bbox_filter`` / ``z2_bbox_filter``   — exact filter, and the
+  index-style coarse-Z-scan + exact-refine composition that must agree
+  with it (tested; the refine step makes the range cover lossless).
+
+Scale notes: every kernel is O(rows) numpy/Arrow with no Python in the
+row loop; ``z2_covering_ranges`` is O(max_ranges) driver work shipped to
+tasks as a closure constant (a few hundred bytes), not a shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "wkt_point", "parse_wkt_point", "wkb_point", "parse_wkb_point",
+    "z2_encode", "z2_covering_ranges", "bbox_filter", "z2_bbox_filter",
+]
+
+# ----------------------------------------------------------------- WKT
+
+
+def _as_np_f8(arr) -> np.ndarray:
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+    return np.asarray(arr, dtype=np.float64)
+
+
+def wkt_point(x, y, decimals: int = 6) -> pa.Array:
+    """``POINT (x y)`` strings with printf-fixed decimals.
+
+    Reference parity: ``GeometryWktFieldConverter.convertToRecord``
+    (`SimpleFeatureRecordConverter.scala:427-433`) — geometry -> WKT
+    string. Fixed ``%.{decimals}f`` formatting (C printf via
+    ``np.char.mod``) makes the bytes reproducible by a DuckDB oracle's
+    ``printf('%.{decimals}f', x)``.
+    """
+    xs, ys = _as_np_f8(x), _as_np_f8(y)
+    with np.errstate(invalid="ignore"):
+        sx = np.char.mod(f"%.{decimals}f", np.nan_to_num(xs))
+        sy = np.char.mod(f"%.{decimals}f", np.nan_to_num(ys))
+    out = np.char.add(np.char.add(np.char.add("POINT (", sx), " "), sy)
+    res = pc.cast(pa.array(np.char.add(out, ")")), pa.string())
+    bad = np.isnan(xs) | np.isnan(ys)
+    if bad.any():  # null coordinates -> null geometry, not "POINT (nan …)"
+        res = pc.if_else(pa.array(~bad), res, pa.scalar(None, pa.string()))
+    return res
+
+
+_WKT_POINT_RE = (
+    r"^POINT \((?P<x>-?[0-9]+(?:\.[0-9]+)?) (?P<y>-?[0-9]+(?:\.[0-9]+)?)\)$"
+)
+
+
+def parse_wkt_point(arr) -> tuple[pa.Array, pa.Array]:
+    """WKT ``POINT (x y)`` -> (x, y) doubles; malformed rows -> null.
+
+    Reference parity: ``GeometryWktFieldConverter.convertToAttribute``
+    (`SimpleFeatureRecordConverter.scala:431`). One vectorized RE2
+    ``extract_regex`` pass; no per-row Python.
+    """
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(arr, type=pa.string())
+    st = pc.extract_regex(arr, _WKT_POINT_RE)
+    x = pc.cast(pc.struct_field(st, "x"), pa.float64())
+    y = pc.cast(pc.struct_field(st, "y"), pa.float64())
+    return x, y
+
+
+# ----------------------------------------------------------------- WKB
+
+_WKB_HDR = np.frombuffer(b"\x01\x01\x00\x00\x00", dtype=np.uint8)  # LE, Point
+
+
+def wkb_point(x, y) -> pa.Array:
+    """ISO WKB point bytes (little-endian, geometry type 1): 21 bytes =
+    ``01 01000000 <x f64le> <y f64le>``.
+
+    Reference parity: ``GeometryWkbFieldConverter.convertToRecord``
+    (`SimpleFeatureRecordConverter.scala:435-441`). Built as one
+    (n, 21) uint8 matrix — header broadcast + float64 views — then handed
+    to Arrow as a single fixed-size-binary buffer (one copy, no per-row
+    Python objects).
+    """
+    xs, ys = _as_np_f8(x), _as_np_f8(y)
+    n = xs.shape[0]
+    m = np.empty((n, 21), dtype=np.uint8)
+    m[:, :5] = _WKB_HDR
+    m[:, 5:13] = xs.astype("<f8").view(np.uint8).reshape(n, 8)
+    m[:, 13:21] = ys.astype("<f8").view(np.uint8).reshape(n, 8)
+    fsb = pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(21), n, [None, pa.py_buffer(m.tobytes())])
+    return fsb.cast(pa.binary())
+
+
+def parse_wkb_point(arr) -> tuple[pa.Array, pa.Array]:
+    """WKB point bytes -> (x, y) doubles.
+
+    Accepts little-endian WKB points (the only form ``wkb_point`` emits,
+    matching WKBUtils' default); raises on anything else rather than
+    silently mis-decoding. Vectorized: one (n, 21) byte matrix view.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, pa.Array):
+        arr = pa.array(arr, type=pa.binary())
+    fsb = arr.cast(pa.binary(21))  # raises if any row isn't 21 bytes
+    n = len(fsb)
+    buf = np.frombuffer(fsb.buffers()[1], dtype=np.uint8)[
+        fsb.offset * 21:(fsb.offset + n) * 21].reshape(n, 21)
+    if n and not (buf[:, :5] == _WKB_HDR).all():
+        raise ValueError("not little-endian WKB points")
+    x = buf[:, 5:13].copy().view("<f8").ravel()
+    y = buf[:, 13:21].copy().view("<f8").ravel()
+    return pa.array(x, type=pa.float64()), pa.array(y, type=pa.float64())
+
+
+# ------------------------------------------------------------------ Z2
+
+#: World bounds of the Z2 curve, matching GeoMesa's Z2SFC domain.
+Z2_BOUNDS = (-180.0, -90.0, 180.0, 90.0)
+
+
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    """Interleave zeros between the low 32 bits of each uint64 (Morton
+    'part1by1' magic-number spread)."""
+    v = v.astype(np.uint64)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def _quantize(v: np.ndarray, lo: float, hi: float, bits: int) -> np.ndarray:
+    cells = 1 << bits
+    ix = np.floor((v - lo) / (hi - lo) * cells).astype(np.int64)
+    return np.clip(ix, 0, cells - 1).astype(np.uint64)
+
+
+def z2_encode(lon, lat, bits: int = 16, bounds=Z2_BOUNDS) -> pa.Array:
+    """lon/lat -> Z2 (Morton) key with ``bits`` bits per dimension; lon
+    occupies the even bit positions, lat the odd — GeoMesa's Z2 ordering.
+    Pure numpy; returns int64 (safe: 2*bits <= 62 enforced)."""
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError("bits must be in [1, 31]")
+    xmin, ymin, xmax, ymax = bounds
+    ix = _quantize(_as_np_f8(lon), xmin, xmax, bits)
+    iy = _quantize(_as_np_f8(lat), ymin, ymax, bits)
+    z = _spread_bits(ix) | (_spread_bits(iy) << np.uint64(1))
+    return pa.array(z.astype(np.int64), type=pa.int64())
+
+
+def z2_covering_ranges(bbox, bits: int = 16, bounds=Z2_BOUNDS,
+                       max_ranges: int = 64) -> list[tuple[int, int]]:
+    """Decompose a bbox into inclusive Z-key ranges covering it.
+
+    Quadtree walk from the root cell: a curve cell fully inside the bbox
+    contributes its whole contiguous key range ``[z<<2k, (z+1)<<2k - 1]``;
+    a partially-overlapping cell is split into its 4 children until
+    ``max_ranges`` would be exceeded, at which point remaining partial
+    cells are emitted coarsely (over-covering is fine — the scan refines
+    exactly afterwards, mirroring GeoMesa's range-plan + filter-refine).
+    Driver-side, O(max_ranges); adjacent ranges are merged.
+    """
+    xmin, ymin, xmax, ymax = bbox
+    bxmin, bymin, bxmax, bymax = bounds
+    cells = 1 << bits
+
+    def cell_box(zx, zy, level):
+        # box of quad cell (zx, zy) at `level` (level 0 = root)
+        span = cells >> level
+        cw = (bxmax - bxmin) / cells
+        ch = (bymax - bymin) / cells
+        x0 = bxmin + zx * span * cw
+        y0 = bymin + zy * span * ch
+        return x0, y0, x0 + span * cw, y0 + span * ch
+
+    out: list[tuple[int, int]] = []
+    # (zprefix, zx, zy, level); zprefix = interleaved key prefix of length 2*level
+    stack = [(0, 0, 0, 0)]
+    while stack:
+        z, zx, zy, level = stack.pop()
+        x0, y0, x1, y1 = cell_box(zx, zy, level)
+        if x1 <= xmin or x0 >= xmax or y1 <= ymin or y0 >= ymax:
+            continue
+        shift = 2 * (bits - level)
+        full = (x0 >= xmin and x1 <= xmax and y0 >= ymin and y1 <= ymax)
+        if full or level == bits or len(stack) + len(out) + 4 > max_ranges:
+            out.append((z << shift, ((z + 1) << shift) - 1))
+            continue
+        for q in range(4):  # children in z order: (dx, dy) = (q&1, q>>1)
+            stack.append(((z << 2) | q, (zx << 1) | (q & 1),
+                          (zy << 1) | (q >> 1), level + 1))
+    out.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+# -------------------------------------------------------------- filters
+
+
+def bbox_filter(t: pa.Table, lon_col: str, lat_col: str, bbox) -> pa.Table:
+    """Exact half-open bbox filter ``xmin <= lon < xmax and ymin <= lat <
+    ymax`` as one Arrow boolean kernel chain."""
+    xmin, ymin, xmax, ymax = bbox
+    m = pc.and_(
+        pc.and_(pc.greater_equal(t[lon_col], xmin), pc.less(t[lon_col], xmax)),
+        pc.and_(pc.greater_equal(t[lat_col], ymin), pc.less(t[lat_col], ymax)),
+    )
+    return t.filter(pc.fill_null(m, False))
+
+
+def z2_bbox_filter(t: pa.Table, lon_col: str, lat_col: str, bbox,
+                   bits: int = 16, max_ranges: int = 64) -> pa.Table:
+    """Index-style bbox scan: coarse Z2-range membership (the 'index
+    scan') then exact refine — must equal ``bbox_filter`` (tested). The
+    ranges come precomputed from the driver; membership is a small OR
+    chain of vectorized comparisons on the Z key."""
+    ranges = z2_covering_ranges(bbox, bits=bits, max_ranges=max_ranges)
+    z = z2_encode(t[lon_col], t[lat_col], bits=bits)
+    m = None
+    for lo, hi in ranges:
+        part = pc.and_(pc.greater_equal(z, lo), pc.less_equal(z, hi))
+        m = part if m is None else pc.or_(m, part)
+    if m is None:
+        return t.slice(0, 0)
+    return bbox_filter(t.filter(m), lon_col, lat_col, bbox)

@@ -1634,6 +1634,169 @@ def q_embedding_ivf_topk(sf_dir: str):
     return idx.search(idx.assign(ds), qmat.astype(np.float32), k=10, nprobe=4)
 
 
+# ------------------------------------------------------------ geometry ----
+# Point-geometry operators (the reference's WKT/WKB field converters,
+# SimpleFeatureRecordConverter.scala:427-441, and the GeoMesa Z2-curve
+# bbox-scan strategy). The events view carries no coordinates, so lon/lat
+# are DERIVED deterministically from ids — one decimal digit each, integer
+# mixing first, so the same doubles come out of numpy and DuckDB
+# (user_id alone spans only ~[0, 150), so both ids feed the spread):
+#   lon = ((event_id*7 + user_id) % 3600)/10.0 - 180.0   in [-180, 179.9]
+#   lat = ((event_id*13) % 1800)/10.0 - 90.0             in [ -90,  89.9]
+
+_GEO_BBOX = (-30.0, 20.0, 10.0, 60.0)
+_GEO_PTS_SQL = """pts AS (
+  SELECT event_id,
+         ((event_id * 7 + user_id) % 3600) / 10.0 - 180.0 AS lon,
+         ((event_id * 13) % 1800) / 10.0 - 90.0 AS lat
+  FROM events
+)"""
+
+
+def _geo_lonlat(t: pa.Table) -> pa.Table:
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    eid = t["event_id"].to_numpy(zero_copy_only=False)
+    lon = ((eid * 7 + uid) % 3600) / 10.0 - 180.0
+    lat = ((eid * 13) % 1800) / 10.0 - 90.0
+    return pa.table({
+        "event_id": t["event_id"],
+        "lon": pa.array(lon, type=pa.float64()),
+        "lat": pa.array(lat, type=pa.float64()),
+    })
+
+
+def q_geo_bbox_events(sf_dir: str):
+    """Bbox query answered the GeoMesa way: coarse Z2 covering-range scan
+    then exact refine (``geometry.z2_bbox_filter``); the oracle is the
+    plain bbox predicate — the cover+refine composition must be lossless."""
+    import ray.data
+
+    from geomesa_nifi_ray.geometry import z2_bbox_filter
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        return z2_bbox_filter(_geo_lonlat(t), "lon", "lat", _GEO_BBOX,
+                              bits=16, max_ranges=64)
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+_GEO_BBOX_SQL = f"""
+WITH {_GEO_PTS_SQL}
+SELECT event_id, lon, lat FROM pts
+WHERE lon >= -30.0 AND lon < 10.0 AND lat >= 20.0 AND lat < 60.0
+"""
+
+
+def q_geo_z2_events(sf_dir: str):
+    """Z2 (Morton) index key per point, 16 bits/dimension — the key the
+    reference's datastore sorts its point index by."""
+    import ray.data
+
+    from geomesa_nifi_ray.geometry import z2_encode
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        p = _geo_lonlat(t)
+        return pa.table({"event_id": p["event_id"],
+                         "z2": z2_encode(p["lon"], p["lat"], bits=16)})
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def _z2_interleave_sql(var: str, offset: int, bits: int = 16) -> str:
+    return " + ".join(
+        f"((({var} >> {i}) & 1) << {2 * i + offset})" for i in range(bits)
+    )
+
+
+_GEO_Z2_SQL = f"""
+WITH {_GEO_PTS_SQL}, q AS (
+  SELECT event_id,
+    GREATEST(0, LEAST(65535,
+      CAST(floor(((lon - (-180.0)) / 360.0) * 65536.0) AS BIGINT))) AS ix,
+    GREATEST(0, LEAST(65535,
+      CAST(floor(((lat - (-90.0)) / 180.0) * 65536.0) AS BIGINT))) AS iy
+  FROM pts
+)
+SELECT event_id,
+       ({_z2_interleave_sql('ix', 0)}
+        + {_z2_interleave_sql('iy', 1)}) AS z2
+FROM q
+"""
+
+
+def q_geo_wkt_events(sf_dir: str):
+    """WKT encode through the converter DSL's ``point()`` function, then
+    parse back (``GeometryWktFieldConverter`` both directions,
+    SimpleFeatureRecordConverter.scala:427-433). ``lon_rt``/``lat_rt`` are
+    the values recovered FROM the string — both sides parse the identical
+    printf bytes, so the roundtrip is oracle-checked."""
+    import ray.data
+
+    from geomesa_nifi_ray.geometry import parse_wkt_point
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id"])
+    fields = [
+        FieldSpec("event_id", "$event_id"),
+        FieldSpec("wkt", "point($lon, $lat, 1)"),
+    ]
+
+    def stage(t: pa.Table, _cache={}) -> pa.Table:
+        conv = _cache.get("c")  # compile the plan once per worker process
+        if conv is None:
+            conv = _cache["c"] = RecordConverter(fields=fields)
+        out = conv(_geo_lonlat(t))
+        x, y = parse_wkt_point(out["wkt"])
+        return out.append_column("lon_rt", x).append_column("lat_rt", y)
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+_GEO_WKT_SQL = f"""
+WITH {_GEO_PTS_SQL}, w AS (
+  SELECT event_id,
+         'POINT (' || printf('%.1f', lon) || ' ' || printf('%.1f', lat)
+           || ')' AS wkt,
+         printf('%.1f', lon) AS sx, printf('%.1f', lat) AS sy
+  FROM pts
+)
+SELECT event_id, wkt,
+       CAST(sx AS DOUBLE) AS lon_rt, CAST(sy AS DOUBLE) AS lat_rt
+FROM w
+"""
+
+
+def q_geo_wkb_events(sf_dir: str):
+    """WKB encode (``GeometryWkbFieldConverter``, scala:435-441), hex for
+    the golden fixture; exact roundtrip is pytest-gated (test_geometry)."""
+    import binascii
+
+    import ray.data
+
+    from geomesa_nifi_ray.geometry import wkb_point
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        p = _geo_lonlat(t)
+        wkb = wkb_point(p["lon"], p["lat"]).cast(pa.binary(21))
+        n = len(wkb)
+        hexb = binascii.hexlify(wkb.buffers()[1].to_pybytes()[
+            wkb.offset * 21:(wkb.offset + n) * 21])
+        hx = np.frombuffer(hexb, dtype="S42").astype("U42")
+        return pa.table({"event_id": p["event_id"],
+                         "wkb_hex": pa.array(hx, type=pa.string())})
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- registries --
 
 QUERIES = {
@@ -1670,6 +1833,11 @@ QUERIES = {
     "pii_scrub_documents": q_pii_scrub_documents,
     "contamination_documents": q_contamination_documents,
     "repetition_documents": q_repetition_documents,
+    # geometry (WKT/WKB converters + Z2 index scan)
+    "geo_bbox_events": q_geo_bbox_events,
+    "geo_z2_events": q_geo_z2_events,
+    "geo_wkt_events": q_geo_wkt_events,
+    "geo_wkb_events": q_geo_wkb_events,
     # training-data ops with SQL oracles
     "exact_dedup_documents": q_exact_dedup_documents,
     "content_hash_documents": q_content_hash_documents,
@@ -1710,6 +1878,7 @@ _GOLDEN_QUERIES = [
     "multimodal_audio_features",
     "multimodal_video_frames",
     "embedding_ivf_topk",
+    "geo_wkb_events",  # hex of IEEE-754 bits — not SQL-recomputable
 ]
 
 GOLDEN_DIR = os.path.join(
@@ -1789,6 +1958,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         ),
         "contamination_documents": _CONTAMINATION_SQL,
         "repetition_documents": _REPETITION_SQL,
+        "geo_bbox_events": _GEO_BBOX_SQL,
+        "geo_z2_events": _GEO_Z2_SQL,
+        "geo_wkt_events": _GEO_WKT_SQL,
         "ngram_dedup_documents": _NGRAM_DEDUP_SQL,
         "nested_pages_stats": _NESTED_PAGES_SQL.format(path=_nested_pages_path(sf_dir)),
         "training_data_prep": _TRAINING_PREP_SQL,

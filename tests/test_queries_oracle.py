@@ -87,6 +87,7 @@ def test_all_queries_run(entrymod):
     "exact_dedup_documents", "content_hash_documents", "token_stats_documents",
     "quality_documents", "lang_distribution_documents",
     "schema_project_documents", "embedding_topk",
+    "geo_bbox_events", "geo_z2_events", "geo_wkt_events",
 ])
 def test_query_matches_oracle(entrymod, oracle_con, name):
     qs = entrymod.queries()

@@ -33,6 +33,7 @@ GOLDEN_QUERIES = [
     "multimodal_audio_features",
     "multimodal_video_frames",
     "embedding_ivf_topk",
+    "geo_wkb_events",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
