@@ -1538,21 +1538,38 @@ FROM documents d
 def q_repetition_documents(sf_dir: str):
     """Repetition stats (the Gopher-style dup-line signal): per doc, total
     and distinct line counts as exact integers (a high dup fraction flags
-    boilerplate). Vectorized: one split + unique per batch via pandas."""
+    boilerplate). Fully vectorized — Arrow split, then per-row distinct
+    via dictionary-encode + one np.unique over (row, line-code) pairs; no
+    Python objects per line (the former pandas ``set()`` map was the last
+    per-row loop flagged in round 3)."""
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
-        lines = df["text"].fillna("").str.split("\n")
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "n_lines": lines.map(len).astype("int64"),
-            "n_distinct_lines": lines.map(lambda l: len(set(l))).astype("int64"),
+    def stats(t: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(pc.fill_null(t["text"], ""), "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        n_lines = pc.cast(pc.list_value_length(lines), pa.int64())
+        rows = pc.list_parent_indices(lines).to_numpy().astype(np.int64)
+        codes = pc.dictionary_encode(pc.list_flatten(lines)).indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        if len(codes):
+            # distinct (row, code) pairs, counted per row
+            pairs = rows * (codes.max() + 1) + codes
+            uniq_rows = np.unique(pairs) // (codes.max() + 1)
+            nd = np.bincount(uniq_rows, minlength=n)
+        else:
+            nd = np.zeros(n, dtype=np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_lines": n_lines,
+            "n_distinct_lines": pa.array(nd, type=pa.int64()),
         })
 
-    return ds.map_batches(stats, batch_format="pandas")
+    return ds.map_batches(stats, batch_format="pyarrow")
 
 
 _REPETITION_SQL = """
