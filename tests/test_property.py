@@ -182,3 +182,48 @@ def test_avro_roundtrip_property(rows):
             assert back[c].to_pylist() == t[c].to_pylist(), c
     finally:
         os.unlink(path)
+
+
+# ----------------------------------------------------------------- geometry
+
+_coord = st.floats(min_value=-180.0, max_value=180.0,
+                   allow_nan=False, allow_infinity=False)
+_lat = st.floats(min_value=-90.0, max_value=90.0,
+                 allow_nan=False, allow_infinity=False)
+
+
+@given(
+    st.lists(st.tuples(_coord, _lat), min_size=1, max_size=200),
+    st.tuples(_coord, _lat, _coord, _lat),
+    st.integers(2, 12),
+    st.integers(4, 64),
+)
+@settings(max_examples=60, deadline=None)
+def test_z2_cover_refine_equals_exact_bbox(pts, box, bits, max_ranges):
+    """For ANY bbox / curve resolution / range budget, the covering-range
+    scan + exact refine must equal the plain bbox predicate (losslessness
+    of GeoMesa's index-scan strategy, the core invariant)."""
+    from geomesa_nifi_ray.geometry import bbox_filter, z2_bbox_filter
+
+    x0, y0, x1, y1 = box
+    bbox = (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
+    t = pa.table({
+        "id": pa.array(range(len(pts)), type=pa.int64()),
+        "lon": pa.array([p[0] for p in pts], type=pa.float64()),
+        "lat": pa.array([p[1] for p in pts], type=pa.float64()),
+    })
+    exact = bbox_filter(t, "lon", "lat", bbox)
+    indexed = z2_bbox_filter(t, "lon", "lat", bbox,
+                             bits=bits, max_ranges=max_ranges)
+    assert indexed["id"].to_pylist() == exact["id"].to_pylist()
+
+
+@given(st.lists(st.tuples(_coord, _lat), min_size=1, max_size=100))
+@settings(max_examples=50, deadline=None)
+def test_wkb_roundtrip_property(pts):
+    from geomesa_nifi_ray.geometry import parse_wkb_point, wkb_point
+
+    lon = np.array([p[0] for p in pts])
+    lat = np.array([p[1] for p in pts])
+    x, y = parse_wkb_point(wkb_point(lon, lat))
+    assert (x.to_numpy() == lon).all() and (y.to_numpy() == lat).all()
