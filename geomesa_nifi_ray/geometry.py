@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 __all__ = [
     "wkt_point", "parse_wkt_point", "wkb_point", "parse_wkb_point",
     "z2_encode", "z2_covering_ranges", "bbox_filter", "z2_bbox_filter",
+    "z3_encode", "z3_covering_ranges", "z3_bbox_time_filter", "WEEK_US",
 ]
 
 # ----------------------------------------------------------------- WKT
@@ -258,3 +259,165 @@ def z2_bbox_filter(t: pa.Table, lon_col: str, lat_col: str, bbox,
     if m is None:
         return t.slice(0, 0)
     return bbox_filter(t.filter(m), lon_col, lat_col, bbox)
+
+
+# ------------------------------------------------------------------ Z3
+# Space + time: GeoMesa's flagship index. Keys are (time bin, Morton key
+# over x/y/t-within-bin); a bbox x time-interval query scans covering key
+# ranges per bin and refines exactly — same lossless contract as Z2.
+# Time is quantized with pure INTEGER arithmetic so a SQL oracle
+# reproduces it bit-for-bit.
+
+#: Z3 time-bin period: one week of microseconds (GeoMesa's Z3 week bin).
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def _spread_bits3(v: np.ndarray) -> np.ndarray:
+    """Spread the low 21 bits of each uint64 so consecutive bits land 3
+    apart (Morton 'part1by2' magic-number spread)."""
+    v = v.astype(np.uint64) & np.uint64(0x1FFFFF)
+    v = (v | (v << np.uint64(32))) & np.uint64(0x001F00000000FFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x001F0000FF0000FF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x1249249249249249)
+    return v
+
+
+def _quantize_time(ts_us: np.ndarray, bits: int,
+                   period_us: int = WEEK_US) -> tuple[np.ndarray, np.ndarray]:
+    """(bin, within-bin time cell) — exact int64 arithmetic:
+    ``bin = ts // period``; ``it = (ts % period) * cells // period``.
+    Assumes non-negative timestamps (numpy floor-div vs SQL truncating
+    ``//`` agree there; enforced)."""
+    ts_us = np.asarray(ts_us, dtype=np.int64)
+    if len(ts_us) and ts_us.min() < 0:
+        raise ValueError("z3 requires non-negative epoch-us timestamps")
+    cells = np.int64(1 << bits)
+    b = ts_us // period_us
+    it = (ts_us % period_us) * cells // period_us
+    return b, it
+
+
+def z3_encode(lon, lat, ts, bits: int = 16, bounds=Z2_BOUNDS,
+              period_us: int = WEEK_US) -> tuple[pa.Array, pa.Array]:
+    """(lon, lat, timestamp) -> (z3bin, z3) int64 arrays. ``bits`` bits per
+    dimension, 3*bits <= 62; lon at bit offset 0, lat 1, time 2. ``ts``
+    may be an Arrow timestamp[us] array or int64 epoch-us."""
+    if bits < 1 or 3 * bits > 62:
+        raise ValueError("bits must be in [1, 20]")
+    xmin, ymin, xmax, ymax = bounds
+    ix = _quantize(_as_np_f8(lon), xmin, xmax, bits)
+    iy = _quantize(_as_np_f8(lat), ymin, ymax, bits)
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    if isinstance(ts, pa.Array):
+        ts = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    b, it = _quantize_time(ts, bits, period_us)
+    z = (_spread_bits3(ix) | (_spread_bits3(iy) << np.uint64(1))
+         | (_spread_bits3(it.astype(np.uint64)) << np.uint64(2)))
+    return (pa.array(b, type=pa.int64()),
+            pa.array(z.astype(np.int64), type=pa.int64()))
+
+
+def z3_covering_ranges(cell_ranges, bits: int = 16,
+                       max_ranges: int = 64) -> list[tuple[int, int]]:
+    """Octree decomposition over INTEGER cell-index ranges
+    ``((qx0,qx1),(qy0,qy1),(qt0,qt1))`` (inclusive) into <= max_ranges
+    inclusive z3-key ranges. All-integer, so containment tests are exact;
+    over-coverage is fine (refine follows), under-coverage impossible."""
+    (qx0, qx1), (qy0, qy1), (qt0, qt1) = cell_ranges
+    if qx0 > qx1 or qy0 > qy1 or qt0 > qt1:
+        return []
+    out: list[tuple[int, int]] = []
+    stack = [(0, 0, 0, 0, 0)]  # zprefix, cx, cy, ct, level
+    while stack:
+        z, cx, cy, ct, level = stack.pop()
+        span = 1 << (bits - level)
+        x0, x1 = cx * span, (cx + 1) * span - 1
+        y0, y1 = cy * span, (cy + 1) * span - 1
+        t0, t1 = ct * span, (ct + 1) * span - 1
+        if x1 < qx0 or x0 > qx1 or y1 < qy0 or y0 > qy1 \
+                or t1 < qt0 or t0 > qt1:
+            continue
+        shift = 3 * (bits - level)
+        full = (x0 >= qx0 and x1 <= qx1 and y0 >= qy0 and y1 <= qy1
+                and t0 >= qt0 and t1 <= qt1)
+        if full or level == bits or len(stack) + len(out) + 8 > max_ranges:
+            out.append((z << shift, ((z + 1) << shift) - 1))
+            continue
+        for q in range(8):  # child z order: (dx, dy, dt) = (q&1, q>>1&1, q>>2)
+            stack.append(((z << 3) | q, (cx << 1) | (q & 1),
+                          (cy << 1) | ((q >> 1) & 1),
+                          (ct << 1) | (q >> 2), level + 1))
+    out.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
+def _bbox_cell_ranges(bbox, bits: int, bounds=Z2_BOUNDS):
+    """Inclusive x/y cell-index ranges covering a bbox (clipped to the
+    domain); boundary cells are included (over-cover, refined later)."""
+    xmin, ymin, xmax, ymax = bbox
+    bxmin, bymin, bxmax, bymax = bounds
+    cells = 1 << bits
+
+    def rng(lo_v, hi_v, lo, hi):
+        q0 = int(np.floor((lo_v - lo) / (hi - lo) * cells))
+        q1 = int(np.floor((hi_v - lo) / (hi - lo) * cells))
+        return max(q0, 0), min(q1, cells - 1)
+
+    return rng(xmin, xmax, bxmin, bxmax), rng(ymin, ymax, bymin, bymax)
+
+
+def z3_bbox_time_filter(t: pa.Table, lon_col: str, lat_col: str,
+                        ts_col: str, bbox, t0_us: int, t1_us: int,
+                        bits: int = 16, max_ranges: int = 64,
+                        period_us: int = WEEK_US) -> pa.Table:
+    """Index-style spatio-temporal scan: per overlapped time bin, coarse
+    z3 covering-range membership, then exact bbox + ``t0 <= ts < t1``
+    refine — must equal the plain predicate (tested). Range plans are
+    computed once on the driver (O(bins * max_ranges) ints) and captured
+    in the task closure."""
+    if t1_us <= t0_us:
+        return t.slice(0, 0)
+    cells = 1 << bits
+    (qx0, qx1), (qy0, qy1) = _bbox_cell_ranges(bbox, bits)
+    plans: dict[int, list[tuple[int, int]]] = {}
+    for b in range(t0_us // period_us, (t1_us - 1) // period_us + 1):
+        lo = max(t0_us, b * period_us) - b * period_us
+        hi = min(t1_us - 1, (b + 1) * period_us - 1) - b * period_us
+        qt0 = lo * cells // period_us
+        qt1 = hi * cells // period_us
+        r = z3_covering_ranges(((qx0, qx1), (qy0, qy1), (qt0, qt1)),
+                               bits=bits, max_ranges=max_ranges)
+        if r:
+            plans[b] = r
+
+    ts_arr = t[ts_col]
+    if isinstance(ts_arr, pa.ChunkedArray):
+        ts_arr = ts_arr.combine_chunks()
+    bins, z3 = z3_encode(t[lon_col], t[lat_col], ts_arr, bits=bits,
+                         period_us=period_us)
+    m = None
+    for b, ranges in plans.items():
+        bm = None
+        for lo, hi in ranges:
+            part = pc.and_(pc.greater_equal(z3, lo), pc.less_equal(z3, hi))
+            bm = part if bm is None else pc.or_(bm, part)
+        part = pc.and_(pc.equal(bins, b), bm)
+        m = part if m is None else pc.or_(m, part)
+    if m is None:
+        return t.slice(0, 0)
+    coarse = bbox_filter(t.filter(m), lon_col, lat_col, bbox)
+    ts_us = coarse[ts_col]
+    if isinstance(ts_us, pa.ChunkedArray):
+        ts_us = ts_us.combine_chunks()
+    ts_us = ts_us.cast(pa.int64())
+    keep = pc.and_(pc.greater_equal(ts_us, t0_us), pc.less(ts_us, t1_us))
+    return coarse.filter(pc.fill_null(keep, False))

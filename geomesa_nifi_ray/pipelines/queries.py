@@ -1789,6 +1789,91 @@ FROM w
 """
 
 
+_GEO_Z3_BBOX = (-120.0, -60.0, 120.0, 60.0)
+_GEO_T0 = "2024-01-08 00:00:00"
+_GEO_T1 = "2024-01-15 12:00:00"
+_GEO_T0_US = 1_704_672_000_000_000
+_GEO_T1_US = 1_705_320_000_000_000
+
+
+def _geo_lonlat_ts(t: pa.Table) -> pa.Table:
+    return _geo_lonlat(t).append_column("ts", t["ts"])
+
+
+def q_geo_z3_keys_events(sf_dir: str):
+    """Z3 (space + time) index key per event: week bin + 16-bit/dim Morton
+    key over (lon, lat, time-within-bin) — the reference datastore's
+    flagship index. Time quantization is pure integer arithmetic, so the
+    DuckDB oracle reproduces the key bit-for-bit."""
+    import ray.data
+
+    from geomesa_nifi_ray.geometry import z3_encode
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        p = _geo_lonlat_ts(t)
+        b, z = z3_encode(p["lon"], p["lat"], p["ts"], bits=16)
+        return pa.table({"event_id": p["event_id"], "z3bin": b, "z3": z})
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def _z3_interleave_sql(var: str, offset: int, bits: int = 16) -> str:
+    return " + ".join(
+        f"((({var} >> {i}) & 1) << {3 * i + offset})" for i in range(bits)
+    )
+
+
+_GEO_Z3_KEYS_SQL = f"""
+WITH {_GEO_PTS_SQL.replace("FROM events", ", ts FROM events")}, q AS (
+  SELECT event_id,
+    GREATEST(0, LEAST(65535,
+      CAST(floor(((lon - (-180.0)) / 360.0) * 65536.0) AS BIGINT))) AS ix,
+    GREATEST(0, LEAST(65535,
+      CAST(floor(((lat - (-90.0)) / 180.0) * 65536.0) AS BIGINT))) AS iy,
+    ((epoch_us(ts) % 604800000000) * 65536) // 604800000000 AS it,
+    epoch_us(ts) // 604800000000 AS z3bin
+  FROM pts
+)
+SELECT event_id, z3bin,
+       ({_z3_interleave_sql('ix', 0)}
+        + {_z3_interleave_sql('iy', 1)}
+        + {_z3_interleave_sql('it', 2)}) AS z3
+FROM q
+"""
+
+
+def q_geo_z3_bbox_events(sf_dir: str):
+    """Spatio-temporal query the GeoMesa way: per-week-bin Z3 covering
+    ranges + exact refine (``geometry.z3_bbox_time_filter``); oracle is
+    the plain bbox AND time-interval predicate."""
+    import ray.data
+
+    from geomesa_nifi_ray.geometry import z3_bbox_time_filter
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        out = z3_bbox_time_filter(_geo_lonlat_ts(t), "lon", "lat", "ts",
+                                  _GEO_Z3_BBOX, _GEO_T0_US, _GEO_T1_US,
+                                  bits=16, max_ranges=64)
+        return out.set_column(out.schema.get_field_index("ts"), "ts",
+                              out["ts"].cast(pa.timestamp("us")))
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+_GEO_Z3_BBOX_SQL = f"""
+WITH {_GEO_PTS_SQL.replace("FROM events", ", ts FROM events")}
+SELECT event_id, lon, lat, ts FROM pts
+WHERE lon >= -120.0 AND lon < 120.0 AND lat >= -60.0 AND lat < 60.0
+  AND ts >= TIMESTAMP '{_GEO_T0}' AND ts < TIMESTAMP '{_GEO_T1}'
+"""
+
+
 def q_geo_wkb_events(sf_dir: str):
     """WKB encode (``GeometryWkbFieldConverter``, scala:435-441), hex for
     the golden fixture; exact roundtrip is pytest-gated (test_geometry)."""
@@ -1853,6 +1938,8 @@ QUERIES = {
     # geometry (WKT/WKB converters + Z2 index scan)
     "geo_bbox_events": q_geo_bbox_events,
     "geo_z2_events": q_geo_z2_events,
+    "geo_z3_keys_events": q_geo_z3_keys_events,
+    "geo_z3_bbox_events": q_geo_z3_bbox_events,
     "geo_wkt_events": q_geo_wkt_events,
     "geo_wkb_events": q_geo_wkb_events,
     # training-data ops with SQL oracles
@@ -1977,6 +2064,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "repetition_documents": _REPETITION_SQL,
         "geo_bbox_events": _GEO_BBOX_SQL,
         "geo_z2_events": _GEO_Z2_SQL,
+        "geo_z3_keys_events": _GEO_Z3_KEYS_SQL,
+        "geo_z3_bbox_events": _GEO_Z3_BBOX_SQL,
         "geo_wkt_events": _GEO_WKT_SQL,
         "ngram_dedup_documents": _NGRAM_DEDUP_SQL,
         "nested_pages_stats": _NESTED_PAGES_SQL.format(path=_nested_pages_path(sf_dir)),

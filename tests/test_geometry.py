@@ -129,3 +129,59 @@ def test_converter_point_function(ray_session):
                         concurrency=1)
            .to_pandas())
     assert sorted(out["wkt"]) == ["POINT (-3.50 4.75)", "POINT (1.25 2.00)"]
+
+
+# ------------------------------------------------------------------- Z3
+
+
+def test_z3_encode_matches_bitwise_reference(pts):
+    lon, lat = pts
+    rng = np.random.default_rng(13)
+    ts = rng.integers(1_700_000_000_000_000, 1_706_000_000_000_000,
+                      len(lon))
+    bits = 12
+    b_arr, z_arr = g.z3_encode(lon, lat, ts, bits=bits)
+    b_np, z_np = b_arr.to_numpy(), z_arr.to_numpy()
+
+    def slow(lo, la, tu):
+        cells = 1 << bits
+        ix = min(int(np.floor((lo + 180.0) / 360.0 * cells)), cells - 1)
+        iy = min(int(np.floor((la + 90.0) / 180.0 * cells)), cells - 1)
+        it = (int(tu) % g.WEEK_US) * cells // g.WEEK_US
+        out = 0
+        for i in range(bits):
+            out |= (((ix >> i) & 1) << (3 * i)
+                    | ((iy >> i) & 1) << (3 * i + 1)
+                    | ((it >> i) & 1) << (3 * i + 2))
+        return int(tu) // g.WEEK_US, out
+
+    for i in range(0, len(lon), 131):
+        assert (b_np[i], z_np[i]) == slow(lon[i], lat[i], ts[i])
+
+
+def test_z3_rejects_negative_timestamps():
+    with pytest.raises(ValueError, match="non-negative"):
+        g.z3_encode(np.array([0.0]), np.array([0.0]), np.array([-1]))
+
+
+def test_z3_bbox_time_filter_equals_exact(pts):
+    import pyarrow.compute as pc
+
+    lon, lat = pts
+    rng = np.random.default_rng(17)
+    ts = rng.integers(1_700_000_000_000_000, 1_706_000_000_000_000,
+                      len(lon))
+    t = pa.table({"id": pa.array(range(len(lon)), type=pa.int64()),
+                  "lon": pa.array(lon), "lat": pa.array(lat),
+                  "ts": pa.array(ts, type=pa.int64())})
+    bbox = (-30.0, 20.0, 100.0, 80.0)
+    t0, t1 = 1_701_000_000_000_000, 1_704_500_000_000_000  # spans bins
+    exact = g.bbox_filter(t, "lon", "lat", bbox)
+    exact = exact.filter(pc.and_(pc.greater_equal(exact["ts"], t0),
+                                 pc.less(exact["ts"], t1)))
+    for bits, mr in [(16, 64), (8, 16), (4, 8)]:
+        got = g.z3_bbox_time_filter(t, "lon", "lat", "ts", bbox, t0, t1,
+                                    bits=bits, max_ranges=mr)
+        assert got["id"].to_pylist() == exact["id"].to_pylist(), (bits, mr)
+    # empty interval
+    assert g.z3_bbox_time_filter(t, "lon", "lat", "ts", bbox, t1, t1).num_rows == 0

@@ -88,6 +88,7 @@ def test_all_queries_run(entrymod):
     "quality_documents", "lang_distribution_documents",
     "schema_project_documents", "embedding_topk",
     "geo_bbox_events", "geo_z2_events", "geo_wkt_events",
+    "geo_z3_keys_events", "geo_z3_bbox_events",
 ])
 def test_query_matches_oracle(entrymod, oracle_con, name):
     qs = entrymod.queries()
