@@ -244,21 +244,32 @@ def bbox_filter(t: pa.Table, lon_col: str, lat_col: str, bbox) -> pa.Table:
     return t.filter(pc.fill_null(m, False))
 
 
+def _range_membership(keys: np.ndarray,
+                      ranges: list[tuple[int, int]]) -> np.ndarray:
+    """Boolean membership of each key in a set of sorted, disjoint,
+    merged inclusive ranges — one ``np.searchsorted`` over the range
+    starts, O(rows * log ranges), instead of an OR chain of per-range
+    comparison kernels (O(rows * ranges))."""
+    if not ranges:
+        return np.zeros(len(keys), dtype=bool)
+    los = np.fromiter((r[0] for r in ranges), dtype=np.int64, count=len(ranges))
+    his = np.fromiter((r[1] for r in ranges), dtype=np.int64, count=len(ranges))
+    idx = np.searchsorted(los, keys, side="right") - 1
+    return (idx >= 0) & (keys <= his[np.maximum(idx, 0)])
+
+
 def z2_bbox_filter(t: pa.Table, lon_col: str, lat_col: str, bbox,
                    bits: int = 16, max_ranges: int = 64) -> pa.Table:
     """Index-style bbox scan: coarse Z2-range membership (the 'index
     scan') then exact refine — must equal ``bbox_filter`` (tested). The
-    ranges come precomputed from the driver; membership is a small OR
-    chain of vectorized comparisons on the Z key."""
+    ranges come precomputed from the driver; membership is one
+    searchsorted pass over the sorted range bounds."""
     ranges = z2_covering_ranges(bbox, bits=bits, max_ranges=max_ranges)
-    z = z2_encode(t[lon_col], t[lat_col], bits=bits)
-    m = None
-    for lo, hi in ranges:
-        part = pc.and_(pc.greater_equal(z, lo), pc.less_equal(z, hi))
-        m = part if m is None else pc.or_(m, part)
-    if m is None:
+    if not ranges:
         return t.slice(0, 0)
-    return bbox_filter(t.filter(m), lon_col, lat_col, bbox)
+    z = z2_encode(t[lon_col], t[lat_col], bits=bits).to_numpy()
+    coarse = t.filter(pa.array(_range_membership(z, ranges)))
+    return bbox_filter(coarse, lon_col, lat_col, bbox)
 
 
 # ------------------------------------------------------------------ Z3
@@ -399,22 +410,33 @@ def z3_bbox_time_filter(t: pa.Table, lon_col: str, lat_col: str,
         if r:
             plans[b] = r
 
+    if not plans:
+        return t.slice(0, 0)
     ts_arr = t[ts_col]
     if isinstance(ts_arr, pa.ChunkedArray):
         ts_arr = ts_arr.combine_chunks()
     bins, z3 = z3_encode(t[lon_col], t[lat_col], ts_arr, bits=bits,
                          period_us=period_us)
-    m = None
-    for b, ranges in plans.items():
-        bm = None
-        for lo, hi in ranges:
-            part = pc.and_(pc.greater_equal(z3, lo), pc.less_equal(z3, hi))
-            bm = part if bm is None else pc.or_(bm, part)
-        part = pc.and_(pc.equal(bins, b), bm)
-        m = part if m is None else pc.or_(m, part)
-    if m is None:
-        return t.slice(0, 0)
-    coarse = bbox_filter(t.filter(m), lon_col, lat_col, bbox)
+    bins_np, z3_np = bins.to_numpy(), z3.to_numpy()
+    # Fuse (bin, z3) into one sortable int64 key so membership over ALL
+    # bins' ranges is a single searchsorted pass (a 1000-bin interval
+    # would otherwise OR together bins*max_ranges comparison kernels).
+    max_bin = max(plans)
+    if (max_bin + 1) < (1 << (62 - 3 * bits)):
+        fused = [(b << (3 * bits)) | lo_hi[0] for b, rs in plans.items()
+                 for lo_hi in rs]
+        fused_hi = [(b << (3 * bits)) | lo_hi[1] for b, rs in plans.items()
+                    for lo_hi in rs]
+        ranges = sorted(zip(fused, fused_hi))
+        keys = (bins_np << np.int64(3 * bits)) | z3_np
+        mask = _range_membership(keys, ranges)
+    else:  # fused key would overflow int64: per-bin membership
+        mask = np.zeros(len(z3_np), dtype=bool)
+        for b, rs in plans.items():
+            sel = bins_np == b
+            if sel.any():
+                mask[sel] = _range_membership(z3_np[sel], rs)
+    coarse = bbox_filter(t.filter(pa.array(mask)), lon_col, lat_col, bbox)
     ts_us = coarse[ts_col]
     if isinstance(ts_us, pa.ChunkedArray):
         ts_us = ts_us.combine_chunks()
