@@ -183,43 +183,49 @@ def z2_covering_ranges(bbox, bits: int = 16, bounds=Z2_BOUNDS,
                        max_ranges: int = 64) -> list[tuple[int, int]]:
     """Decompose a bbox into inclusive Z-key ranges covering it.
 
-    Quadtree walk from the root cell: a curve cell fully inside the bbox
-    contributes its whole contiguous key range ``[z<<2k, (z+1)<<2k - 1]``;
-    a partially-overlapping cell is split into its 4 children until
-    ``max_ranges`` would be exceeded, at which point remaining partial
-    cells are emitted coarsely (over-covering is fine — the scan refines
-    exactly afterwards, mirroring GeoMesa's range-plan + filter-refine).
-    Driver-side, O(max_ranges); adjacent ranges are merged.
+    The bbox corners are quantized with THE SAME formula ``z2_encode``
+    uses for points — never geometric cell boxes. This matters for
+    losslessness: float rounding can push a point infinitesimally below a
+    cell boundary into the upper cell (e.g. ``180 - 2.5e-206 == 180.0``
+    in double), so a planner that reasons about exact cell geometry
+    under-covers. Because each quantization step (subtract, divide,
+    multiply, floor — all correctly rounded) is weakly monotone, every
+    point inside the bbox quantizes into ``[quantize(min), quantize(max)]``
+    per dimension, making the integer-space cover sound by construction
+    (the upper corner is included even though the bbox is half-open —
+    over-coverage that the exact refine removes).
+
+    Quadtree walk in integer cell space: a curve cell fully inside the
+    quantized query contributes its contiguous key range
+    ``[z<<2k, (z+1)<<2k - 1]``; a partial cell splits into 4 children
+    until ``max_ranges`` would be exceeded, at which point remaining
+    partial cells are emitted coarsely (mirroring GeoMesa's range-plan +
+    filter-refine). Driver-side, O(max_ranges); adjacent ranges merged.
     """
     xmin, ymin, xmax, ymax = bbox
     bxmin, bymin, bxmax, bymax = bounds
-    cells = 1 << bits
-
-    def cell_box(zx, zy, level):
-        # box of quad cell (zx, zy) at `level` (level 0 = root)
-        span = cells >> level
-        cw = (bxmax - bxmin) / cells
-        ch = (bymax - bymin) / cells
-        x0 = bxmin + zx * span * cw
-        y0 = bymin + zy * span * ch
-        return x0, y0, x0 + span * cw, y0 + span * ch
-
+    # no out-of-domain short-circuit: encode CLIPS out-of-domain points
+    # into edge cells, so the (identically clipped) corner quantization
+    # must produce the edge-cell cover and let the refine decide.
+    qx = _quantize(np.array([xmin, xmax]), bxmin, bxmax, bits).astype(int)
+    qy = _quantize(np.array([ymin, ymax]), bymin, bymax, bits).astype(int)
     out: list[tuple[int, int]] = []
-    # (zprefix, zx, zy, level); zprefix = interleaved key prefix of length 2*level
-    stack = [(0, 0, 0, 0)]
+    stack = [(0, 0, 0, 0)]  # zprefix, cx, cy, level
     while stack:
-        z, zx, zy, level = stack.pop()
-        x0, y0, x1, y1 = cell_box(zx, zy, level)
-        if x1 <= xmin or x0 >= xmax or y1 <= ymin or y0 >= ymax:
+        z, cx, cy, level = stack.pop()
+        span = 1 << (bits - level)
+        x0, x1 = cx * span, (cx + 1) * span - 1
+        y0, y1 = cy * span, (cy + 1) * span - 1
+        if x1 < qx[0] or x0 > qx[1] or y1 < qy[0] or y0 > qy[1]:
             continue
         shift = 2 * (bits - level)
-        full = (x0 >= xmin and x1 <= xmax and y0 >= ymin and y1 <= ymax)
+        full = (x0 >= qx[0] and x1 <= qx[1] and y0 >= qy[0] and y1 <= qy[1])
         if full or level == bits or len(stack) + len(out) + 4 > max_ranges:
             out.append((z << shift, ((z + 1) << shift) - 1))
             continue
         for q in range(4):  # children in z order: (dx, dy) = (q&1, q>>1)
-            stack.append(((z << 2) | q, (zx << 1) | (q & 1),
-                          (zy << 1) | (q >> 1), level + 1))
+            stack.append(((z << 2) | q, (cx << 1) | (q & 1),
+                          (cy << 1) | (q >> 1), level + 1))
     out.sort()
     merged: list[tuple[int, int]] = []
     for lo, hi in out:
@@ -372,18 +378,16 @@ def z3_covering_ranges(cell_ranges, bits: int = 16,
 
 
 def _bbox_cell_ranges(bbox, bits: int, bounds=Z2_BOUNDS):
-    """Inclusive x/y cell-index ranges covering a bbox (clipped to the
-    domain); boundary cells are included (over-cover, refined later)."""
+    """Inclusive x/y cell-index ranges covering a bbox, using the SAME
+    quantization (including the clip) as the point encoder — see the
+    soundness note on ``z2_covering_ranges``. Both corners clip into the
+    domain, so boxes straddling or outside the domain still cover the
+    edge cells that out-of-domain points encode into."""
     xmin, ymin, xmax, ymax = bbox
     bxmin, bymin, bxmax, bymax = bounds
-    cells = 1 << bits
-
-    def rng(lo_v, hi_v, lo, hi):
-        q0 = int(np.floor((lo_v - lo) / (hi - lo) * cells))
-        q1 = int(np.floor((hi_v - lo) / (hi - lo) * cells))
-        return max(q0, 0), min(q1, cells - 1)
-
-    return rng(xmin, xmax, bxmin, bxmax), rng(ymin, ymax, bymin, bymax)
+    qx = _quantize(np.array([xmin, xmax]), bxmin, bxmax, bits).astype(int)
+    qy = _quantize(np.array([ymin, ymax]), bymin, bymax, bits).astype(int)
+    return (qx[0], qx[1]), (qy[0], qy[1])
 
 
 def z3_bbox_time_filter(t: pa.Table, lon_col: str, lat_col: str,

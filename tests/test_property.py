@@ -4,7 +4,7 @@ stronger than the reference's example-based-only strategy (SURVEY.md §5)."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from geomesa_nifi_ray.schema import CompatibilityMode, merge_schemas, project_to_schema
@@ -190,15 +190,24 @@ _coord = st.floats(min_value=-180.0, max_value=180.0,
                    allow_nan=False, allow_infinity=False)
 _lat = st.floats(min_value=-90.0, max_value=90.0,
                  allow_nan=False, allow_infinity=False)
+# query boxes may straddle or sit outside the curve domain
+_boxx = st.floats(min_value=-200.0, max_value=200.0,
+                  allow_nan=False, allow_infinity=False)
+_boxy = st.floats(min_value=-100.0, max_value=100.0,
+                  allow_nan=False, allow_infinity=False)
 
 
 @given(
     st.lists(st.tuples(_coord, _lat), min_size=1, max_size=200),
-    st.tuples(_coord, _lat, _coord, _lat),
+    st.tuples(_boxx, _boxy, _boxx, _boxy),
     st.integers(2, 12),
     st.integers(4, 64),
 )
-@settings(max_examples=60, deadline=None)
+@example(pts=[(-2.4936453002416264e-206, 0.0)], box=(0.0, 1.0, -1.0, 0.0),
+         bits=2, max_ranges=4)  # float rounding pushed the point a cell up
+@example(pts=[(180.0, 90.0)], box=(179.0, 89.0, 200.0, 100.0),
+         bits=4, max_ranges=8)  # domain-edge point, box leaves the domain
+@settings(max_examples=120, deadline=None)
 def test_z2_cover_refine_equals_exact_bbox(pts, box, bits, max_ranges):
     """For ANY bbox / curve resolution / range budget, the covering-range
     scan + exact refine must equal the plain bbox predicate (losslessness
