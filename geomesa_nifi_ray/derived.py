@@ -94,7 +94,8 @@ class GroupCountView:
         for i, e in enumerate(epochs):
             if last is not None and e <= last:
                 continue
-            if self.table.manifest(e).get("mode") == "clear":
+            m = self.table.manifest(e)
+            if m.get("mode") == "clear":
                 # truncate epoch: the table state is now empty, so the view
                 # resets — symmetric with rebuild() over an empty snapshot
                 state = {"last_epoch": int(e), "counts": {}}
@@ -102,7 +103,7 @@ class GroupCountView:
                 applied += 1
                 continue
             prev = epochs[i - 1] if i > 0 else None
-            delta = self._epoch_delta(e, prev)
+            delta = self._epoch_delta(e, prev, manifest=m)
             counts = dict(state["counts"])
             for k, d in delta.items():
                 n = counts.get(k, 0) + d
@@ -145,13 +146,16 @@ class GroupCountView:
             "n": pc.cast(vc.field("counts"), pa.int64()),
         })
 
-    def _epoch_delta(self, epoch: int, prev_epoch: int | None) -> dict[str, int]:
+    def _epoch_delta(self, epoch: int, prev_epoch: int | None,
+                     manifest: dict | None = None) -> dict[str, int]:
         """Per-group count delta contributed by one committed epoch: one
         Ray task per touched bucket reads (new winners, old values of the
-        same keys) and emits partial +/- counts."""
+        same keys) and emits partial +/- counts. ``manifest`` lets the
+        caller pass an already-fetched manifest (refresh reads it for the
+        mode check; an object-store lake pays a JSON GET per fetch)."""
         import ray.data
 
-        m = self.table.manifest(epoch)
+        m = manifest if manifest is not None else self.table.manifest(epoch)
         lo, hi = int(m["offset_min"]), int(m["offset_max"])
         key = self.table.key
         col = self.col

@@ -1613,7 +1613,8 @@ class CDCEngine:
         return results
 
     def _replay_pipelined(self, pending: list[dict], mode: str,
-                          batch_size: int = 8192, lookahead: int = 3,
+                          batch_size: int = 8192,
+                          lookahead: int | None = None,
                           **apply_kwargs) -> list[EpochResult]:
         """Sequential per-epoch replay with convert/merge overlap: the next
         ``lookahead`` epochs' read+convert pipelines materialize on
@@ -1703,12 +1704,16 @@ class CDCEngine:
         # conversion finishing and its apply starting). Oversized files
         # (>64 MB — a task would under-parallelize) keep the thread path.
         if all(os.path.getsize(f) <= (64 << 20) for _, fls, _ in plans for f in fls):
-            return self._replay_raw_tasks(plans, mode, batch_size,
-                                          window=max(int(lookahead), 8),
-                                          **apply_kwargs)
+            # default window 8 (tasks are cheap to keep in flight); an
+            # explicit caller value is honored — it is the documented bound
+            # on how many epochs' converted blocks are alive at once
+            return self._replay_raw_tasks(
+                plans, mode, batch_size,
+                window=8 if lookahead is None else max(1, int(lookahead)),
+                **apply_kwargs)
 
         results: list[EpochResult] = []
-        lookahead = max(1, int(lookahead))
+        lookahead = 3 if lookahead is None else max(1, int(lookahead))
         with ThreadPoolExecutor(max_workers=lookahead) as ex:
             futs: dict[int, object] = {}
 

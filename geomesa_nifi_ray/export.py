@@ -97,15 +97,30 @@ _GML_NS = {
 }
 
 
-def _ncname(name: str) -> str:
-    """Sanitize a column name into a valid XML NCName (element names may
-    not contain spaces/colons/etc. and may not start with a digit — all
-    legal in Arrow schemas). Invalid chars -> '_', leading digit gets a
-    '_' prefix, empty -> '_'."""
-    import re
+def _xml_name_ok(ch: str, first: bool) -> bool:
+    o = ord(ch)
+    # XML 1.0 NameStartChar ranges (minus ':' — NCName), fifth edition
+    start = (ch == "_" or 0x41 <= o <= 0x5A or 0x61 <= o <= 0x7A
+             or 0xC0 <= o <= 0xD6 or 0xD8 <= o <= 0xF6
+             or 0xF8 <= o <= 0x2FF or 0x370 <= o <= 0x37D
+             or 0x37F <= o <= 0x1FFF or 0x200C <= o <= 0x200D
+             or 0x2070 <= o <= 0x218F or 0x2C00 <= o <= 0x2FEF
+             or 0x3001 <= o <= 0xD7FF or 0xF900 <= o <= 0xFDCF
+             or 0xFDF0 <= o <= 0xFFFD or 0x10000 <= o <= 0xEFFFF)
+    if first:
+        return start
+    return (start or ch in "-." or 0x30 <= o <= 0x39 or o == 0xB7
+            or 0x300 <= o <= 0x36F or 0x203F <= o <= 0x2040)
 
-    s = re.sub(r"[^A-Za-z0-9_.\-À-￿]", "_", name)
-    if not s or not (s[0].isalpha() or s[0] == "_"):
+
+def _ncname(name: str) -> str:
+    """Sanitize a column name into a valid XML NCName using the actual
+    XML 1.0 NameStartChar/NameChar ranges (a blanket high-unicode
+    allowance admits forbidden chars like U+00D7 '×' or U+2014 '—').
+    Invalid chars -> '_', invalid first char gets a '_' prefix,
+    empty -> '_'."""
+    s = "".join(c if _xml_name_ok(c, False) else "_" for c in name)
+    if not s or not _xml_name_ok(s[0], True):
         s = "_" + s
     return s
 

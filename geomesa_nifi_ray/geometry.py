@@ -117,7 +117,11 @@ def wkb_point(x, y) -> pa.Array:
     m[:, 13:21] = ys.astype("<f8").view(np.uint8).reshape(n, 8)
     fsb = pa.FixedSizeBinaryArray.from_buffers(
         pa.binary(21), n, [None, pa.py_buffer(m.tobytes())])
-    return fsb.cast(pa.binary())
+    out = fsb.cast(pa.binary())
+    bad = np.isnan(xs) | np.isnan(ys)
+    if bad.any():  # null coordinates -> null geometry (same as wkt_point)
+        out = pc.if_else(pa.array(~bad), out, pa.scalar(None, pa.binary()))
+    return out
 
 
 def parse_wkb_point(arr) -> tuple[pa.Array, pa.Array]:
@@ -131,6 +135,11 @@ def parse_wkb_point(arr) -> tuple[pa.Array, pa.Array]:
         arr = arr.combine_chunks()
     if not isinstance(arr, pa.Array):
         arr = pa.array(arr, type=pa.binary())
+    null_np = None
+    if arr.null_count:  # null geometry -> null coords
+        null_np = np.asarray(pc.is_null(arr))
+        arr = pc.if_else(pa.array(~null_np), arr,
+                         pa.scalar(_WKB_HDR.tobytes() + b"\x00" * 16))
     fsb = arr.cast(pa.binary(21))  # raises if any row isn't 21 bytes
     n = len(fsb)
     buf = np.frombuffer(fsb.buffers()[1], dtype=np.uint8)[
@@ -139,6 +148,9 @@ def parse_wkb_point(arr) -> tuple[pa.Array, pa.Array]:
         raise ValueError("not little-endian WKB points")
     x = buf[:, 5:13].copy().view("<f8").ravel()
     y = buf[:, 13:21].copy().view("<f8").ravel()
+    if null_np is not None:
+        return (pa.array(x, type=pa.float64(), mask=null_np),
+                pa.array(y, type=pa.float64(), mask=null_np))
     return pa.array(x, type=pa.float64()), pa.array(y, type=pa.float64())
 
 
@@ -162,8 +174,10 @@ def _spread_bits(v: np.ndarray) -> np.ndarray:
 
 def _quantize(v: np.ndarray, lo: float, hi: float, bits: int) -> np.ndarray:
     cells = 1 << bits
-    ix = np.floor((v - lo) / (hi - lo) * cells).astype(np.int64)
-    return np.clip(ix, 0, cells - 1).astype(np.uint64)
+    with np.errstate(invalid="ignore"):
+        ix = np.floor((v - lo) / (hi - lo) * cells)
+    ix = np.where(np.isnan(ix), 0.0, ix)  # nulls masked by the callers
+    return np.clip(ix, 0, cells - 1).astype(np.int64).astype(np.uint64)
 
 
 def z2_encode(lon, lat, bits: int = 16, bounds=Z2_BOUNDS) -> pa.Array:
@@ -173,10 +187,14 @@ def z2_encode(lon, lat, bits: int = 16, bounds=Z2_BOUNDS) -> pa.Array:
     if bits < 1 or 2 * bits > 62:
         raise ValueError("bits must be in [1, 31]")
     xmin, ymin, xmax, ymax = bounds
-    ix = _quantize(_as_np_f8(lon), xmin, xmax, bits)
-    iy = _quantize(_as_np_f8(lat), ymin, ymax, bits)
-    z = _spread_bits(ix) | (_spread_bits(iy) << np.uint64(1))
-    return pa.array(z.astype(np.int64), type=pa.int64())
+    lon_np, lat_np = _as_np_f8(lon), _as_np_f8(lat)
+    ix = _quantize(lon_np, xmin, xmax, bits)
+    iy = _quantize(lat_np, ymin, ymax, bits)
+    z = (_spread_bits(ix) | (_spread_bits(iy) << np.uint64(1))).astype(np.int64)
+    bad = np.isnan(lon_np) | np.isnan(lat_np)
+    if bad.any():  # null coordinate -> null key
+        return pa.array(z, type=pa.int64(), mask=bad)
+    return pa.array(z, type=pa.int64())
 
 
 def z2_covering_ranges(bbox, bits: int = 16, bounds=Z2_BOUNDS,
@@ -273,7 +291,8 @@ def z2_bbox_filter(t: pa.Table, lon_col: str, lat_col: str, bbox,
     ranges = z2_covering_ranges(bbox, bits=bits, max_ranges=max_ranges)
     if not ranges:
         return t.slice(0, 0)
-    z = z2_encode(t[lon_col], t[lat_col], bits=bits).to_numpy()
+    z = pc.fill_null(z2_encode(t[lon_col], t[lat_col], bits=bits), -1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
     coarse = t.filter(pa.array(_range_membership(z, ranges)))
     return bbox_filter(coarse, lon_col, lat_col, bbox)
 
@@ -306,7 +325,8 @@ def _quantize_time(ts_us: np.ndarray, bits: int,
     """(bin, within-bin time cell) — exact int64 arithmetic:
     ``bin = ts // period``; ``it = (ts % period) * cells // period``.
     Assumes non-negative timestamps (numpy floor-div vs SQL truncating
-    ``//`` agree there; enforced)."""
+    ``//`` agree there; enforced). Null slots must be pre-filled (with 0)
+    and masked by the caller."""
     ts_us = np.asarray(ts_us, dtype=np.int64)
     if len(ts_us) and ts_us.min() < 0:
         raise ValueError("z3 requires non-negative epoch-us timestamps")
@@ -324,17 +344,27 @@ def z3_encode(lon, lat, ts, bits: int = 16, bounds=Z2_BOUNDS,
     if bits < 1 or 3 * bits > 62:
         raise ValueError("bits must be in [1, 20]")
     xmin, ymin, xmax, ymax = bounds
-    ix = _quantize(_as_np_f8(lon), xmin, xmax, bits)
-    iy = _quantize(_as_np_f8(lat), ymin, ymax, bits)
+    lon_np, lat_np = _as_np_f8(lon), _as_np_f8(lat)
+    ix = _quantize(lon_np, xmin, xmax, bits)
+    iy = _quantize(lat_np, ymin, ymax, bits)
     if isinstance(ts, pa.ChunkedArray):
         ts = ts.combine_chunks()
+    ts_null = None
     if isinstance(ts, pa.Array):
+        if ts.null_count:  # null ts -> null key, like the exact predicate
+            ts_null = np.asarray(pc.is_null(ts))
+            ts = pc.fill_null(ts.cast(pa.int64()), 0)
         ts = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
     b, it = _quantize_time(ts, bits, period_us)
     z = (_spread_bits3(ix) | (_spread_bits3(iy) << np.uint64(1))
-         | (_spread_bits3(it.astype(np.uint64)) << np.uint64(2)))
-    return (pa.array(b, type=pa.int64()),
-            pa.array(z.astype(np.int64), type=pa.int64()))
+         | (_spread_bits3(it.astype(np.uint64)) << np.uint64(2))).astype(np.int64)
+    bad = np.isnan(lon_np) | np.isnan(lat_np)
+    if ts_null is not None:
+        bad = bad | ts_null
+    if bad.any():
+        return (pa.array(b, type=pa.int64(), mask=bad),
+                pa.array(z, type=pa.int64(), mask=bad))
+    return pa.array(b, type=pa.int64()), pa.array(z, type=pa.int64())
 
 
 def z3_covering_ranges(cell_ranges, bits: int = 16,
@@ -421,7 +451,10 @@ def z3_bbox_time_filter(t: pa.Table, lon_col: str, lat_col: str,
         ts_arr = ts_arr.combine_chunks()
     bins, z3 = z3_encode(t[lon_col], t[lat_col], ts_arr, bits=bits,
                          period_us=period_us)
-    bins_np, z3_np = bins.to_numpy(), z3.to_numpy()
+    # null keys (null coords/ts) fill to bin -1 / key 0: never in any plan,
+    # so they drop at the coarse scan exactly as the refine would drop them
+    bins_np = pc.fill_null(bins, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+    z3_np = pc.fill_null(z3, 0).to_numpy(zero_copy_only=False).astype(np.int64)
     # Fuse (bin, z3) into one sortable int64 key so membership over ALL
     # bins' ranges is a single searchsorted pass (a 1000-bin interval
     # would otherwise OR together bins*max_ranges comparison kernels).

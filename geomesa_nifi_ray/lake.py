@@ -190,6 +190,17 @@ class LakeFS:
         data = json.dumps(payload, indent=1, sort_keys=True).encode()
         if self.rename_capable:
             tmp = f"{path}.tmp.{os.getpid()}"
+            if self.is_plain_local:
+                # the rename contract promises tmp + FSYNC + atomic rename
+                # (a journaled rename of un-synced data can survive a crash
+                # as a committed-but-torn manifest — the one thing the
+                # exactly-once linearization point must rule out)
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, path)
+                return
             with self.pafs.open_output_stream(tmp) as f:
                 f.write(data)
             self.pafs.move(tmp, path)
@@ -200,6 +211,14 @@ class LakeFS:
     def publish_parquet(self, path: str, table: pa.Table) -> None:
         if self.rename_capable:
             tmp = f"{path}.tmp.{os.getpid()}"
+            if self.is_plain_local:
+                with open(tmp, "wb") as f:
+                    pq.write_table(table, f, compression="zstd",
+                                   write_statistics=True)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, path)
+                return
             with self.pafs.open_output_stream(tmp) as f:
                 pq.write_table(table, f, compression="zstd", write_statistics=True)
             self.pafs.move(tmp, path)

@@ -16,12 +16,14 @@ parallel per batch and stable under any partitioning:
   shuffle, no coordination.
 - :func:`deterministic_shuffle` — a seeded permutation keyed by
   ``hash(seed || key)``. Same seed -> same permutation on any cluster.
-  Two physical layouts, auto-selected by cluster shape: ``bucketed``
-  (multi-node; one static-boundary hash exchange, no total-order sort)
-  range-buckets keys on their first 4 hex nibbles and sorts each bucket
-  internally — concatenating buckets in ``_shuffle_bucket`` order
-  reproduces the exact global permutation of ``sorted`` (single-node
-  default; measured faster there, see the function docstring). The
+  Two physical layouts, chosen EXPLICITLY (the observable output —
+  stream order + a ``_shuffle_bucket`` column — differs between them, so
+  nothing may auto-switch by cluster shape): ``sorted`` (default
+  everywhere; a global total-order sort) and ``bucketed`` (the scale
+  opt-in; one static-boundary hash exchange, no total-order sort)
+  which range-buckets keys on their first 4 hex nibbles and sorts each
+  bucket internally — concatenating buckets in ``_shuffle_bucket``
+  order reproduces the exact global permutation of ``sorted``. The
   oracle checks the key set, identical under both layouts.
 - :func:`stratified_cap` — at most N rows per group (cap docs per
   domain/language — the classic training-mix lever), chosen by the same
@@ -114,19 +116,10 @@ def hash_sample(ds, col: str, threshold: str = "28", kernel: str = "md5"):
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
-def _multi_node() -> bool:
-    try:
-        import ray
-
-        return sum(1 for n in ray.nodes() if n.get("Alive")) > 1
-    except Exception:
-        return False
-
-
 def deterministic_shuffle(ds, col: str, seed: str = "s0",
                           key_col: str = "shuffle_key",
                           kernel: str = "md5",
-                          layout: str = "auto", num_buckets: int = 64):
+                          layout: str = "sorted", num_buckets: int = 64):
     """Seeded deterministic shuffle: the permutation is defined by
     ``hash(seed || col)`` — the same at any parallelism (unlike
     ``ds.random_shuffle``). The key column stays in the output so the
@@ -155,9 +148,14 @@ def deterministic_shuffle(ds, col: str, seed: str = "s0",
     pass + skew-sensitive range exchange lose to the static-boundary
     hash exchange, which is the bucketed layout's reason to exist.
 
-    ``layout="auto"`` (default) picks bucketed on a multi-node cluster
-    and sorted on a single node — the same probe-and-select rule as the
-    engine's late-exchange default (``engine.py apply_epoch``).
+    The default is ``sorted`` on EVERY cluster shape: unlike the engine's
+    auto-late-exchange (an internal strategy switch whose outputs are
+    manifest-for-manifest identical), the two layouts here differ in
+    OBSERVABLE output — physical stream order and the extra
+    ``_shuffle_bucket`` column — so silently switching by cluster shape
+    would reintroduce exactly the cluster-size dependence this function
+    exists to eliminate. ``bucketed`` is the explicit scale opt-in with
+    the ``(_shuffle_bucket, key_col)`` composite-order contract.
     """
 
     _check_kernel(kernel)
@@ -165,8 +163,6 @@ def deterministic_shuffle(ds, col: str, seed: str = "s0",
     def stage(t: pa.Table) -> pa.Table:
         return t.append_column(key_col, _hash_col(t, col, seed, kernel))
 
-    if layout == "auto":
-        layout = "bucketed" if _multi_node() else "sorted"
     keyed = ds.map_batches(stage, batch_format="pyarrow")
     if layout == "sorted":
         return keyed.sort(key_col)

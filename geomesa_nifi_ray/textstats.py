@@ -165,10 +165,11 @@ class ContaminationStage:
                  out_col: str = "contaminated"):
         import ray
 
+        snippets = list(snippets)  # may be a one-shot iterator
         self.text_col = text_col
         self.out_col = out_col
         self.pattern_ref = ray.put(_blocklist_pattern(snippets))
-        self.empty = not any(True for _ in snippets)
+        self.empty = not snippets
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import ray

@@ -327,18 +327,22 @@ def test_shuffle_bucketed_does_not_leak_global_strategy(ray_session):
     assert DataContext.get_current().shuffle_strategy == before
 
 
-def test_shuffle_auto_selects_by_cluster_shape(ray_session, monkeypatch):
-    """auto -> sorted on one node (no bucket column), bucketed on many."""
+def test_shuffle_layout_never_auto_switches(ray_session):
+    """The default layout is sorted on EVERY cluster shape: the layouts
+    differ in observable output (order + a _shuffle_bucket column), so a
+    cluster-shape auto-switch would reintroduce the cluster-size
+    dependence the function exists to remove. Bucketed is explicit."""
     import geomesa_nifi_ray.sampling as samp
 
-    monkeypatch.setattr(samp, "_multi_node", lambda: False)
     cols = set(samp.deterministic_shuffle(_doc_ds(200), "doc_id")
                .schema().names)
     assert "_shuffle_bucket" not in cols
-    monkeypatch.setattr(samp, "_multi_node", lambda: True)
-    cols = set(samp.deterministic_shuffle(_doc_ds(200), "doc_id")
-               .schema().names)
+    cols = set(samp.deterministic_shuffle(_doc_ds(200), "doc_id",
+                                          layout="bucketed").schema().names)
     assert "_shuffle_bucket" in cols
+    with pytest.raises(ValueError, match="layout"):
+        samp.deterministic_shuffle(_doc_ds(10), "doc_id",
+                                   layout="auto").take_all()
 
 
 def test_sampling_xx64_kernel_deterministic(ray_session):
@@ -429,3 +433,88 @@ def test_contamination_scales_with_rows_not_snippets(ray_session):
     t_4x, _ = run(docs * 4, snippets)
     # O(rows): 4x rows should cost < 10x (noise headroom), not O(snips*rows)
     assert t_4x < 10 * max(t_1x, 0.05)
+
+
+# ---------------- round-4 self-review fixes (code-review findings) -----
+
+
+def test_gml_forbidden_unicode_column_names_parse():
+    """U+00D7/U+2014 etc. are above U+00C0 but forbidden in XML names; the
+    sanitizer must use real NameChar ranges, not a blanket allowance."""
+    import xml.etree.ElementTree as ET
+
+    from geomesa_nifi_ray.export import _encode_gml
+
+    t = pa.table({"size×width": pa.array([1]), "a—b": pa.array([2]),
+                  "café": pa.array([3]), "9lead": pa.array([4]),
+                  "a b:c": pa.array([5])})
+    for version in ("gml", "gml2"):
+        ET.fromstring(_encode_gml(t, version))  # must be well-formed
+
+
+def test_z3_null_timestamp_rows_drop_not_crash():
+    import pyarrow.compute as pc
+
+    from geomesa_nifi_ray.geometry import WEEK_US, bbox_filter, z3_bbox_time_filter, z3_encode
+
+    t = pa.table({
+        "id": pa.array([0, 1, 2], type=pa.int64()),
+        "lon": pa.array([10.0, 11.0, 12.0]),
+        "lat": pa.array([5.0, 6.0, 7.0]),
+        "ts": pa.array([WEEK_US + 5, None, WEEK_US + 9], type=pa.int64()),
+    })
+    got = z3_bbox_time_filter(t, "lon", "lat", "ts", (0.0, 0.0, 20.0, 20.0),
+                              WEEK_US, 2 * WEEK_US)
+    assert got["id"].to_pylist() == [0, 2]  # null ts drops, like the oracle
+    b, z = z3_encode(t["lon"], t["lat"], t["ts"])
+    assert b.null_count == 1 and z.null_count == 1
+    # null coords -> null z2/z3 keys too
+    from geomesa_nifi_ray.geometry import z2_encode
+    z2 = z2_encode(pa.array([1.0, None]), pa.array([None, 2.0]))
+    assert z2.null_count == 2
+
+
+def test_wkb_null_coordinates_roundtrip_null():
+    from geomesa_nifi_ray.geometry import parse_wkb_point, wkb_point
+
+    w = wkb_point(pa.array([1.0, None, 3.0]), pa.array([2.0, 5.0, None]))
+    assert w.null_count == 2 and len(w[0].as_py()) == 21
+    x, y = parse_wkb_point(w)
+    assert x.to_pylist() == [1.0, None, None]
+    assert y.to_pylist() == [2.0, None, None]
+
+
+def test_contamination_accepts_iterator_blocklist(ray_session):
+    import ray.data
+
+    from geomesa_nifi_ray.textstats import ContaminationStage
+
+    t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": pa.array(["has badsnippet inside", "clean"])})
+    got = (ray.data.from_arrow(t)
+           .map_batches(ContaminationStage(iter(["badsnippet"])),
+                        batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id")["contaminated"].tolist())
+    assert got == [True, False]
+
+
+def test_pipelined_replay_honors_explicit_lookahead(tmp_path, ray_session,
+                                                    monkeypatch):
+    """An explicit lookahead=1 must reach the raw-task path as window=1
+    (the documented bound on live converted epochs), not be floored to 8."""
+    from geomesa_nifi_ray import engine as eng_mod
+    from geomesa_nifi_ray.synth import BinlogSpec, write_binlog
+
+    meta = write_binlog(str(tmp_path / "binlog"),
+                        BinlogSpec(num_events=600, num_urls=120, num_epochs=2))
+    eng = eng_mod.CDCEngine(str(tmp_path / "lake"), num_buckets=4)
+    seen = {}
+    orig = eng_mod.CDCEngine._replay_raw_tasks
+
+    def spy(self, plans, mode, batch_size, window, **kw):
+        seen["window"] = window
+        return orig(self, plans, mode, batch_size, window=window, **kw)
+
+    monkeypatch.setattr(eng_mod.CDCEngine, "_replay_raw_tasks", spy)
+    eng.replay_binlog(meta, catchup=False, lookahead=1)
+    assert seen.get("window") == 1
