@@ -148,102 +148,352 @@ class GroupCountView:
 
     def _epoch_delta(self, epoch: int, prev_epoch: int | None,
                      manifest: dict | None = None) -> dict[str, int]:
-        """Per-group count delta contributed by one committed epoch: one
-        Ray task per touched bucket reads (new winners, old values of the
-        same keys) and emits partial +/- counts. ``manifest`` lets the
-        caller pass an already-fetched manifest (refresh reads it for the
-        mode check; an object-store lake pays a JSON GET per fetch)."""
+        return epoch_group_delta(self.table, self.col, epoch, prev_epoch,
+                                 manifest=manifest)
+
+
+def epoch_group_delta(table: LakeTable, col: str, epoch: int,
+                      prev_epoch: int | None,
+                      manifest: dict | None = None) -> dict[str, int]:
+    """Per-group count delta contributed by one committed epoch: one
+    Ray task per touched bucket reads (new winners, old values of the
+    same keys) and emits partial +/- counts. ``manifest`` lets the
+    caller pass an already-fetched manifest (refresh reads it for the
+    mode check; an object-store lake pays a JSON GET per fetch).
+
+    Shared by :class:`GroupCountView` (JSON state) and
+    :class:`KeyedGroupCountView` (lake-table state): the delta math is
+    identical, only where the running counts live differs. The returned
+    dict is O(groups touched by this epoch), never O(total groups)."""
+    import ray.data
+
+    m = manifest if manifest is not None else table.manifest(epoch)
+    lo, hi = int(m["offset_min"]), int(m["offset_max"])
+    key = table.key
+    prev_entries = table.live_entries(prev_epoch) if prev_epoch is not None else {}
+    touched = []
+    for b, e in m["buckets"].items():
+        if int(e.get("rows_changed", 0)) <= 0:
+            continue
+        epoch_file = e.get("epoch_file") or e["file"]
+        prev = prev_entries.get(int(b))
+        touched.append({
+            "new_file": table.abs_path(epoch_file),
+            "old_files": [table.abs_path(f)
+                          for f in LakeTable.chain_files(prev)] if prev else [],
+        })
+    if not touched:
+        return {}
+    lww_key, lww_order = table.key, table.order
+    # prev-chain reads must be tombstone-aware: a delta file's _tomb row
+    # can be the LWW winner for its key (the key was deleted), in which
+    # case the key has NO previous live value to subtract. Reuse the
+    # lake's canonical chain merge over just the columns we need.
+    full_schema = table.schema
+    prev_cols = [lww_key, col] + [c for c in lww_order
+                                  if c not in (lww_key, col)]
+    prev_schema = pa.schema([f for f in full_schema if f.name in prev_cols])
+
+    lake_fs = table.fs
+
+    def bucket_delta(batch: pa.Table) -> pa.Table:
+        from geomesa_nifi_ray.lake import TOMB_COLUMN, merge_chain_tables
+
+        outs = []
+        for i in batch["i"].to_pylist():
+            spec = touched[i]
+            names = set(lake_fs.read_parquet_schema(spec["new_file"]).names)
+            cols_n = [key, col, "offset"] + (
+                [TOMB_COLUMN] if TOMB_COLUMN in names else [])
+            new = lake_fs.read_parquet(spec["new_file"], columns=cols_n)
+            off = new["offset"]
+            mask = pc.and_(pc.greater_equal(off, pa.scalar(lo)),
+                           pc.less_equal(off, pa.scalar(hi)))
+            new = new.filter(mask)
+            if new.num_rows == 0:
+                continue
+            # tombstone rows contribute NO +1 (the key is leaving);
+            # their keys still drive the -old subtraction below
+            live_new = new
+            if TOMB_COLUMN in new.column_names:
+                live_new = new.filter(pc.invert(pc.equal(
+                    pc.fill_null(new[TOMB_COLUMN], 0),
+                    pa.scalar(1, pa.int8()))))
+            if live_new.num_rows:
+                plus = GroupCountView._partial_counts(
+                    live_new.select([col]), col)
+                outs.append(plus)
+            if spec["old_files"]:
+                old = []
+                for f in spec["old_files"]:
+                    fnames = set(lake_fs.read_parquet_schema(f).names)
+                    cols_o = [c for c in prev_cols if c in fnames]
+                    if TOMB_COLUMN in fnames:
+                        cols_o = cols_o + [TOMB_COLUMN]
+                    old.append(lake_fs.read_parquet(f, columns=cols_o))
+                # tombstone-aware LWW: a deleted key yields no prev row
+                prev_tbl = merge_chain_tables(
+                    old, prev_schema, lww_key, lww_order)
+                hit = prev_tbl.filter(
+                    pc.is_in(prev_tbl[key], value_set=new[key].combine_chunks())
+                )
+                if hit.num_rows:
+                    minus = GroupCountView._partial_counts(
+                        hit.select([col]), col)
+                    minus = minus.set_column(
+                        1, "n", pc.multiply(minus["n"], pa.scalar(-1)))
+                    outs.append(minus)
+        if not outs:
+            return pa.table({"k": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    control = ray.data.from_arrow(
+        pa.table({"i": pa.array(range(len(touched)), type=pa.int64())})
+    ).repartition(len(touched))
+    agg: dict[str, int] = {}
+    for blk in control.map_batches(bucket_delta,
+                                   batch_format="pyarrow").iter_batches(
+                                       batch_format="pyarrow"):
+        for k, n in zip(blk["k"].to_pylist(), blk["n"].to_pylist()):
+            agg[k] = agg.get(k, 0) + int(n)
+    return {k: v for k, v in agg.items() if v}
+
+
+class KeyedGroupCountView:
+    """High-cardinality ``COUNT(*) GROUP BY group_col``: the view state is
+    itself a CDC lake table — key = group value, columns ``(k, n, offset)``
+    — maintained through the generic engine
+    (``CDCEngine(convert_fn_factory=make_generic_convert_fn)``), exactly
+    the keyed-parquet variant :class:`GroupCountView`'s docstring promises.
+
+    What this buys over the JSON counts map:
+
+    * state is bucketed parquet — 10^5..10^9 groups never live in one JSON
+      blob or in driver memory; reads are bucket-pruned point lookups;
+    * every view update is an exactly-once epoch of the SAME engine
+      (atomic manifest commit, crash/resume, delta files, time travel on
+      the VIEW itself), so the downstream-consumer loop is literally
+      CDC-on-CDC — the reference's Kafka-egress consumer feeding another
+      GeoMesa store (``GetGeoMesaKafkaRecord`` -> ``PutGeoMesa``);
+    * deletes are first-class: a group whose count reaches 0 is emitted as
+      an ``_op='delete'`` tombstone event, not a lingering ``n=0`` row.
+
+    Epoch parity is 1:1 — view epoch e holds the counts of source epoch e
+    (``manifest.offset_min/max`` = the source epoch), so the view cursor
+    IS ``view.table.committed_epoch()``: no side state file, and a crash
+    anywhere re-converges because ``apply_epoch`` skips committed epochs
+    and the delta recompute is deterministic from immutable source files.
+
+    Per-epoch cost envelope: delta = O(source buckets touched); lookup =
+    O(view buckets touched by the delta's groups) bucket-pruned Ray-task
+    reads; commit = one engine epoch over O(groups touched) rows. Only
+    the touched-group delta dict transits the driver (same envelope as
+    the source epoch itself). ``rebuild()`` / ``counts()`` are O(total
+    groups) by definition and documented as such.
+    """
+
+    VIEW_SCHEMA = pa.schema([
+        pa.field("k", pa.string()),
+        pa.field("n", pa.int64()),
+        pa.field("offset", pa.int64()),
+        pa.field("content_hash", pa.string()),
+    ])
+
+    def __init__(self, table: LakeTable, root: str, group_col: str = "lang",
+                 num_buckets: int = 16, lake_fs=None):
+        from geomesa_nifi_ray.engine import CDCEngine, make_generic_convert_fn
+
+        self.table = table
+        self.col = group_col
+        self.engine = CDCEngine(
+            root,
+            table_name=f"view_{group_col}",
+            num_buckets=num_buckets,
+            schema=self.VIEW_SCHEMA,
+            key="k",
+            order=("offset",),
+            convert_fn_factory=make_generic_convert_fn,
+            lake_fs=lake_fs,
+        )
+
+    # -- reads ----------------------------------------------------------------
+
+    def last_epoch(self) -> int | None:
+        return self.engine.table.committed_epoch()
+
+    def as_table(self) -> pa.Table:
+        """Current counts, sorted by group, column named after the group
+        col (same surface as :meth:`GroupCountView.as_table`). Driver-
+        materialized: the read path for tests/small views; big views read
+        ``engine.table.snapshot_dataset()`` and stay distributed."""
+        t = self.engine.table.snapshot_table().select(["k", "n"])
+        t = t.take(pc.sort_indices(t, sort_keys=[("k", "ascending")]))
+        return t.rename_columns([self.col, "n"])
+
+    def counts(self) -> dict[str, int]:
+        t = self.as_table()
+        return dict(zip(t.column(0).to_pylist(),
+                        (int(v) for v in t.column(1).to_pylist())))
+
+    # -- maintenance ----------------------------------------------------------
+
+    def refresh(self) -> int:
+        """Apply all committed source epochs newer than the view cursor, in
+        commit order, each as one exactly-once view epoch. Idempotent."""
+        applied = 0
+        epochs = self.table.manifest_epochs()
+        last = self.engine.table.committed_epoch()
+        for i, e in enumerate(epochs):
+            if last is not None and e <= last:
+                continue
+            m = self.table.manifest(e)
+            if m.get("mode") == "clear":
+                # source truncate -> view truncate, same epoch number
+                self.engine.truncate(epoch=e)
+                applied += 1
+                continue
+            prev = epochs[i - 1] if i > 0 else None
+            delta = epoch_group_delta(self.table, self.col, e, prev, manifest=m)
+            self._apply_delta(delta, epoch=e)
+            applied += 1
+        return applied
+
+    def rebuild(self) -> None:
+        """Full recompute as ONE catch-up view epoch (bootstrap, or after an
+        out-of-band source rewrite): recompute all counts, diff against the
+        view's current keys so vanished groups become tombstones, and land
+        the view cursor exactly at the source's committed epoch via
+        ``epochs_covered``. O(total groups) by definition."""
+        src_committed = self.table.committed_epoch()
+        if src_committed is None:
+            return
+        view_committed = self.engine.table.committed_epoch()
+        if view_committed is not None and view_committed >= src_committed:
+            return
+        ds = self.table.snapshot_dataset(columns=[self.col])
+        counts: dict[str, int] = {}
+        col = self.col
+        for blk in ds.map_batches(
+                lambda t: GroupCountView._partial_counts(t, col),
+                batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+            for k, n in zip(blk["k"].to_pylist(), blk["n"].to_pylist()):
+                counts[k] = counts.get(k, 0) + int(n)
+        stale = [k for k in self._existing_keys() if k not in counts]
+        expected = 0 if view_committed is None else view_committed + 1
+        self._commit_events(
+            upserts={k: v for k, v in counts.items() if v},
+            deletes=stale,
+            epoch=src_committed,
+            epochs_covered=(expected, src_committed),
+        )
+
+    # -- internals --------------------------------------------------------------
+
+    def _existing_keys(self) -> list[str]:
+        vt = self.engine.table
+        if vt.committed_epoch() is None:
+            return []
+        return vt.snapshot_table().column("k").to_pylist()
+
+    def _lookup_counts(self, keys: list[str]) -> dict[str, int]:
+        """Point-lookup current counts for ``keys``: bucket-pruned,
+        tombstone-aware chain reads, one Ray task per touched view bucket."""
+        if not keys:
+            return {}
         import ray.data
 
-        m = manifest if manifest is not None else self.table.manifest(epoch)
-        lo, hi = int(m["offset_min"]), int(m["offset_max"])
-        key = self.table.key
-        col = self.col
-        prev_entries = self.table.live_entries(prev_epoch) if prev_epoch is not None else {}
-        touched = []
-        for b, e in m["buckets"].items():
-            if int(e.get("rows_changed", 0)) <= 0:
-                continue
-            epoch_file = e.get("epoch_file") or e["file"]
-            prev = prev_entries.get(int(b))
-            touched.append({
-                "new_file": self.table.abs_path(epoch_file),
-                "old_files": [self.table.abs_path(f)
-                              for f in LakeTable.chain_files(prev)] if prev else [],
-            })
-        if not touched:
+        from geomesa_nifi_ray.hashing import bucket_ids
+        from geomesa_nifi_ray.lake import merge_chain_tables
+
+        vt = self.engine.table
+        if vt.committed_epoch() is None:
             return {}
-        lww_key, lww_order = self.table.key, self.table.order
-        # prev-chain reads must be tombstone-aware: a delta file's _tomb row
-        # can be the LWW winner for its key (the key was deleted), in which
-        # case the key has NO previous live value to subtract. Reuse the
-        # lake's canonical chain merge over just the columns we need.
-        full_schema = self.table.schema
-        prev_cols = [lww_key, col] + [c for c in lww_order
-                                      if c not in (lww_key, col)]
-        prev_schema = pa.schema([f for f in full_schema if f.name in prev_cols])
+        live = vt.live_entries()
+        buckets = bucket_ids(keys, vt.num_buckets)
+        by_bucket: dict[int, list[str]] = {}
+        for k, b in zip(keys, buckets):
+            if int(b) in live:
+                by_bucket.setdefault(int(b), []).append(k)
+        if not by_bucket:
+            return {}
+        specs = [
+            {"files": [vt.abs_path(f)
+                       for f in LakeTable.chain_files(live[b])],
+             "keys": ks}
+            for b, ks in sorted(by_bucket.items())
+        ]
+        schema = pa.schema([
+            pa.field("k", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("offset", pa.int64()),
+        ])
+        lake_fs = vt.fs
 
-        lake_fs = self.table.fs
-
-        def bucket_delta(batch: pa.Table) -> pa.Table:
-            from geomesa_nifi_ray.lake import TOMB_COLUMN, merge_chain_tables
-
+        def lookup(batch: pa.Table) -> pa.Table:
             outs = []
             for i in batch["i"].to_pylist():
-                spec = touched[i]
-                names = set(lake_fs.read_parquet_schema(spec["new_file"]).names)
-                cols_n = [key, col, "offset"] + (
-                    [TOMB_COLUMN] if TOMB_COLUMN in names else [])
-                new = lake_fs.read_parquet(spec["new_file"], columns=cols_n)
-                off = new["offset"]
-                mask = pc.and_(pc.greater_equal(off, pa.scalar(lo)),
-                               pc.less_equal(off, pa.scalar(hi)))
-                new = new.filter(mask)
-                if new.num_rows == 0:
-                    continue
-                # tombstone rows contribute NO +1 (the key is leaving);
-                # their keys still drive the -old subtraction below
-                live_new = new
-                if TOMB_COLUMN in new.column_names:
-                    live_new = new.filter(pc.invert(pc.equal(
-                        pc.fill_null(new[TOMB_COLUMN], 0),
-                        pa.scalar(1, pa.int8()))))
-                if live_new.num_rows:
-                    plus = GroupCountView._partial_counts(
-                        live_new.select([col]), col)
-                    outs.append(plus)
-                if spec["old_files"]:
-                    old = []
-                    for f in spec["old_files"]:
-                        fnames = set(lake_fs.read_parquet_schema(f).names)
-                        cols_o = [c for c in prev_cols if c in fnames]
-                        if TOMB_COLUMN in fnames:
-                            cols_o = cols_o + [TOMB_COLUMN]
-                        old.append(lake_fs.read_parquet(f, columns=cols_o))
-                    # tombstone-aware LWW: a deleted key yields no prev row
-                    prev_tbl = merge_chain_tables(
-                        old, prev_schema, lww_key, lww_order)
-                    hit = prev_tbl.filter(
-                        pc.is_in(prev_tbl[key], value_set=new[key].combine_chunks())
-                    )
-                    if hit.num_rows:
-                        minus = GroupCountView._partial_counts(
-                            hit.select([col]), col)
-                        minus = minus.set_column(
-                            1, "n", pc.multiply(minus["n"], pa.scalar(-1)))
-                        outs.append(minus)
+                spec = specs[i]
+                tabs = []
+                for f in spec["files"]:
+                    names = set(lake_fs.read_parquet_schema(f).names)
+                    cols = [c for c in ("k", "n", "offset") if c in names]
+                    from geomesa_nifi_ray.lake import TOMB_COLUMN
+                    if TOMB_COLUMN in names:
+                        cols.append(TOMB_COLUMN)
+                    tabs.append(lake_fs.read_parquet(f, columns=cols))
+                merged = merge_chain_tables(tabs, schema, "k", ["offset"])
+                hit = merged.filter(
+                    pc.is_in(merged["k"], value_set=pa.array(spec["keys"])))
+                if hit.num_rows:
+                    outs.append(hit.select(["k", "n"]))
             if not outs:
                 return pa.table({"k": pa.array([], pa.string()),
                                  "n": pa.array([], pa.int64())})
             return pa.concat_tables(outs)
 
         control = ray.data.from_arrow(
-            pa.table({"i": pa.array(range(len(touched)), type=pa.int64())})
-        ).repartition(len(touched))
-        agg: dict[str, int] = {}
-        for blk in control.map_batches(bucket_delta,
+            pa.table({"i": pa.array(range(len(specs)), type=pa.int64())})
+        ).repartition(len(specs))
+        out: dict[str, int] = {}
+        for blk in control.map_batches(lookup,
                                        batch_format="pyarrow").iter_batches(
                                            batch_format="pyarrow"):
             for k, n in zip(blk["k"].to_pylist(), blk["n"].to_pylist()):
-                agg[k] = agg.get(k, 0) + int(n)
-        return {k: v for k, v in agg.items() if v}
+                out[k] = int(n)
+        return out
+
+    def _apply_delta(self, delta: dict[str, int], epoch: int) -> None:
+        touched = sorted(delta)
+        old = self._lookup_counts(touched)
+        upserts: dict[str, int] = {}
+        deletes: list[str] = []
+        for k in touched:
+            n = old.get(k, 0) + delta[k]
+            if n:
+                upserts[k] = n
+            elif k in old:
+                deletes.append(k)
+            # n == 0 and no existing row: nothing to write
+        self._commit_events(upserts, deletes, epoch=epoch)
+
+    def _commit_events(self, upserts: dict[str, int], deletes: list[str],
+                       epoch: int,
+                       epochs_covered: tuple[int, int] | None = None) -> None:
+        import ray.data
+
+        ks = sorted(upserts)
+        events = pa.table({
+            "k": pa.array(ks + deletes, pa.string()),
+            "n": pa.array([upserts[k] for k in ks] + [None] * len(deletes),
+                          pa.int64()),
+            "offset": pa.array([epoch] * (len(ks) + len(deletes)), pa.int64()),
+        })
+        if deletes:
+            events = events.append_column(
+                "_op", pa.array([None] * len(ks) + ["delete"] * len(deletes),
+                                pa.string()))
+        self.engine.apply_epoch(
+            ray.data.from_arrow(events), epoch=epoch,
+            offset_range=(epoch, epoch), epochs_covered=epochs_covered,
+        )

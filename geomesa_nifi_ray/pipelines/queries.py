@@ -1265,6 +1265,22 @@ def q_cdc_lang_counts_view(sf_dir: str):
     return view.as_table()
 
 
+def q_cdc_lang_counts_view_keyed(sf_dir: str):
+    """High-cardinality variant of the incrementally-maintained view: the
+    counts live in a second CDC lake table (key = group value) maintained
+    through the generic engine — CDC-on-CDC, the keyed-parquet state the
+    JSON view's envelope points to for >10^6 groups. Same oracle: the
+    incremental lake state must equal a full GROUP BY recompute."""
+    from geomesa_nifi_ray.derived import KeyedGroupCountView
+
+    eng = run_cdc_replay(sf_dir)
+    view = KeyedGroupCountView(
+        eng.table, os.path.join(eng.lake_root, "views_keyed"),
+        group_col="lang")
+    view.refresh()
+    return view.as_table()
+
+
 _CDC_LANG_COUNTS_SQL = """
 WITH ranked AS (
   SELECT lang,
@@ -1926,6 +1942,7 @@ QUERIES = {
     "cdc_dynamic_mode": q_cdc_dynamic_mode,
     "union_resolve_events": q_union_resolve_events,
     "cdc_lang_counts_view": q_cdc_lang_counts_view,
+    "cdc_lang_counts_view_keyed": q_cdc_lang_counts_view_keyed,
     "cdc_deletes": q_cdc_deletes,
     "embedding_clusters": q_embedding_clusters,
     "multimodal_video_frames": q_multimodal_video_frames,
@@ -2041,6 +2058,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         ),
         "union_resolve_events": _UNION_RESOLVE_SQL,
         "cdc_lang_counts_view": _CDC_LANG_COUNTS_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
+        "cdc_lang_counts_view_keyed": _CDC_LANG_COUNTS_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_deletes": _CDC_DELETES_SQL.format(
             epoch0=os.path.join(meta["epochs"][0]["path"], "*.parquet"),
             epoch1=os.path.join(meta["epochs"][1]["path"], "*.parquet"),
