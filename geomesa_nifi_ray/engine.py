@@ -1077,6 +1077,21 @@ class CDCEngine:
         if committed is not None and epoch <= committed:
             logger.info("epoch %d already committed; skipping", epoch)
             return None
+        if committed is not None:
+            # Mixed-kernel lakes are rejected: the extracted `text` column
+            # is defined by the versioned kernel, so appending epochs under
+            # a DIFFERENT kernel version silently mixes two text
+            # definitions (and two content-hash spaces) in one table. A
+            # clear epoch (truncate) or full rebuild is the sanctioned
+            # migration. (Implementation choice — per-row loop vs Arrow-RE2
+            # vectorized — is byte-identical and shares one version.)
+            prev_kernel = self.table.manifest(committed).get("kernel_version")
+            if prev_kernel is not None and prev_kernel != TEXT_KERNEL_VERSION:
+                raise SchemaError(
+                    f"text kernel changed ({prev_kernel} -> "
+                    f"{TEXT_KERNEL_VERSION}); refusing to append to a "
+                    "mixed-kernel lake — truncate or rebuild the table"
+                )
         expected = 0 if committed is None else committed + 1
         first_epoch = epochs_covered[0] if epochs_covered else epoch
         if first_epoch != expected:

@@ -35,6 +35,18 @@ already compiled C (regex/str kernels) — the classic ``ds.map``
 anti-pattern does not apply when the loop body is C on cached bytes.
 Kept: v1 per-row loop; the ~30 us/event kernel cost (BASELINE.md
 Ray-free control) is the honest CPU floor for this payload shape.
+
+Large-document tier (round 4, measured — BASELINE.md "large-document
+kernel tier"): an Arrow-RE2 implementation of the strip passes
+(``extract_text_batch_vectorized``) is byte-identical (differential +
+fuzz tested) and auto-selected at >=64 KB mean payload. On clean markup
+the loop wins slightly at EVERY size (no size crossover exists); the
+vectorized path exists because Python re's non-greedy scan is worst-case
+QUADRATIC on malformed markup (measured 220x on repeated unclosed
+<script> blocks) while RE2 is linear-time — at large doc sizes the
+bounded worst case is worth the ~10% clean-content premium. Same
+TEXT_KERNEL_VERSION for both (identical output); a lake written under a
+DIFFERENT kernel version is rejected at apply time (engine.apply_epoch).
 """
 
 from __future__ import annotations
@@ -52,13 +64,12 @@ _COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
 _TAG_RE = re.compile(rb"<[^>]*>")
 
 
-def extract_text(html_bytes: bytes | None) -> str | None:
-    """Extract normalized text from one html payload. Pure and deterministic."""
-    if html_bytes is None:
-        return None
-    stripped = _SCRIPT_STYLE_RE.sub(b" ", html_bytes)
-    stripped = _COMMENT_RE.sub(b" ", stripped)
-    stripped = _TAG_RE.sub(b"\n", stripped)
+def _finish_text(stripped: bytes) -> str:
+    """Kernel steps 3-6 (decode, entity unescape, whitespace collapse),
+    shared VERBATIM by the per-row loop and the vectorized implementation:
+    identical stripped bytes in -> identical text out, so the two
+    implementations can only diverge in the tag-strip passes (which the
+    differential corpus pins byte-for-byte)."""
     decoded = stripped.decode("utf-8", "replace")
     if "&" in decoded:
         decoded = _html.unescape(decoded)
@@ -66,15 +77,94 @@ def extract_text(html_bytes: bytes | None) -> str | None:
     return "\n".join(line for line in lines if line)
 
 
-def extract_text_batch(html_col: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Apply :func:`extract_text` over an Arrow binary column.
+def extract_text(html_bytes: bytes | None) -> str | None:
+    """Extract normalized text from one html payload. Pure and deterministic."""
+    if html_bytes is None:
+        return None
+    stripped = _SCRIPT_STYLE_RE.sub(b" ", html_bytes)
+    stripped = _COMMENT_RE.sub(b" ", stripped)
+    stripped = _TAG_RE.sub(b"\n", stripped)
+    return _finish_text(stripped)
 
-    Row-wise regex work is unavoidable (same as the reference's per-row
-    geometry decode); the loop body is compiled-regex only and the result
-    is materialized once as a large_string array. Null in -> null out.
+
+# The vectorized tag-strip passes (Arrow RE2 over the binary column).
+# RE2 has no backreferences, so v1's ``<(script|style)...</\1>`` becomes an
+# explicit two-branch alternation — equivalent by construction: at every
+# input position Python re tries (script|style) in order and pairs the
+# close tag via the backref; the alternation tries the same two concrete
+# patterns in the same order, so the leftmost-first match is identical,
+# including pathologically interleaved <script>/<style> blocks (pinned by
+# tests/test_text_kernel_tiers.py on the differential corpus).
+_V2_SCRIPT_STYLE_PAT = (
+    r"(?si)(?:<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>)"
+)
+_V2_COMMENT_PAT = r"(?s)<!--.*?-->"
+_V2_TAG_PAT = r"<[^>]*>"
+
+# Measured selection rule (tools/text_kernel_crossover.py, recorded in
+# BASELINE.md "large-document kernel tier"): on CLEAN markup the per-row
+# loop wins slightly at every size (1 KB..1 MB, ~5-15%; Python re's
+# compiled passes are marginally faster than Arrow RE2 on this shape and
+# the shared _finish_text tail dominates both). The crossover is by
+# SHAPE, not size: Python re's non-greedy ``.*?`` is worst-case
+# QUADRATIC on malformed markup — measured 0.6 MB/s vs 128 MB/s (220x)
+# on repeated unclosed <script> blocks, 2.2-2.8x slower on near-miss
+# close tags — while RE2's DFA is linear-time on everything. Malformed/
+# truncated pages are routine in web corpora, and the quadratic hazard
+# grows with doc size squared, so large batches buy the linear worst
+# case for a ~10% clean-content premium; at ~1 KB pages the hazard is
+# negligible and the loop's L1-resident constants win. Both
+# implementations are byte-identical (differential + fuzz tested), so
+# selection is pure performance/robustness and TEXT_KERNEL_VERSION does
+# not change.
+VECTORIZED_MIN_MEAN_BYTES = 64 * 1024
+
+
+def extract_text_batch_vectorized(
+        html_col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Column-level tag strip: three Arrow-RE2 passes over the raw binary
+    column (script/style, comments, tag->newline), then the SHARED per-row
+    tail (:func:`_finish_text`) on the much smaller residual text. Output
+    is byte-identical to :func:`extract_text` (differential-tested); this
+    implementation wins for large documents (see
+    ``VECTORIZED_MIN_MEAN_BYTES``). Null in -> null out."""
+    import pyarrow.compute as pc
+
+    if isinstance(html_col, pa.ChunkedArray):
+        html_col = html_col.combine_chunks()
+    s = pc.replace_substring_regex(
+        html_col, pattern=_V2_SCRIPT_STYLE_PAT, replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=_V2_COMMENT_PAT, replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=_V2_TAG_PAT, replacement="\n")
+    out = [None if v is None else _finish_text(v) for v in s.to_pylist()]
+    return pa.array(out, type=pa.large_string())
+
+
+def extract_text_batch(html_col: pa.Array | pa.ChunkedArray,
+                       implementation: str = "auto") -> pa.Array:
+    """Apply the extraction kernel over an Arrow binary column.
+
+    ``implementation``: ``"auto"`` picks per batch by mean payload size
+    (the measured crossover — ~1 KB web pages take the per-row loop whose
+    working set stays L1-resident, ≫100 KB documents take the Arrow-RE2
+    column pass); ``"loop"`` / ``"vectorized"`` force one. Every choice
+    yields byte-identical output — the logical kernel
+    (``TEXT_KERNEL_VERSION``) is unchanged. Null in -> null out.
     """
     if isinstance(html_col, pa.ChunkedArray):
         html_col = html_col.combine_chunks()
+    if implementation == "auto":
+        import pyarrow.compute as pc
+
+        nbytes = pc.sum(pc.binary_length(html_col)).as_py() or 0
+        nrows = len(html_col) - html_col.null_count
+        implementation = (
+            "vectorized"
+            if nrows and nbytes / nrows >= VECTORIZED_MIN_MEAN_BYTES
+            else "loop"
+        )
+    if implementation == "vectorized":
+        return extract_text_batch_vectorized(html_col)
     out: list[str | None] = [extract_text(v) for v in html_col.to_pylist()]
     return pa.array(out, type=pa.large_string())
 
