@@ -355,7 +355,13 @@ class KeyedGroupCountView:
                 continue
             prev = epochs[i - 1] if i > 0 else None
             delta = epoch_group_delta(self.table, self.col, e, prev, manifest=m)
-            self._apply_delta(delta, epoch=e)
+            # catch-up source lakes commit ONE manifest covering an epoch
+            # span (epochs_covered); mirror the span so the view's epoch
+            # numbering stays 1:1 with the source numbering it tracks
+            vc = self.engine.table.committed_epoch()
+            expected = 0 if vc is None else vc + 1
+            self._apply_delta(delta, epoch=e,
+                              epochs_covered=(expected, e))
             applied += 1
         return applied
 
@@ -463,7 +469,8 @@ class KeyedGroupCountView:
                 out[k] = int(n)
         return out
 
-    def _apply_delta(self, delta: dict[str, int], epoch: int) -> None:
+    def _apply_delta(self, delta: dict[str, int], epoch: int,
+                     epochs_covered: tuple[int, int] | None = None) -> None:
         touched = sorted(delta)
         old = self._lookup_counts(touched)
         upserts: dict[str, int] = {}
@@ -475,7 +482,8 @@ class KeyedGroupCountView:
             elif k in old:
                 deletes.append(k)
             # n == 0 and no existing row: nothing to write
-        self._commit_events(upserts, deletes, epoch=epoch)
+        self._commit_events(upserts, deletes, epoch=epoch,
+                            epochs_covered=epochs_covered)
 
     def _commit_events(self, upserts: dict[str, int], deletes: list[str],
                        epoch: int,

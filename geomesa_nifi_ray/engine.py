@@ -1403,6 +1403,13 @@ class CDCEngine:
         ``content_hash`` is recomputed so hashes stay consistent with the
         rewritten values. One task per bucket, no shuffle (buckets are
         already co-partitioned); untouched rows round-trip unchanged.
+
+        Kernel migration: the committed manifest stamps the CURRENT
+        ``TEXT_KERNEL_VERSION``, re-opening appends on a lake written
+        under an older kernel (see the mixed-kernel gate in
+        ``apply_epoch``). That is only sound when ``fn`` re-derives the
+        kernel-computed columns (``text`` from ``html``) — the sanctioned
+        migration is ``rewrite_epoch(fn=re-extract)`` or ``truncate``.
         """
         import ray
         import ray.data

@@ -224,3 +224,30 @@ def test_keyed_view_high_cardinality_incremental_equals_recompute(
     fresh = _mkview(eng, tmp_path, name="kview2")
     fresh.rebuild()
     assert fresh.counts() == expect
+
+
+def test_keyed_view_catchup_source_epoch_span(ray_session, tmp_path):
+    """A catch-up source lake commits ONE manifest covering an epoch span
+    (epochs_covered) — the view must mirror the span, not assume
+    sequential-from-0 numbering."""
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    view = _mkview(eng, tmp_path)
+    t = pa.table({
+        "url": pa.array([f"https://k/{i}" for i in range(6)]),
+        "warc_ts": pa.array([1_000_000 + i for i in range(6)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([b"<p>x</p>"] * 6, pa.large_binary()),
+        "lang": pa.array(["en", "en", "de", "de", "fr", "fr"]),
+        "offset": pa.array(list(range(6)), pa.int64()),
+    })
+    eng.apply_epoch(ray.data.from_arrow(t), epoch=2, offset_range=(0, 5),
+                    epochs_covered=(0, 2))
+    assert view.refresh() == 1
+    assert view.last_epoch() == 2
+    assert view.counts() == _lang_counts_of(eng.table.snapshot_table())
+    # a sequential epoch after the catch-up span continues normally
+    _epoch(eng, 3, ["https://k/0"], ["pt"], 2_000_000, 10)
+    assert view.refresh() == 1
+    assert view.counts() == _lang_counts_of(eng.table.snapshot_table())
