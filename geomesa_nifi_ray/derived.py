@@ -152,19 +152,24 @@ class GroupCountView:
                                  manifest=manifest)
 
 
-def epoch_group_delta(table: LakeTable, col: str, epoch: int,
-                      prev_epoch: int | None,
-                      manifest: dict | None = None) -> dict[str, int]:
-    """Per-group count delta contributed by one committed epoch: one
-    Ray task per touched bucket reads (new winners, old values of the
-    same keys) and emits partial +/- counts. ``manifest`` lets the
-    caller pass an already-fetched manifest (refresh reads it for the
-    mode check; an object-store lake pays a JSON GET per fetch).
+def epoch_group_delta_dataset(table: LakeTable, col: str, epoch: int,
+                              prev_epoch: int | None,
+                              manifest: dict | None = None):
+    """Per-group count delta contributed by one committed epoch, as a
+    lazy ``ray.data.Dataset`` of PARTIAL ``(k, n)`` rows (one Ray task per
+    touched source bucket reads the new winners and the old values of the
+    same keys and emits +/- partial counts; the same ``k`` may appear in
+    several blocks). Returns ``None`` when the epoch touched nothing.
+    ``manifest`` lets the caller pass an already-fetched manifest (refresh
+    reads it for the mode check; an object-store lake pays a JSON GET per
+    fetch).
 
-    Shared by :class:`GroupCountView` (JSON state) and
-    :class:`KeyedGroupCountView` (lake-table state): the delta math is
-    identical, only where the running counts live differs. The returned
-    dict is O(groups touched by this epoch), never O(total groups)."""
+    Single source of the delta math for every consumer:
+    :func:`epoch_group_delta` folds it into a driver dict
+    (:class:`GroupCountView`, small-delta :class:`KeyedGroupCountView`);
+    ``KeyedGroupCountView.refresh(distributed=True)`` keeps it in Ray and
+    joins it against the view buckets with one hash exchange — no
+    O(delta) driver state at all."""
     import ray.data
 
     m = manifest if manifest is not None else table.manifest(epoch)
@@ -183,7 +188,7 @@ def epoch_group_delta(table: LakeTable, col: str, epoch: int,
                           for f in LakeTable.chain_files(prev)] if prev else [],
         })
     if not touched:
-        return {}
+        return None
     lww_key, lww_order = table.key, table.order
     # prev-chain reads must be tombstone-aware: a delta file's _tomb row
     # can be the LWW winner for its key (the key was deleted), in which
@@ -251,10 +256,21 @@ def epoch_group_delta(table: LakeTable, col: str, epoch: int,
     control = ray.data.from_arrow(
         pa.table({"i": pa.array(range(len(touched)), type=pa.int64())})
     ).repartition(len(touched))
+    return control.map_batches(bucket_delta, batch_format="pyarrow")
+
+
+def epoch_group_delta(table: LakeTable, col: str, epoch: int,
+                      prev_epoch: int | None,
+                      manifest: dict | None = None) -> dict[str, int]:
+    """Driver-dict consumer of :func:`epoch_group_delta_dataset`: folds
+    the partial rows into ``{group: +/-count}``. O(groups touched by this
+    epoch) driver memory, never O(total groups)."""
+    ds = epoch_group_delta_dataset(table, col, epoch, prev_epoch,
+                                   manifest=manifest)
+    if ds is None:
+        return {}
     agg: dict[str, int] = {}
-    for blk in control.map_batches(bucket_delta,
-                                   batch_format="pyarrow").iter_batches(
-                                       batch_format="pyarrow"):
+    for blk in ds.iter_batches(batch_format="pyarrow"):
         for k, n in zip(blk["k"].to_pylist(), blk["n"].to_pylist()):
             agg[k] = agg.get(k, 0) + int(n)
     return {k: v for k, v in agg.items() if v}
@@ -338,9 +354,18 @@ class KeyedGroupCountView:
 
     # -- maintenance ----------------------------------------------------------
 
-    def refresh(self) -> int:
+    def refresh(self, distributed: bool = False) -> int:
         """Apply all committed source epochs newer than the view cursor, in
-        commit order, each as one exactly-once view epoch. Idempotent."""
+        commit order, each as one exactly-once view epoch. Idempotent.
+
+        ``distributed=False`` (default) folds each epoch's delta into a
+        driver dict — O(groups touched by the epoch) driver memory, right
+        for steady-state epochs. ``distributed=True`` never materializes
+        the delta on the driver: the partial-delta Dataset is hash-
+        exchanged to the view's buckets and each bucket task joins its own
+        chain and emits the event rows — O(1) driver state, the 100 TB
+        path for backfill/catch-up epochs whose delta is itself huge.
+        Both paths produce identical view state (tested)."""
         applied = 0
         epochs = self.table.manifest_epochs()
         last = self.engine.table.committed_epoch()
@@ -354,14 +379,19 @@ class KeyedGroupCountView:
                 applied += 1
                 continue
             prev = epochs[i - 1] if i > 0 else None
-            delta = epoch_group_delta(self.table, self.col, e, prev, manifest=m)
             # catch-up source lakes commit ONE manifest covering an epoch
             # span (epochs_covered); mirror the span so the view's epoch
             # numbering stays 1:1 with the source numbering it tracks
             vc = self.engine.table.committed_epoch()
             expected = 0 if vc is None else vc + 1
-            self._apply_delta(delta, epoch=e,
-                              epochs_covered=(expected, e))
+            if distributed:
+                self._apply_delta_distributed(e, prev, m,
+                                              epochs_covered=(expected, e))
+            else:
+                delta = epoch_group_delta(self.table, self.col, e, prev,
+                                          manifest=m)
+                self._apply_delta(delta, epoch=e,
+                                  epochs_covered=(expected, e))
             applied += 1
         return applied
 
@@ -484,6 +514,103 @@ class KeyedGroupCountView:
             # n == 0 and no existing row: nothing to write
         self._commit_events(upserts, deletes, epoch=epoch,
                             epochs_covered=epochs_covered)
+
+    def _apply_delta_distributed(self, epoch: int, prev_epoch: int | None,
+                                 manifest: dict,
+                                 epochs_covered: tuple[int, int] | None = None,
+                                 ) -> None:
+        """Delta -> events without driver materialization: the partial
+        (k, n) Dataset is bucketed by the VIEW's hash (one exchange of
+        O(delta) rows), then each view-bucket task sums its partials,
+        point-looks-up its own chain for the old counts and emits the
+        epoch's event rows. Only apply_epoch's commit bookkeeping runs on
+        the driver."""
+        import ray.data
+
+        delta_ds = epoch_group_delta_dataset(self.table, self.col, epoch,
+                                             prev_epoch, manifest=manifest)
+        vt = self.engine.table
+        if delta_ds is None:
+            self._commit_events({}, [], epoch=epoch,
+                                epochs_covered=epochs_covered)
+            return
+        live = vt.live_entries()
+        nb = vt.num_buckets
+        lake_fs = vt.fs
+        chain_specs = {int(b): [vt.abs_path(f)
+                                for f in LakeTable.chain_files(e)]
+                       for b, e in live.items()}
+        chain_schema = pa.schema([
+            pa.field("k", pa.string()),
+            pa.field("n", pa.int64()),
+            pa.field("offset", pa.int64()),
+        ])
+
+        def add_vbucket(t: pa.Table) -> pa.Table:
+            from geomesa_nifi_ray.hashing import bucket_ids
+
+            return t.append_column(
+                "vb", pa.array(bucket_ids(t["k"].to_pylist(), nb), pa.int32()))
+
+        def vbucket_events(g: pa.Table) -> pa.Table:
+            from geomesa_nifi_ray.lake import TOMB_COLUMN, merge_chain_tables
+
+            empty = pa.table({
+                "k": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "offset": pa.array([], pa.int64()),
+                "_op": pa.array([], pa.string()),
+            })
+            if g.num_rows == 0:
+                return empty
+            # sum this bucket's partials per group
+            gb = g.select(["k", "n"]).group_by("k").aggregate([("n", "sum")])
+            ks, dns = gb["k"].to_pylist(), gb["n_sum"].to_pylist()
+            vb = int(g["vb"][0].as_py())
+            old: dict[str, int] = {}
+            files = chain_specs.get(vb, [])
+            if files:
+                tabs = []
+                for f in files:
+                    names = set(lake_fs.read_parquet_schema(f).names)
+                    cols = [c for c in ("k", "n", "offset") if c in names]
+                    if TOMB_COLUMN in names:
+                        cols.append(TOMB_COLUMN)
+                    tabs.append(lake_fs.read_parquet(f, columns=cols))
+                merged = merge_chain_tables(tabs, chain_schema, "k", ["offset"])
+                hit = merged.filter(
+                    pc.is_in(merged["k"], value_set=gb["k"].combine_chunks()))
+                old = dict(zip(hit["k"].to_pylist(),
+                               (int(v) for v in hit["n"].to_pylist())))
+            rk: list[str] = []
+            rn: list[int | None] = []
+            ops: list[str | None] = []
+            for k, d in zip(ks, dns):
+                n = old.get(k, 0) + int(d)
+                if n:
+                    rk.append(k); rn.append(n); ops.append(None)
+                elif k in old:
+                    rk.append(k); rn.append(None); ops.append("delete")
+            if not rk:
+                return empty
+            return pa.table({
+                "k": pa.array(rk, pa.string()),
+                "n": pa.array(rn, pa.int64()),
+                "offset": pa.array([epoch] * len(rk), pa.int64()),
+                "_op": pa.array(ops, pa.string()),
+            })
+
+        events = (
+            delta_ds.map_batches(add_vbucket, batch_format="pyarrow")
+            .groupby("vb")
+            .map_groups(vbucket_events, batch_format="pyarrow")
+            .materialize()   # small (O(groups touched)); avoids re-running
+                             # the exchange for apply_epoch's row count
+        )
+        self.engine.apply_epoch(
+            events, epoch=epoch, offset_range=(epoch, epoch),
+            epochs_covered=epochs_covered,
+        )
 
     def _commit_events(self, upserts: dict[str, int], deletes: list[str],
                        epoch: int,

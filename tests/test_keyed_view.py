@@ -251,3 +251,36 @@ def test_keyed_view_catchup_source_epoch_span(ray_session, tmp_path):
     _epoch(eng, 3, ["https://k/0"], ["pt"], 2_000_000, 10)
     assert view.refresh() == 1
     assert view.counts() == _lang_counts_of(eng.table.snapshot_table())
+
+
+def test_keyed_view_distributed_refresh_equals_driver_path(
+        ray_session, tmp_path):
+    """refresh(distributed=True) — partial-delta Dataset hash-exchanged to
+    view buckets, no driver delta dict — must produce identical view state
+    across upserts, group migration, deletes-to-zero and a truncate."""
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=4)
+    dview = _mkview(eng, tmp_path, name="dview")
+    jview = _mkview(eng, tmp_path, name="jview")
+
+    n = 1200
+    _epoch(eng, 0, [f"https://k/{i}" for i in range(n)],
+           [f"g{i % 300:03d}" for i in range(n)], 1_000_000, 0)
+    _epoch(eng, 1, [f"https://k/{i}" for i in range(200)],
+           [f"h{i % 50:03d}" for i in range(200)], 2_000_000, 10_000)
+    _epoch(eng, 2, [f"https://k/{i}" for i in range(200, 260)], [None] * 60,
+           3_000_000, 20_000, ops=["delete"] * 60)
+
+    assert dview.refresh(distributed=True) == 3
+    assert jview.refresh() == 3
+    expect = _lang_counts_of(eng.table.snapshot_table())
+    assert dview.counts() == expect
+    assert jview.counts() == expect
+
+    # truncate + resume through the distributed path too
+    eng.truncate()
+    _epoch(eng, 4, ["https://k/z"], ["zz"], 4_000_000, 30_000)
+    assert dview.refresh(distributed=True) == 2
+    assert dview.counts() == {"zz": 1}
+
+    # idempotent
+    assert dview.refresh(distributed=True) == 0

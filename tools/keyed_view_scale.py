@@ -105,6 +105,15 @@ def main():
     rb_s = time.perf_counter() - t0
     assert fresh.counts() == view.counts(), "rebuild == incremental"
     report["rebuild_s"] = round(rb_s, 2)
+
+    # distributed refresh (no driver delta dict): replay the same history
+    # into a third view and check state identity + timing
+    dview = KeyedGroupCountView(eng.table, root + "/view3",
+                                group_col="lang", num_buckets=32)
+    t0 = time.perf_counter()
+    dview.refresh(distributed=True)
+    report["distributed_replay_s"] = round(time.perf_counter() - t0, 2)
+    assert dview.counts() == view.counts(), "distributed == driver path"
     report["view_groups"] = len(view.counts())
     report["ok"] = True
     print(json.dumps(report))
