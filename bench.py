@@ -106,11 +106,12 @@ def run_bench() -> dict:
     # session's warm-up transient.
     max_reps = int(os.environ.get("GRAFT_BENCH_MAX_REPS", "6"))
 
-    def _until_stable(run_once, n_reps: int) -> list:
-        walls = []
-        for rep in range(max(n_reps, 1)):
-            walls.append(round(run_once(), 3))
-        while (len(walls) < max_reps
+    def _until_stable(run_once, n_reps: int, cap: int | None = None) -> list:
+        cap = max_reps if cap is None else cap
+        walls = [round(run_once(), 3) for _ in range(max(n_reps, 1))]
+        # extension needs >=2 walls to compare; an explicit reps=1 is
+        # honored as a single timed run
+        while (2 <= len(walls) < cap
                and walls[-1] <= 0.90 * min(walls[:-1])):
             walls.append(round(run_once(), 3))
         return walls
@@ -170,11 +171,7 @@ def run_bench() -> dict:
 
             # same stabilization rule, tighter cap (side queries are short
             # but numerous; the 2-rep floor covers their one-off setup)
-            walls = _q_once(), _q_once()
-            walls = list(walls)
-            while len(walls) < 4 and walls[-1] <= 0.90 * min(walls[:-1]):
-                walls.append(_q_once())
-            qtimes[name] = round(min(walls), 3)
+            qtimes[name] = round(min(_until_stable(_q_once, 2, cap=4)), 3)
 
     ray.shutdown()
     out = {

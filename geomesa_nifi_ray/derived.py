@@ -229,13 +229,9 @@ def epoch_group_delta_dataset(table: LakeTable, col: str, epoch: int,
                     live_new.select([col]), col)
                 outs.append(plus)
             if spec["old_files"]:
-                old = []
-                for f in spec["old_files"]:
-                    fnames = set(lake_fs.read_parquet_schema(f).names)
-                    cols_o = [c for c in prev_cols if c in fnames]
-                    if TOMB_COLUMN in fnames:
-                        cols_o = cols_o + [TOMB_COLUMN]
-                    old.append(lake_fs.read_parquet(f, columns=cols_o))
+                from geomesa_nifi_ray.lake import read_chain_tables
+
+                old = read_chain_tables(lake_fs, spec["old_files"], prev_cols)
                 # tombstone-aware LWW: a deleted key yields no prev row
                 prev_tbl = merge_chain_tables(
                     old, prev_schema, lww_key, lww_order)
@@ -467,17 +463,13 @@ class KeyedGroupCountView:
         lake_fs = vt.fs
 
         def lookup(batch: pa.Table) -> pa.Table:
+            from geomesa_nifi_ray.lake import read_chain_tables
+
             outs = []
             for i in batch["i"].to_pylist():
                 spec = specs[i]
-                tabs = []
-                for f in spec["files"]:
-                    names = set(lake_fs.read_parquet_schema(f).names)
-                    cols = [c for c in ("k", "n", "offset") if c in names]
-                    from geomesa_nifi_ray.lake import TOMB_COLUMN
-                    if TOMB_COLUMN in names:
-                        cols.append(TOMB_COLUMN)
-                    tabs.append(lake_fs.read_parquet(f, columns=cols))
+                tabs = read_chain_tables(lake_fs, spec["files"],
+                                         ("k", "n", "offset"))
                 merged = merge_chain_tables(tabs, schema, "k", ["offset"])
                 hit = merged.filter(
                     pc.is_in(merged["k"], value_set=pa.array(spec["keys"])))
@@ -570,13 +562,9 @@ class KeyedGroupCountView:
             old: dict[str, int] = {}
             files = chain_specs.get(vb, [])
             if files:
-                tabs = []
-                for f in files:
-                    names = set(lake_fs.read_parquet_schema(f).names)
-                    cols = [c for c in ("k", "n", "offset") if c in names]
-                    if TOMB_COLUMN in names:
-                        cols.append(TOMB_COLUMN)
-                    tabs.append(lake_fs.read_parquet(f, columns=cols))
+                from geomesa_nifi_ray.lake import read_chain_tables
+
+                tabs = read_chain_tables(lake_fs, files, ("k", "n", "offset"))
                 merged = merge_chain_tables(tabs, chain_schema, "k", ["offset"])
                 hit = merged.filter(
                     pc.is_in(merged["k"], value_set=gb["k"].combine_chunks()))
@@ -586,6 +574,11 @@ class KeyedGroupCountView:
             rn: list[int | None] = []
             ops: list[str | None] = []
             for k, d in zip(ks, dns):
+                if not int(d):
+                    # zero net delta: the group was not really touched —
+                    # the driver path drops these before lookup; emitting
+                    # a no-op upsert would grow chains and skew offsets
+                    continue
                 n = old.get(k, 0) + int(d)
                 if n:
                     rk.append(k); rn.append(n); ops.append(None)

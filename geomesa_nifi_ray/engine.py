@@ -1016,6 +1016,8 @@ class CDCEngine:
         # which exchange the previous apply_epoch auto-selected
         # ("tiny" | "split" | "late" | "sort"); observability + tests
         self.last_exchange_strategy: str | None = None
+        # mixed-kernel gate runs once per engine instance (see apply_epoch)
+        self._kernel_checked = False
 
     def _make_convert(self, stored_schema: pa.Schema):
         """Instantiate the converter, passing the table's hash kernel when
@@ -1077,21 +1079,34 @@ class CDCEngine:
         if committed is not None and epoch <= committed:
             logger.info("epoch %d already committed; skipping", epoch)
             return None
-        if committed is not None:
+        if committed is not None and not self._kernel_checked:
             # Mixed-kernel lakes are rejected: the extracted `text` column
             # is defined by the versioned kernel, so appending epochs under
             # a DIFFERENT kernel version silently mixes two text
-            # definitions (and two content-hash spaces) in one table. A
-            # clear epoch (truncate) or full rebuild is the sanctioned
-            # migration. (Implementation choice — per-row loop vs Arrow-RE2
-            # vectorized — is byte-identical and shares one version.)
-            prev_kernel = self.table.manifest(committed).get("kernel_version")
-            if prev_kernel is not None and prev_kernel != TEXT_KERNEL_VERSION:
-                raise SchemaError(
-                    f"text kernel changed ({prev_kernel} -> "
-                    f"{TEXT_KERNEL_VERSION}); refusing to append to a "
-                    "mixed-kernel lake — truncate or rebuild the table"
-                )
+            # definitions in one table. Scope: only tables whose convert
+            # actually derives kernel columns (html -> text); generic
+            # tables (keyed views, kv tables) stamp the version for
+            # provenance but have nothing kernel-derived to mix. A clear
+            # epoch empties the table, so a clear tip is never mixed —
+            # truncate IS the sanctioned migration (with full rebuild /
+            # re-extracting rewrite_epoch). Checked once per engine
+            # instance: after the first gate this process only ever stamps
+            # its own TEXT_KERNEL_VERSION, so re-reading the tip manifest
+            # per epoch would buy nothing and cost a JSON GET per epoch on
+            # an object-store lake. (Implementation choice — per-row loop
+            # vs Arrow-RE2 vectorized — is byte-identical, one version.)
+            kernel_sensitive = {"html", "text"} <= set(self.table.schema.names)
+            if kernel_sensitive:
+                tip = self.table.manifest(committed)
+                prev_kernel = tip.get("kernel_version")
+                if (tip.get("mode") != "clear" and prev_kernel is not None
+                        and prev_kernel != TEXT_KERNEL_VERSION):
+                    raise SchemaError(
+                        f"text kernel changed ({prev_kernel} -> "
+                        f"{TEXT_KERNEL_VERSION}); refusing to append to a "
+                        "mixed-kernel lake — truncate or rebuild the table"
+                    )
+            self._kernel_checked = True
         expected = 0 if committed is None else committed + 1
         first_epoch = epochs_covered[0] if epochs_covered else epoch
         if first_epoch != expected:

@@ -87,6 +87,22 @@ def merge_chain_tables(tables, schema: pa.Schema, key: str, order: list[str]) ->
     return merged.drop_columns([TOMB_COLUMN])
 
 
+def read_chain_tables(lake_fs, files: list[str],
+                      wanted_cols: tuple[str, ...] | list[str]) -> list:
+    """Read one bucket chain's files projected to ``wanted_cols`` (plus
+    ``TOMB_COLUMN`` wherever a delta file carries it), ready for
+    :func:`merge_chain_tables`. Shared by the derived-view readers so the
+    tombstone-aware projection rule lives in exactly one place."""
+    tabs = []
+    for f in files:
+        names = set(lake_fs.read_parquet_schema(f).names)
+        cols = [c for c in wanted_cols if c in names]
+        if TOMB_COLUMN in names:
+            cols.append(TOMB_COLUMN)
+        tabs.append(lake_fs.read_parquet(f, columns=cols))
+    return tabs
+
+
 def _atomic_write_json(path: str, payload: dict) -> None:
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:

@@ -165,6 +165,11 @@ def extract_text_batch(html_col: pa.Array | pa.ChunkedArray,
         )
     if implementation == "vectorized":
         return extract_text_batch_vectorized(html_col)
+    if implementation != "loop":
+        # a typo'd selector must not silently hand back the loop — callers
+        # forcing 'vectorized' rely on its linear worst case
+        raise ValueError(f"unknown implementation {implementation!r}; "
+                         "expected 'auto', 'loop' or 'vectorized'")
     out: list[str | None] = [extract_text(v) for v in html_col.to_pylist()]
     return pa.array(out, type=pa.large_string())
 

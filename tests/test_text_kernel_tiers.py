@@ -91,7 +91,10 @@ def test_auto_selects_by_mean_payload():
 def test_mixed_kernel_lake_rejected(ray_session, tmp_path, monkeypatch):
     """A lake whose committed epochs were written under a different
     TEXT_KERNEL_VERSION must refuse further appends: replaying under a
-    changed kernel silently mixes two text definitions in one table."""
+    changed kernel silently mixes two text definitions in one table. The
+    gate runs once per engine instance — the threat model is a NEW binary
+    (new engine instance) opening an old lake, so each phase below uses a
+    fresh instance, as a restarted process would."""
     import ray.data
 
     import geomesa_nifi_ray.engine as engine_mod
@@ -107,15 +110,52 @@ def test_mixed_kernel_lake_rejected(ray_session, tmp_path, monkeypatch):
     })
     eng.apply_epoch(ray.data.from_arrow(t), epoch=0, offset_range=(0, 0))
 
+    # "upgraded binary" opens the same lake
     monkeypatch.setattr(engine_mod, "TEXT_KERNEL_VERSION", "extract-v99")
+    eng2 = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
     t2 = t.set_column(4, "offset", pa.array([1], pa.int64()))
     with pytest.raises(SchemaError, match="kernel"):
-        eng.apply_epoch(ray.data.from_arrow(t2), epoch=1, offset_range=(1, 1))
+        eng2.apply_epoch(ray.data.from_arrow(t2), epoch=1,
+                         offset_range=(1, 1))
 
     # truncate under the new kernel empties the table and re-opens appends
-    eng.truncate()
-    res = eng.apply_epoch(ray.data.from_arrow(t2), epoch=2,
-                          offset_range=(1, 1))
+    # (a clear tip is never mixed), even from yet another fresh instance
+    eng2.truncate()
+    eng3 = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    res = eng3.apply_epoch(ray.data.from_arrow(t2), epoch=2,
+                           offset_range=(1, 1))
+    assert res is not None and res.rows_applied == 1
+
+
+def test_mixed_kernel_gate_skips_generic_tables(ray_session, tmp_path,
+                                                monkeypatch):
+    """Generic lakes (no kernel-derived html->text columns) must keep
+    accepting appends across kernel version bumps — they stamp the version
+    for provenance only."""
+    import ray.data
+
+    import geomesa_nifi_ray.engine as engine_mod
+    from geomesa_nifi_ray.engine import CDCEngine, make_generic_convert_fn
+
+    schema = pa.schema([
+        pa.field("k", pa.string()), pa.field("v", pa.int64()),
+        pa.field("content_hash", pa.string()), pa.field("offset", pa.int64()),
+    ])
+    eng = CDCEngine(str(tmp_path / "kv"), table_name="kv", schema=schema,
+                    num_buckets=2, key="k", order=("offset",),
+                    convert_fn_factory=make_generic_convert_fn)
+    t = pa.table({"k": ["a"], "v": pa.array([1], pa.int64()),
+                  "offset": pa.array([0], pa.int64())})
+    eng.apply_epoch(ray.data.from_arrow(t), epoch=0, offset_range=(0, 0))
+
+    monkeypatch.setattr(engine_mod, "TEXT_KERNEL_VERSION", "extract-v99")
+    eng2 = CDCEngine(str(tmp_path / "kv"), table_name="kv", schema=schema,
+                     num_buckets=2, key="k", order=("offset",),
+                     convert_fn_factory=make_generic_convert_fn)
+    t2 = pa.table({"k": ["b"], "v": pa.array([2], pa.int64()),
+                   "offset": pa.array([1], pa.int64())})
+    res = eng2.apply_epoch(ray.data.from_arrow(t2), epoch=1,
+                           offset_range=(1, 1))
     assert res is not None and res.rows_applied == 1
 
 
