@@ -284,3 +284,29 @@ def test_keyed_view_distributed_refresh_equals_driver_path(
 
     # idempotent
     assert dview.refresh(distributed=True) == 0
+
+
+def test_keyed_view_over_object_store_fs(ray_session, tmp_path):
+    """Source lake AND view lake on the no-rename object-store-style
+    filesystem: deltas, point lookups and the distributed refresh all go
+    through the LakeFS seam (read_parquet_schema / read_parquet /
+    publish_*), so the whole CDC-on-CDC loop must survive an S3-like
+    backend."""
+    from geomesa_nifi_ray.derived import KeyedGroupCountView
+    from geomesa_nifi_ray.testing import object_store_sim_fs
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2,
+                    lake_fs=object_store_sim_fs())
+    view = KeyedGroupCountView(eng.table, str(tmp_path / "view"),
+                               group_col="lang", num_buckets=4,
+                               lake_fs=object_store_sim_fs())
+    _epoch(eng, 0, [f"https://k/{i}" for i in range(6)],
+           ["en", "en", "de", "de", "fr", "fr"], 1_000_000, 0)
+    assert view.refresh() == 1
+    assert view.counts() == _lang_counts_of(eng.table.snapshot_table())
+
+    _epoch(eng, 1, ["https://k/4", "https://k/5"], [None, None],
+           2_000_000, 10, ops=["delete", "delete"])
+    assert view.refresh(distributed=True) == 1
+    assert view.counts() == _lang_counts_of(eng.table.snapshot_table())
+    assert "fr" not in view.counts()
