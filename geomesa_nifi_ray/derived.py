@@ -116,13 +116,19 @@ class GroupCountView:
             applied += 1
         return applied
 
+    def _read_columns(self) -> list[str]:
+        return [self.col]
+
+    def _partials(self, t: pa.Table) -> pa.Table:
+        return self._partial_counts(t, self.col)
+
     def rebuild(self) -> None:
         """Full recompute (bootstrap, or after an out-of-band rewrite)."""
         import ray.data  # noqa: F401  (callers own the session)
 
-        ds = self.table.snapshot_dataset(columns=[self.col])
+        ds = self.table.snapshot_dataset(columns=self._read_columns())
         agg = {}
-        for blk in ds.map_batches(self._partial_counts,
+        for blk in ds.map_batches(self._partials,
                                   batch_format="pyarrow").iter_batches(
                                       batch_format="pyarrow"):
             for k, n in zip(blk["k"].to_pylist(), blk["n"].to_pylist()):
@@ -152,9 +158,39 @@ class GroupCountView:
                                  manifest=manifest)
 
 
+# named pure value kernels for SUM views (named, not lambdas-from-callers,
+# so the aggregation definition is declarative/serializable and the view
+# state file can record it)
+_VALUE_KERNELS = {
+    "identity": lambda a: a,
+    "utf8_length": lambda a: pc.utf8_length(a),
+    "binary_length": lambda a: pc.binary_length(a),
+}
+
+
+def _partial_agg(t: pa.Table, col: str, value_col: str | None = None,
+                 value_kernel: str = "identity") -> pa.Table:
+    """Per-block partial aggregate: COUNT(*) per group when ``value_col``
+    is None (delegates to the count partials), else SUM(kernel(value)) per
+    group. Null groups are skipped (consistent with the count path); null
+    values contribute nothing (Arrow sum skips nulls on both the +new and
+    -old sides, so deltas stay exact)."""
+    if value_col is None:
+        return GroupCountView._partial_counts(t, col)
+    kern = _VALUE_KERNELS[value_kernel]
+    k = pc.cast(t[col].combine_chunks(), pa.string())
+    v = pc.cast(kern(t[value_col].combine_chunks()), pa.int64())
+    tbl = pa.table({"k": k, "v": v}).filter(pc.is_valid(k))
+    gb = tbl.group_by("k").aggregate([("v", "sum")])
+    return pa.table({"k": gb["k"],
+                     "n": pc.cast(pc.fill_null(gb["v_sum"], 0), pa.int64())})
+
+
 def epoch_group_delta_dataset(table: LakeTable, col: str, epoch: int,
                               prev_epoch: int | None,
-                              manifest: dict | None = None):
+                              manifest: dict | None = None,
+                              value_col: str | None = None,
+                              value_kernel: str = "identity"):
     """Per-group count delta contributed by one committed epoch, as a
     lazy ``ray.data.Dataset`` of PARTIAL ``(k, n)`` rows (one Ray task per
     touched source bucket reads the new winners and the old values of the
@@ -197,6 +233,8 @@ def epoch_group_delta_dataset(table: LakeTable, col: str, epoch: int,
     full_schema = table.schema
     prev_cols = [lww_key, col] + [c for c in lww_order
                                   if c not in (lww_key, col)]
+    if value_col is not None and value_col not in prev_cols:
+        prev_cols.append(value_col)
     prev_schema = pa.schema([f for f in full_schema if f.name in prev_cols])
 
     lake_fs = table.fs
@@ -209,6 +247,8 @@ def epoch_group_delta_dataset(table: LakeTable, col: str, epoch: int,
             spec = touched[i]
             names = set(lake_fs.read_parquet_schema(spec["new_file"]).names)
             cols_n = [key, col, "offset"] + (
+                [value_col] if value_col is not None and value_col in names
+                and value_col not in (key, col, "offset") else []) + (
                 [TOMB_COLUMN] if TOMB_COLUMN in names else [])
             new = lake_fs.read_parquet(spec["new_file"], columns=cols_n)
             off = new["offset"]
@@ -225,8 +265,9 @@ def epoch_group_delta_dataset(table: LakeTable, col: str, epoch: int,
                     pc.fill_null(new[TOMB_COLUMN], 0),
                     pa.scalar(1, pa.int8()))))
             if live_new.num_rows:
-                plus = GroupCountView._partial_counts(
-                    live_new.select([col]), col)
+                sel = [col] + ([value_col] if value_col is not None else [])
+                plus = _partial_agg(live_new.select(sel), col,
+                                    value_col, value_kernel)
                 outs.append(plus)
             if spec["old_files"]:
                 from geomesa_nifi_ray.lake import read_chain_tables
@@ -239,8 +280,9 @@ def epoch_group_delta_dataset(table: LakeTable, col: str, epoch: int,
                     pc.is_in(prev_tbl[key], value_set=new[key].combine_chunks())
                 )
                 if hit.num_rows:
-                    minus = GroupCountView._partial_counts(
-                        hit.select([col]), col)
+                    sel = [col] + ([value_col] if value_col is not None else [])
+                    minus = _partial_agg(hit.select(sel), col,
+                                         value_col, value_kernel)
                     minus = minus.set_column(
                         1, "n", pc.multiply(minus["n"], pa.scalar(-1)))
                     outs.append(minus)
@@ -257,12 +299,15 @@ def epoch_group_delta_dataset(table: LakeTable, col: str, epoch: int,
 
 def epoch_group_delta(table: LakeTable, col: str, epoch: int,
                       prev_epoch: int | None,
-                      manifest: dict | None = None) -> dict[str, int]:
+                      manifest: dict | None = None,
+                      value_col: str | None = None,
+                      value_kernel: str = "identity") -> dict[str, int]:
     """Driver-dict consumer of :func:`epoch_group_delta_dataset`: folds
-    the partial rows into ``{group: +/-count}``. O(groups touched by this
-    epoch) driver memory, never O(total groups)."""
+    the partial rows into ``{group: +/-count-or-sum}``. O(groups touched
+    by this epoch) driver memory, never O(total groups)."""
     ds = epoch_group_delta_dataset(table, col, epoch, prev_epoch,
-                                   manifest=manifest)
+                                   manifest=manifest, value_col=value_col,
+                                   value_kernel=value_kernel)
     if ds is None:
         return {}
     agg: dict[str, int] = {}
@@ -625,3 +670,44 @@ class KeyedGroupCountView:
             ray.data.from_arrow(events), epoch=epoch,
             offset_range=(epoch, epoch), epochs_covered=epochs_covered,
         )
+
+
+class GroupSumView(GroupCountView):
+    """Exact ``SUM(kernel(value)) GROUP BY group_col`` over the lake's live
+    winners, maintained incrementally by the same +new/-old delta math as
+    the count view — e.g. ``GroupSumView(..., group_col="lang",
+    value_col="text", value_kernel="utf8_length")`` tracks extracted-text
+    characters per language, the corpus-curation size metric, without ever
+    rescanning the lake. ``value_kernel`` is a NAMED pure kernel
+    (:data:`_VALUE_KERNELS`) so the aggregation definition is declarative;
+    the delta reads additionally project ``value_col`` from the epoch file
+    and the touched prev chains (for ``text`` that is the same IO envelope
+    as the winners-only extract path: touched buckets only). Null groups
+    are skipped, null values contribute nothing — identically on the +new,
+    -old and rebuild paths, so incremental == recompute exactly."""
+
+    def __init__(self, table: LakeTable, root: str, group_col: str = "lang",
+                 value_col: str = "text", value_kernel: str = "utf8_length"):
+        if value_kernel not in _VALUE_KERNELS:
+            raise ValueError(f"unknown value_kernel {value_kernel!r}; "
+                             f"expected one of {sorted(_VALUE_KERNELS)}")
+        super().__init__(table, root, group_col)
+        self.value_col = value_col
+        self.value_kernel = value_kernel
+        self._path = os.path.join(
+            root, f"view-sum-{group_col}-{value_col}-{value_kernel}.json")
+
+    def _read_columns(self) -> list[str]:
+        cols = [self.col]
+        if self.value_col not in cols:
+            cols.append(self.value_col)
+        return cols
+
+    def _partials(self, t: pa.Table) -> pa.Table:
+        return _partial_agg(t, self.col, self.value_col, self.value_kernel)
+
+    def _epoch_delta(self, epoch: int, prev_epoch: int | None,
+                     manifest: dict | None = None) -> dict[str, int]:
+        return epoch_group_delta(self.table, self.col, epoch, prev_epoch,
+                                 manifest=manifest, value_col=self.value_col,
+                                 value_kernel=self.value_kernel)

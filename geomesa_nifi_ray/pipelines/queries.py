@@ -1265,6 +1265,34 @@ def q_cdc_lang_counts_view(sf_dir: str):
     return view.as_table()
 
 
+def q_cdc_lang_text_chars_view(sf_dir: str):
+    """Incrementally-maintained SUM view: extracted-text characters per
+    language over the lake's LWW winners (the corpus-size-per-language
+    curation metric), maintained per epoch by the same +new/-old delta
+    math as the count view — never rescanned. Oracle: SUM(length(text))
+    over the winner set."""
+    from geomesa_nifi_ray.derived import GroupSumView
+
+    eng = run_cdc_replay(sf_dir)
+    view = GroupSumView(eng.table, os.path.join(eng.lake_root, "views"),
+                        group_col="lang", value_col="text",
+                        value_kernel="utf8_length")
+    view.refresh()
+    return view.as_table()
+
+
+_CDC_LANG_TEXT_CHARS_SQL = """
+WITH ranked AS (
+  SELECT lang, text,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, "offset" DESC) AS rn
+  FROM read_parquet('{glob}')
+  WHERE html IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
+)
+SELECT lang, CAST(sum(length(text)) AS BIGINT) AS n
+FROM ranked WHERE rn = 1 GROUP BY lang
+"""
+
+
 def q_cdc_lang_counts_view_keyed(sf_dir: str):
     """High-cardinality variant of the incrementally-maintained view: the
     counts live in a second CDC lake table (key = group value) maintained
@@ -1943,6 +1971,7 @@ QUERIES = {
     "union_resolve_events": q_union_resolve_events,
     "cdc_lang_counts_view": q_cdc_lang_counts_view,
     "cdc_lang_counts_view_keyed": q_cdc_lang_counts_view_keyed,
+    "cdc_lang_text_chars_view": q_cdc_lang_text_chars_view,
     "cdc_deletes": q_cdc_deletes,
     "embedding_clusters": q_embedding_clusters,
     "multimodal_video_frames": q_multimodal_video_frames,
@@ -2059,6 +2088,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "union_resolve_events": _UNION_RESOLVE_SQL,
         "cdc_lang_counts_view": _CDC_LANG_COUNTS_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_lang_counts_view_keyed": _CDC_LANG_COUNTS_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
+        "cdc_lang_text_chars_view": _CDC_LANG_TEXT_CHARS_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_deletes": _CDC_DELETES_SQL.format(
             epoch0=os.path.join(meta["epochs"][0]["path"], "*.parquet"),
             epoch1=os.path.join(meta["epochs"][1]["path"], "*.parquet"),
