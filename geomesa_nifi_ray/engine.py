@@ -951,6 +951,28 @@ def run_split_exchange(converted_mat, merge_bucket, num_buckets: int,
     return out
 
 
+_MERGE_ALL_REFS_TASK = None
+
+
+def _merge_all_refs_task():
+    """Process-wide remote task for the tiny-epoch RefBlocks merge. Defined
+    ONCE and cached: defining a fresh ``@ray.remote`` inside apply_epoch
+    would export a new pickled function definition to the cluster per
+    EPOCH — unbounded GCS metadata growth for a long-running tailer. The
+    per-epoch merger rides as a task ARGUMENT instead (same bytes on the
+    wire, no function-table growth)."""
+    global _MERGE_ALL_REFS_TASK
+    if _MERGE_ALL_REFS_TASK is None:
+        import ray as _ray
+
+        @_ray.remote
+        def _merge_all_refs(merge_fn, refs):
+            return merge_fn(pa.concat_tables(_ray.get(list(refs))))
+
+        _MERGE_ALL_REFS_TASK = _merge_all_refs
+    return _MERGE_ALL_REFS_TASK
+
+
 class CDCEngine:
     """Driver-side orchestration: schema registry, epoch cursor, lineage.
 
@@ -1223,6 +1245,13 @@ class CDCEngine:
             else "late" if use_late
             else "sort"
         )
+        # the late and sort exchanges consume a Dataset; tiny/split work on
+        # raw RefBlocks directly — lift ONCE here instead of per branch
+        if (isinstance(converted, RefBlocks)
+                and self.last_exchange_strategy in ("late", "sort")):
+            import ray.data as _rd
+
+            converted = _rd.from_arrow_refs(converted.refs)
         if tiny_epoch and exchange is None and not salted_reduce:
             # Steady-state tail epochs are small; Ray's sort shuffle has ~1 s
             # of fixed machinery that dwarfs the work. One task takes the
@@ -1247,11 +1276,8 @@ class CDCEngine:
             if isinstance(converted, RefBlocks):
                 import ray as _ray
 
-                @_ray.remote
-                def _merge_all_refs(refs):
-                    return merge_all(pa.concat_tables(_ray.get(list(refs))))
-
-                res = (_ray.get(_merge_all_refs.remote(converted.refs))
+                task = _merge_all_refs_task()
+                res = (_ray.get(task.remote(merge_all, converted.refs))
                        if converted.refs else pa.table({}))
                 lineage = [r for r in res.to_pylist()
                            if r.get("bucket") is not None]
@@ -1270,20 +1296,12 @@ class CDCEngine:
                 self.last_stats = converted.stats()
             lineage = run_split_exchange(converted, merger, self.table.num_buckets)
         elif use_late:
-            if isinstance(converted, RefBlocks):
-                import ray.data as _rd
-
-                converted = _rd.from_arrow_refs(converted.refs)
             mat = converted.materialize()
             self.last_stats = mat.stats()
             lineage = run_late_exchange(
                 mat, merger, self.table.key, self.table.order, self.table.num_buckets
             )
         else:
-            if isinstance(converted, RefBlocks):
-                import ray.data as _rd
-
-                converted = _rd.from_arrow_refs(converted.refs)
             # Coalesce the (post-combiner) change set to P blocks before the
             # exchange: Ray's sort-based shuffle creates one output partition
             # per input block, so many tiny blocks make the all-to-all move
@@ -1559,6 +1577,11 @@ class CDCEngine:
         serial per-epoch path; catch-up batches only consecutive
         upsert-mode epochs.
         """
+        # `lookahead` belongs to the pipelined path only; pop it here so the
+        # serial / catch-up / non-file paths don't forward it to apply_epoch
+        # (which takes no **kwargs) — a tailer configured with lookahead
+        # must keep working when a poll finds exactly one pending epoch
+        lookahead = apply_kwargs.pop("lookahead", None)
         committed = self.table.committed_epoch()
         pending = [
             e for e in binlog_meta["epochs"]
@@ -1598,7 +1621,9 @@ class CDCEngine:
         results: list[EpochResult] = []
         if not catchup or uniform_mode != "upsert" or mixed_modes:
             if pipelined and len(pending) > 1 and not mixed_modes:
-                return self._replay_pipelined(pending, uniform_mode, **apply_kwargs)
+                return self._replay_pipelined(pending, uniform_mode,
+                                              lookahead=lookahead,
+                                              **apply_kwargs)
             for e, e_mode in zip(pending, epoch_modes):
                 r = self.apply_epoch(
                     e.get("files", e["path"]),
@@ -1723,9 +1748,20 @@ class CDCEngine:
                     _mod = _types.ModuleType("fsspec.implementations.http")
 
                     class _StubHTTPFileSystem:  # pragma: no cover
-                        pass
+                        """Import-race placeholder. isinstance checks are
+                        False (the intent); anything actually trying to USE
+                        an http filesystem must get fsspec's own error, not
+                        an opaque AttributeError from an empty class."""
+
+                        def __init__(self, *a, **kw):
+                            raise ImportError(
+                                "HTTPFileSystem requires aiohttp, which is "
+                                "not installed (stubbed by "
+                                "geomesa_nifi_ray.engine to stabilize a "
+                                "failed-import retry race)")
 
                     _mod.HTTPFileSystem = _StubHTTPFileSystem
+                    _mod.__geomesa_nifi_ray_stub__ = True
                     _sys.modules["fsspec.implementations.http"] = _mod
                 except Exception:
                     pass

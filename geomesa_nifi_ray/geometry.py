@@ -283,12 +283,16 @@ def _range_membership(keys: np.ndarray,
 
 
 def z2_bbox_filter(t: pa.Table, lon_col: str, lat_col: str, bbox,
-                   bits: int = 16, max_ranges: int = 64) -> pa.Table:
+                   bits: int = 16, max_ranges: int = 64,
+                   ranges=None) -> pa.Table:
     """Index-style bbox scan: coarse Z2-range membership (the 'index
-    scan') then exact refine — must equal ``bbox_filter`` (tested). The
-    ranges come precomputed from the driver; membership is one
-    searchsorted pass over the sorted range bounds."""
-    ranges = z2_covering_ranges(bbox, bits=bits, max_ranges=max_ranges)
+    scan') then exact refine — must equal ``bbox_filter`` (tested).
+    Pass ``ranges`` (from a driver-side ``z2_covering_ranges`` call) when
+    using this inside ``map_batches`` so the quadtree planner runs once,
+    not per batch; membership is one searchsorted pass over the sorted
+    range bounds either way."""
+    if ranges is None:
+        ranges = z2_covering_ranges(bbox, bits=bits, max_ranges=max_ranges)
     if not ranges:
         return t.slice(0, 0)
     z = pc.fill_null(z2_encode(t[lon_col], t[lat_col], bits=bits), -1) \
@@ -355,6 +359,15 @@ def z3_encode(lon, lat, ts, bits: int = 16, bounds=Z2_BOUNDS,
             ts_null = np.asarray(pc.is_null(ts))
             ts = pc.fill_null(ts.cast(pa.int64()), 0)
         ts = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ts = np.asarray(ts, dtype=np.int64)
+    # pre-1970 timestamps are outside the z3 index domain ([0, inf)
+    # epoch-us): key them as null like null ts — ONE bad legacy row must
+    # not crash a whole scan, and since query windows are domain-checked
+    # (z3_bbox_time_filter rejects t0 < 0) such rows can never match
+    neg = ts < 0
+    if neg.any():
+        ts = np.where(neg, 0, ts)
+        ts_null = neg if ts_null is None else (ts_null | neg)
     b, it = _quantize_time(ts, bits, period_us)
     z = (_spread_bits3(ix) | (_spread_bits3(iy) << np.uint64(1))
          | (_spread_bits3(it.astype(np.uint64)) << np.uint64(2))).astype(np.int64)
@@ -420,17 +433,22 @@ def _bbox_cell_ranges(bbox, bits: int, bounds=Z2_BOUNDS):
     return (qx[0], qx[1]), (qy[0], qy[1])
 
 
-def z3_bbox_time_filter(t: pa.Table, lon_col: str, lat_col: str,
-                        ts_col: str, bbox, t0_us: int, t1_us: int,
-                        bits: int = 16, max_ranges: int = 64,
-                        period_us: int = WEEK_US) -> pa.Table:
-    """Index-style spatio-temporal scan: per overlapped time bin, coarse
-    z3 covering-range membership, then exact bbox + ``t0 <= ts < t1``
-    refine — must equal the plain predicate (tested). Range plans are
-    computed once on the driver (O(bins * max_ranges) ints) and captured
-    in the task closure."""
+def z3_bbox_time_plans(bbox, t0_us: int, t1_us: int, bits: int = 16,
+                       max_ranges: int = 64,
+                       period_us: int = WEEK_US) -> dict:
+    """Driver-side Z3 query planning: per overlapped time bin, the octree
+    covering-range decomposition of (bbox-cells x in-bin time cells).
+    Compute ONCE and pass to :func:`z3_bbox_time_filter` when filtering
+    inside ``map_batches`` — the plan is O(bins * max_ranges) ints and the
+    walk is pure driver CPU that must not repeat per batch."""
     if t1_us <= t0_us:
-        return t.slice(0, 0)
+        return {}
+    if t0_us < 0:
+        # the index domain is [0, inf) epoch-us; a pre-1970 window can't be
+        # planned, and silently clamping would miss in-window rows — the
+        # caller must use the plain predicate for such scans
+        raise ValueError("z3 query window extends below epoch 0; "
+                         "use the exact predicate for pre-1970 scans")
     cells = 1 << bits
     (qx0, qx1), (qy0, qy1) = _bbox_cell_ranges(bbox, bits)
     plans: dict[int, list[tuple[int, int]]] = {}
@@ -443,7 +461,22 @@ def z3_bbox_time_filter(t: pa.Table, lon_col: str, lat_col: str,
                                bits=bits, max_ranges=max_ranges)
         if r:
             plans[b] = r
+    return plans
 
+
+def z3_bbox_time_filter(t: pa.Table, lon_col: str, lat_col: str,
+                        ts_col: str, bbox, t0_us: int, t1_us: int,
+                        bits: int = 16, max_ranges: int = 64,
+                        period_us: int = WEEK_US, plans=None) -> pa.Table:
+    """Index-style spatio-temporal scan: per overlapped time bin, coarse
+    z3 covering-range membership, then exact bbox + ``t0 <= ts < t1``
+    refine — must equal the plain predicate (tested). Pass ``plans``
+    (from a driver-side :func:`z3_bbox_time_plans` call) when using this
+    inside ``map_batches`` so planning runs once, not per batch."""
+    if plans is None:
+        plans = z3_bbox_time_plans(bbox, t0_us, t1_us, bits=bits,
+                                   max_ranges=max_ranges,
+                                   period_us=period_us)
     if not plans:
         return t.slice(0, 0)
     ts_arr = t[ts_col]

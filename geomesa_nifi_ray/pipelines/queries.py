@@ -1732,14 +1732,16 @@ def q_geo_bbox_events(sf_dir: str):
     plain bbox predicate — the cover+refine composition must be lossless."""
     import ray.data
 
-    from geomesa_nifi_ray.geometry import z2_bbox_filter
+    from geomesa_nifi_ray.geometry import z2_bbox_filter, z2_covering_ranges
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id"])
+    # plan once on the driver; tasks do only the searchsorted membership
+    ranges = z2_covering_ranges(_GEO_BBOX, bits=16, max_ranges=64)
 
     def stage(t: pa.Table) -> pa.Table:
         return z2_bbox_filter(_geo_lonlat(t), "lon", "lat", _GEO_BBOX,
-                              bits=16, max_ranges=64)
+                              bits=16, max_ranges=64, ranges=ranges)
 
     return ds.map_batches(stage, batch_format="pyarrow")
 
@@ -1895,15 +1897,19 @@ def q_geo_z3_bbox_events(sf_dir: str):
     the plain bbox AND time-interval predicate."""
     import ray.data
 
-    from geomesa_nifi_ray.geometry import z3_bbox_time_filter
+    from geomesa_nifi_ray.geometry import (z3_bbox_time_filter,
+                                           z3_bbox_time_plans)
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts"])
+    # plan once on the driver (per-bin octree walks); tasks do membership
+    plans = z3_bbox_time_plans(_GEO_Z3_BBOX, _GEO_T0_US, _GEO_T1_US,
+                               bits=16, max_ranges=64)
 
     def stage(t: pa.Table) -> pa.Table:
         out = z3_bbox_time_filter(_geo_lonlat_ts(t), "lon", "lat", "ts",
                                   _GEO_Z3_BBOX, _GEO_T0_US, _GEO_T1_US,
-                                  bits=16, max_ranges=64)
+                                  bits=16, max_ranges=64, plans=plans)
         return out.set_column(out.schema.get_field_index("ts"), "ts",
                               out["ts"].cast(pa.timestamp("us")))
 

@@ -60,9 +60,7 @@ def _hash_col(batch: pa.Table, col: str, seed: str = "",
     """``hash(seed || cast(col as string))`` as a hex-string array.
     md5 = per-row C md5, 32 hex chars, SQL-reproducible. xx64 = polars'
     vectorized 64-bit hash + numpy hex encode, 16 hex chars."""
-    if kernel not in SAMPLING_KERNELS:
-        raise ValueError(f"unknown sampling hash kernel {kernel!r}; "
-                         f"supported: {SAMPLING_KERNELS}")
+    _check_kernel(kernel)
     vals = pc.fill_null(pc.cast(batch[col], pa.string()), "")
     if kernel == "xx64":
         from geomesa_nifi_ray.hashing import content_hash_generic
@@ -119,7 +117,8 @@ def hash_sample(ds, col: str, threshold: str = "28", kernel: str = "md5"):
 def deterministic_shuffle(ds, col: str, seed: str = "s0",
                           key_col: str = "shuffle_key",
                           kernel: str = "md5",
-                          layout: str = "sorted", num_buckets: int = 64):
+                          layout: str = "sorted", num_buckets: int = 64,
+                          phys_partitions: int | None = None):
     """Seeded deterministic shuffle: the permutation is defined by
     ``hash(seed || col)`` — the same at any parallelism (unlike
     ``ds.random_shuffle``). The key column stays in the output so the
@@ -135,9 +134,17 @@ def deterministic_shuffle(ds, col: str, seed: str = "s0",
     ``_shuffle_bucket``; rows ordered by ``(_shuffle_bucket, key_col)``
     — i.e. buckets concatenated in bucket order — are EXACTLY the
     ``layout="sorted"`` permutation, because bucket boundaries are
-    key-prefix ranges (tested). Physical block order across buckets is
-    up to the executor: the contract is block-CONTENT determinism, and
-    each output block is internally in permutation order.
+    key-prefix ranges (tested). The determinism contract is per BUCKET
+    VALUE: every bucket's rows are contiguous and in permutation order,
+    at any cluster size — a consumer wanting reproducible shards must
+    shard by ``_shuffle_bucket``, NOT by physical block. Block
+    boundaries (which whole buckets share a block) follow the exchange
+    width: ``phys_partitions`` when given, else the cluster CPU count —
+    pin ``phys_partitions`` if block boundaries themselves must be
+    reproducible across cluster shapes. (Physical width cannot default
+    to ``num_buckets``: each hash-shuffle partition reserves an
+    aggregator's CPU+memory, and 64 partitions deadlock a 4-CPU
+    cluster — measured.)
 
     ``layout="sorted"``: the global ``ds.sort`` total order — one
     physically ordered stream. Measured (BASELINE.md "deterministic
@@ -184,16 +191,21 @@ def deterministic_shuffle(ds, col: str, seed: str = "s0",
 
     # The bucket COLUMN (num_buckets, part of the determinism contract) and
     # the physical exchange width are independent: each hash-shuffle
-    # partition aggregator reserves CPU + memory, so cap physical
-    # partitions at the cluster CPU count (a partition holds whole
-    # buckets; block content stays deterministic for a fixed num_buckets).
-    try:
-        import ray
+    # partition aggregator reserves CPU + memory, so the default width is
+    # capped at the cluster CPU count. A partition holds whole buckets, so
+    # per-bucket content is deterministic at any width; block BOUNDARIES
+    # follow the width — callers needing reproducible boundaries pass
+    # phys_partitions explicitly (see docstring).
+    if phys_partitions is not None:
+        phys = max(1, min(num_buckets, int(phys_partitions)))
+    else:
+        try:
+            import ray
 
-        phys = max(2, min(num_buckets,
-                          int(ray.cluster_resources().get("CPU", 2))))
-    except Exception:
-        phys = num_buckets
+            phys = max(2, min(num_buckets,
+                              int(ray.cluster_resources().get("CPU", 2))))
+        except Exception:
+            phys = num_buckets
     out = (keyed.map_batches(bucket_stage, batch_format="pyarrow")
            .repartition(phys, keys=["_shuffle_bucket"], sort=True)
            .map_batches(block_sort, batch_format="pyarrow",

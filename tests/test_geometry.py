@@ -159,9 +159,16 @@ def test_z3_encode_matches_bitwise_reference(pts):
         assert (b_np[i], z_np[i]) == slow(lon[i], lat[i], ts[i])
 
 
-def test_z3_rejects_negative_timestamps():
+def test_z3_negative_timestamps_key_as_null():
+    # pre-1970 rows are outside the index domain: null key, like null ts
+    # (one legacy row must not crash a scan); the raw quantizer still
+    # enforces the domain for direct callers
+    b, z = g.z3_encode(pa.array([0.0, 1.0]), pa.array([0.0, 1.0]),
+                       pa.array([-1, 1_000_000], pa.int64()))
+    assert b.null_count == 1 and z.null_count == 1
+    assert b[1].is_valid and z[1].is_valid
     with pytest.raises(ValueError, match="non-negative"):
-        g.z3_encode(np.array([0.0]), np.array([0.0]), np.array([-1]))
+        g._quantize_time(np.array([-1]), bits=4)
 
 
 def test_z3_bbox_time_filter_equals_exact(pts):
