@@ -11,6 +11,8 @@ cluster-size knob of the two-cluster-size scaling protocol)::
     python -m geomesa_nifi_ray vacuum --lake /tmp/lake --retain 2
     python -m geomesa_nifi_ray truncate --lake /tmp/lake
     python -m geomesa_nifi_ray metrics --lake /tmp/lake [--serve --port 9464]
+    python -m geomesa_nifi_ray view --lake /tmp/lake --group lang [--state keyed]
+                                    [--sum-col text] [--rebuild] [--show]
 """
 
 from __future__ import annotations
@@ -112,6 +114,30 @@ def main(argv: list[str] | None = None) -> int:
     mx.add_argument("--lake", required=True)
     mx.add_argument("--serve", action="store_true")
     mx.add_argument("--port", type=int, default=9464)
+
+    vw = sub.add_parser(
+        "view",
+        description="Maintain an incremental materialized view over the "
+        "lake (COUNT or SUM GROUP BY): refresh applies only committed "
+        "epochs newer than the view cursor. --state keyed stores the view "
+        "in its own CDC lake table (high cardinality); json keeps the "
+        "compact counts-map state. --sum-col switches COUNT(*) to "
+        "SUM(utf8_length(col)).",
+    )
+    vw.add_argument("--lake", required=True)
+    vw.add_argument("--group", default="lang")
+    vw.add_argument("--state", choices=["json", "keyed"], default="json")
+    vw.add_argument("--sum-col", default=None,
+                    help="value column: view becomes SUM(utf8_length(col))")
+    vw.add_argument("--views-root", default=None,
+                    help="state directory (default <lake>/views)")
+    vw.add_argument("--rebuild", action="store_true",
+                    help="full recompute instead of incremental refresh")
+    vw.add_argument("--show", action="store_true",
+                    help="print the counts table after maintenance")
+    vw.add_argument("--distributed", action="store_true",
+                    help="keyed state only: refresh with no driver delta "
+                    "dict (backfill-scale epochs)")
 
     args = p.parse_args(argv)
 
@@ -244,6 +270,44 @@ def main(argv: list[str] | None = None) -> int:
                 _time.sleep(3600)
         except KeyboardInterrupt:
             server.shutdown()
+        return 0
+
+    if args.cmd == "view":
+        import os as _os
+
+        _ray_session(args.num_cpus)
+        from geomesa_nifi_ray.derived import (GroupCountView,
+                                              GroupSumView,
+                                              KeyedGroupCountView)
+        from geomesa_nifi_ray.lake import LakeTable
+
+        t = LakeTable.load(args.lake, "pages")
+        root = args.views_root or _os.path.join(args.lake, "views")
+        if args.state == "keyed":
+            if args.sum_col:
+                p.error("--sum-col is json-state only (keyed SUM views: "
+                        "use the library API)")
+            view = KeyedGroupCountView(t, root, group_col=args.group)
+            refresh_kwargs = {"distributed": args.distributed}
+        elif args.sum_col:
+            view = GroupSumView(t, root, group_col=args.group,
+                                value_col=args.sum_col,
+                                value_kernel="utf8_length")
+            refresh_kwargs = {}
+        else:
+            view = GroupCountView(t, root, group_col=args.group)
+            refresh_kwargs = {}
+        if args.rebuild:
+            view.rebuild()
+            applied = "rebuild"
+        else:
+            applied = view.refresh(**refresh_kwargs)
+        out = {"state": args.state, "group": args.group,
+               "epochs_applied": applied,
+               "groups": len(view.counts())}
+        if args.show:
+            out["counts"] = view.counts()
+        print(json.dumps(out, sort_keys=True))
         return 0
 
     if args.cmd == "compact":
