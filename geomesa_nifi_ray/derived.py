@@ -684,7 +684,15 @@ class GroupSumView(GroupCountView):
     and the touched prev chains (for ``text`` that is the same IO envelope
     as the winners-only extract path: touched buckets only). Null groups
     are skipped, null values contribute nothing — identically on the +new,
-    -old and rebuild paths, so incremental == recompute exactly."""
+    -old and rebuild paths, so incremental == recompute exactly.
+
+    Sparseness contract: the state is a sparse map — a group whose total
+    is 0 is NOT materialized. For non-negative kernels (lengths) a zero
+    total means every row's value is empty/null, indistinguishable in the
+    delta algebra from the group having left the table; SQL comparisons
+    must mirror this (``HAVING sum(...) > 0``). Signed identity-kernel
+    sums that legitimately pass through 0 need a (sum, count) state —
+    out of scope for this view."""
 
     def __init__(self, table: LakeTable, root: str, group_col: str = "lang",
                  value_col: str = "text", value_kernel: str = "utf8_length"):

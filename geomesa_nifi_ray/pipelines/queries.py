@@ -1290,6 +1290,7 @@ WITH ranked AS (
 )
 SELECT lang, CAST(sum(length(text)) AS BIGINT) AS n
 FROM ranked WHERE rn = 1 GROUP BY lang
+HAVING sum(length(text)) > 0
 """
 
 

@@ -90,3 +90,27 @@ def test_sum_view_rejects_unknown_kernel(tmp_path):
     with pytest.raises(ValueError, match="value_kernel"):
         GroupSumView(eng.table, str(tmp_path / "views"),
                      value_kernel="nope")
+
+
+def test_sum_view_sparse_zero_total_group(ray_session, tmp_path):
+    """A group whose every winner has EMPTY text sums to 0 and is not
+    materialized (sparse-state contract; the SQL oracle mirrors it with
+    HAVING sum > 0)."""
+    from geomesa_nifi_ray.derived import GroupSumView
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    view = GroupSumView(eng.table, str(tmp_path / "views"),
+                        group_col="lang", value_col="text",
+                        value_kernel="utf8_length")
+    # html with no text content -> extracted text is "" (length 0)
+    _epoch(eng, 0, ["https://s/0", "https://s/1"],
+           [b"<br>", b"<p>hello</p>"], ["xx", "en"], 1_000_000, 0)
+    view.refresh()
+    assert "xx" not in view.counts()
+    assert view.counts().get("en", 0) > 0
+    # and rebuild agrees (same sparse rule end-to-end)
+    view2 = GroupSumView(eng.table, str(tmp_path / "views2"),
+                         group_col="lang", value_col="text",
+                         value_kernel="utf8_length")
+    view2.rebuild()
+    assert view2.counts() == view.counts()
