@@ -365,6 +365,10 @@ def write_avro(table: pa.Table, path: str, block_rows: int = 4096) -> str:
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(buf.getvalue())
+        f.flush()
+        os.fsync(f.fileno())  # a journaled rename of un-synced data can
+        # survive a crash as a committed-but-torn container (same rule as
+        # lake.LakeFS.publish_*)
     os.replace(tmp, path)
     return path
 

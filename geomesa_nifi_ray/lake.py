@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -145,7 +146,15 @@ class LakeFS:
 
         self.pafs = fs if fs is not None else pafs.LocalFileSystem()
         if rename_capable is None:
-            rename_capable = isinstance(self.pafs, pafs.LocalFileSystem)
+            # local disk renames; so does a SubTreeFileSystem VIEW of local
+            # disk (a direct in-place write there would NOT be atomic —
+            # the no-rename mode's atomic-PUT assumption holds for S3/GCS,
+            # not local-backed wrappers). Other filesystems must state
+            # their capability explicitly.
+            probe = self.pafs
+            while isinstance(probe, pafs.SubTreeFileSystem):
+                probe = probe.base_fs
+            rename_capable = isinstance(probe, pafs.LocalFileSystem)
         self.rename_capable = rename_capable
 
     @property
@@ -194,32 +203,49 @@ class LakeFS:
         with self.pafs.open_input_stream(path) as f:
             return json.loads(f.read().decode())
 
-    def read_parquet(self, path: str, columns: list[str] | None = None) -> pa.Table:
-        return pq.read_table(path, columns=columns, filesystem=self.pafs)
+    def read_parquet(self, path: str, columns: list[str] | None = None,
+                     filters=None) -> pa.Table:
+        return pq.read_table(path, columns=columns, filters=filters,
+                             filesystem=self.pafs)
 
     def read_parquet_schema(self, path: str) -> pa.Schema:
         return pq.read_schema(path, filesystem=self.pafs)
 
     # -- publishes (the exactly-once primitive) ------------------------------
 
+    def _move_replacing(self, tmp: str, path: str) -> None:
+        """Rename with replace semantics on a non-local rename-capable fs.
+        POSIX rename replaces, but Hadoop-style filesystems FAIL a rename
+        to an existing destination — and the crash-replay contract rewrites
+        the same deterministic path with identical content, so replay must
+        overwrite, not abort. Durability caveat: pyarrow exposes no
+        fsync/hsync on generic streams, so (unlike the plain-local branch)
+        the write-then-rename here is only as durable as the backing
+        filesystem's close() semantics — documented, not silently assumed.
+        """
+        try:
+            self.pafs.move(tmp, path)
+        except OSError:
+            if not self.exists(path):
+                raise
+            self.pafs.delete_file(path)
+            self.pafs.move(tmp, path)
+
     def publish_json(self, path: str, payload: dict) -> None:
+        if self.rename_capable and self.is_plain_local:
+            # tmp + FSYNC + atomic rename (a journaled rename of un-synced
+            # data can survive a crash as a committed-but-torn manifest —
+            # the one thing the exactly-once linearization point must rule
+            # out); single implementation shared with the local view-state
+            # writer
+            _atomic_write_json(path, payload)
+            return
         data = json.dumps(payload, indent=1, sort_keys=True).encode()
         if self.rename_capable:
             tmp = f"{path}.tmp.{os.getpid()}"
-            if self.is_plain_local:
-                # the rename contract promises tmp + FSYNC + atomic rename
-                # (a journaled rename of un-synced data can survive a crash
-                # as a committed-but-torn manifest — the one thing the
-                # exactly-once linearization point must rule out)
-                with open(tmp, "wb") as f:
-                    f.write(data)
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.replace(tmp, path)
-                return
             with self.pafs.open_output_stream(tmp) as f:
                 f.write(data)
-            self.pafs.move(tmp, path)
+            self._move_replacing(tmp, path)
         else:
             with self.pafs.open_output_stream(path) as f:
                 f.write(data)
@@ -237,7 +263,7 @@ class LakeFS:
                 return
             with self.pafs.open_output_stream(tmp) as f:
                 pq.write_table(table, f, compression="zstd", write_statistics=True)
-            self.pafs.move(tmp, path)
+            self._move_replacing(tmp, path)
         else:
             with self.pafs.open_output_stream(path) as f:
                 pq.write_table(table, f, compression="zstd", write_statistics=True)
@@ -515,10 +541,17 @@ class LakeTable:
 
         Safe by construction: readers resolve files only through manifests,
         and every retained manifest's file set is kept — including files
-        carried forward from older epochs."""
+        carried forward from older epochs. Files belonging to epochs NEWER
+        than the committed cursor are also kept: an in-flight epoch flushes
+        bucket files before its manifest commits (the hot Lambda view reads
+        them), and deleting them would let the eventual commit publish a
+        manifest pointing at vacuumed paths — permanent corruption the
+        crash-replay protocol cannot repair (the manifest exists, so the
+        epoch never re-runs)."""
         epochs = self.manifest_epochs()
         if not epochs:
             return []
+        committed = epochs[-1]
         keep: set[str] = set()
         # keep the file sets of the last N manifests that actually exist —
         # catch-up commits leave gaps in the epoch numbering, so the log is
@@ -529,11 +562,16 @@ class LakeTable:
                 keep.update(self.chain_files(entry))
         deleted = []
         data_root = os.path.join(self.table_dir, DATA_DIR)
+        ep_re = re.compile(r"(?:epoch|delta)-(\d+)")
         for abs_path in self.fs.walk_files(data_root):
             rel = os.path.relpath(abs_path, self.table_dir)
-            if abs_path.endswith(".parquet") and rel not in keep:
-                self.fs.remove(abs_path)
-                deleted.append(rel)
+            if not abs_path.endswith(".parquet") or rel in keep:
+                continue
+            m = ep_re.search(os.path.basename(abs_path))
+            if m and int(m.group(1)) > committed:
+                continue  # in-flight epoch's flushed-but-uncommitted file
+            self.fs.remove(abs_path)
+            deleted.append(rel)
         return deleted
 
     # -- reads --------------------------------------------------------------
@@ -572,7 +610,15 @@ class LakeTable:
             schema = pa.schema([schema.field(c) for c in columns])
         if not entries:
             return ray.data.from_arrow(schema.empty_table())
-        if all(not e.get("deltas") for e in entries.values()):
+        # Fast path: one parallel multi-file read. Only sound when every
+        # base file shares one schema — a multi-file read_parquet takes its
+        # schema from the FIRST fragment, silently dropping columns that
+        # exist only in later files (and erroring under columns=). After a
+        # schema evolution (schema_version > 1) untouched buckets still
+        # carry pre-evolution files, so evolved tables take the per-bucket
+        # chain path below, whose per-file reads project correctly.
+        if (int(self.meta.get("schema_version", 0)) == 0
+                and all(not e.get("deltas") for e in entries.values())):
             files = [self.abs_path(e["file"]) for e in entries.values()]
             ds = ray.data.read_parquet(
                 files, columns=list(columns) if columns else None,
@@ -646,32 +692,45 @@ class LakeTable:
         schema = self.schema
         if not files:
             return ray.data.from_arrow(schema.empty_table())
-        # offset-range pushdown: pyarrow prunes row groups / rows at the scan
-        import pyarrow.dataset as _pds
+        # One task per epoch file, each read INDIVIDUALLY: epoch files are
+        # schema-heterogeneous (a delta carries _tomb only when its bucket
+        # had deletes that epoch), and a single multi-file read_parquet
+        # takes its schema from the first fragment — the _tomb column would
+        # be silently dropped whenever the first-listed bucket had no
+        # tombstones, turning deletes into upserts downstream. The
+        # offset-range pushdown survives as a per-file read filter.
+        lake_fs = self.fs
 
-        ds = ray.data.read_parquet(
-            files, filter=(_pds.field("offset") >= lo) & (_pds.field("offset") <= hi),
-            filesystem=None if self.fs.is_plain_local else self.fs.pafs,
-        )
-
-        def finish(t: pa.Table) -> pa.Table:
+        def read_changes(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            tomb = (pc.fill_null(t[TOMB_COLUMN], 0)
-                    if TOMB_COLUMN in t.column_names else None)
-            out = project_to_schema(t, schema)
-            if include_ops:
-                if tomb is None:
-                    ops = pa.nulls(out.num_rows, pa.string()).fill_null("upsert")
-                else:
-                    ops = pc.if_else(
-                        pc.equal(pc.cast(tomb, pa.int8()), pa.scalar(1, pa.int8())),
-                        pa.scalar("delete"), pa.scalar("upsert"),
-                    )
-                out = out.append_column("_op", ops)
-            return out
+            out = []
+            for i in batch["i"].to_pylist():
+                t = lake_fs.read_parquet(
+                    files[i],
+                    filters=[("offset", ">=", lo), ("offset", "<=", hi)],
+                )
+                tomb = (pc.fill_null(t[TOMB_COLUMN], 0)
+                        if TOMB_COLUMN in t.column_names else None)
+                rows = project_to_schema(t, schema)
+                if include_ops:
+                    if tomb is None:
+                        ops = pa.nulls(rows.num_rows,
+                                       pa.string()).fill_null("upsert")
+                    else:
+                        ops = pc.if_else(
+                            pc.equal(pc.cast(tomb, pa.int8()),
+                                     pa.scalar(1, pa.int8())),
+                            pa.scalar("delete"), pa.scalar("upsert"),
+                        )
+                    rows = rows.append_column("_op", ops)
+                out.append(rows)
+            return pa.concat_tables(out)
 
-        return ds.map_batches(finish, batch_format="pyarrow")
+        control = ray.data.from_arrow(
+            pa.table({"i": pa.array(range(len(files)), type=pa.int64())})
+        ).repartition(len(files))
+        return control.map_batches(read_changes, batch_format="pyarrow")
 
     def snapshot_table(self, epoch: int | None = None,
                        include_pending: bool = False) -> pa.Table:

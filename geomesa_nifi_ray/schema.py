@@ -51,12 +51,21 @@ def _is_assignable(src: pa.DataType, dst: pa.DataType) -> bool:
         # an all-null column (e.g. payload-less delete events) carries no
         # type information; projection null-fills it into any stored type
         return True
-    numeric_rank = {
-        pa.int8(): 0, pa.int16(): 1, pa.int32(): 2, pa.int64(): 3,
-        pa.float32(): 4, pa.float64(): 5,
-    }
-    if src in numeric_rank and dst in numeric_rank:
-        return numeric_rank[src] <= numeric_rank[dst]
+    # integer widening is always exact; int->float only when every value of
+    # the source type fits the float's mantissa EXACTLY (float32: 24 bits,
+    # float64: 53) — "assignable" is a promise that the projection's safe
+    # cast cannot fail, and pyarrow raises ArrowInvalid for e.g.
+    # int64 16777217 -> float32, which would pass a rank check at the gate
+    # and then crash mid-epoch in the convert stage
+    int_rank = {pa.int8(): 0, pa.int16(): 1, pa.int32(): 2, pa.int64(): 3}
+    if src in int_rank and dst in int_rank:
+        return int_rank[src] <= int_rank[dst]
+    if src in int_rank and dst == pa.float32():
+        return int_rank[src] <= 1          # int8/int16 fit 24 mantissa bits
+    if src in int_rank and dst == pa.float64():
+        return int_rank[src] <= 2          # up to int32 fits 53 bits
+    if src == pa.float32() and dst == pa.float64():
+        return True
     string_like = {pa.string(), pa.large_string()}
     if src in string_like and dst in string_like:
         return True

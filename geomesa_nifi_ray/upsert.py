@@ -32,15 +32,36 @@ def _key_codes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     enc = col.dictionary_encode()
-    return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = enc.indices
+    if idx.null_count:
+        # null keys (dead-lettered upstream, but this kernel must still be
+        # total): group them together under code -1 — a NaN->int64 cast is
+        # undefined behavior with a platform-dependent winner
+        idx = pc.fill_null(idx, -1)
+    return idx.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 def _order_arrays(table: pa.Table, order: list[str]) -> list[np.ndarray]:
+    """Order columns as numpy arrays with nulls filled to the type MINIMUM:
+    a null order value must LOSE to every real value — the same verdict the
+    delta path's ``lex_ge`` reaches (NaN comparisons are False, change
+    loses), so the full-merge and delta paths agree. An unfixed null would
+    surface as NaN, which ``np.lexsort`` places LAST, spuriously WINNING
+    the LWW."""
     out = []
     for c in order:
         col = table[c]
         if pa.types.is_timestamp(col.type):
             col = pc.cast(col, pa.int64())
+        if col.null_count:
+            if pa.types.is_floating(col.type):
+                col = pc.fill_null(col, float("-inf"))
+            elif pa.types.is_integer(col.type):
+                col = pc.fill_null(
+                    col, pa.scalar(np.iinfo(col.type.to_pandas_dtype()).min,
+                                   col.type))
+            else:  # string-typed order columns: empty sorts first
+                col = pc.fill_null(col, "")
         out.append(col.to_numpy(zero_copy_only=False))
     return out
 
@@ -126,10 +147,12 @@ def merge_update(
     if changes.num_rows == 0:
         return base, unmatched
 
-    # align: position of each base row's key in the (deduped) change table
-    change_index = {u: i for i, u in enumerate(changes[key].to_pylist())}
-    base_urls = base[key].to_pylist()
-    take_idx = np.array([change_index.get(u, -1) for u in base_urls], dtype=np.int64)
+    # align: position of each base row's key in the (deduped) change table —
+    # vectorized (pc.index_in); a Python dict over every base key would make
+    # the update merge O(bucket rows) of string materialization per epoch
+    idx_arr = pc.index_in(base_keys, value_set=changes[key].combine_chunks())
+    take_idx = pc.fill_null(idx_arr, -1).to_numpy(
+        zero_copy_only=False).astype(np.int64)
     has_update = take_idx >= 0
     safe_idx = np.where(has_update, take_idx, 0)
     update_cols = [c for c in changes.column_names if c != key and c in base.column_names]
