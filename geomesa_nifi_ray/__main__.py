@@ -302,9 +302,17 @@ def main(argv: list[str] | None = None) -> int:
             applied = "rebuild"
         else:
             applied = view.refresh(**refresh_kwargs)
+        if args.state == "keyed" and not args.show:
+            # keyed state exists precisely so group counts never
+            # materialize on the driver: count distributed
+            vt = view.engine.table
+            groups = (int(vt.snapshot_dataset(columns=["k"]).count())
+                      if vt.committed_epoch() is not None else 0)
+        else:
+            groups = len(view.counts())
         out = {"state": args.state, "group": args.group,
                "epochs_applied": applied,
-               "groups": len(view.counts())}
+               "groups": groups}
         if args.show:
             out["counts"] = view.counts()
         print(json.dumps(out, sort_keys=True))

@@ -102,6 +102,16 @@ class GroupCountView:
                 _atomic_write_json(self._path, state)
                 applied += 1
                 continue
+            if m.get("mode") == "rewrite":
+                # out-of-band rewrite: offsets do not advance
+                # (offset_min/max = -1) so the epoch delta is empty by
+                # construction — recompute from the snapshot AT this epoch
+                # instead of silently advancing the cursor past a change
+                state = {"last_epoch": int(e),
+                         "counts": self._recompute_counts(epoch=e)}
+                _atomic_write_json(self._path, state)
+                applied += 1
+                continue
             prev = epochs[i - 1] if i > 0 else None
             delta = self._epoch_delta(e, prev, manifest=m)
             counts = dict(state["counts"])
@@ -124,19 +134,26 @@ class GroupCountView:
 
     def rebuild(self) -> None:
         """Full recompute (bootstrap, or after an out-of-band rewrite)."""
+        _atomic_write_json(self._path, {
+            "last_epoch": self.table.committed_epoch(),
+            "counts": self._recompute_counts(),
+        })
+
+    def _recompute_counts(self, epoch: int | None = None) -> dict[str, int]:
+        """Full distributed recompute of the counts map at ``epoch``
+        (default: latest committed). Only the folded map reaches the
+        driver — O(groups), the JSON-state cardinality contract."""
         import ray.data  # noqa: F401  (callers own the session)
 
-        ds = self.table.snapshot_dataset(columns=self._read_columns())
-        agg = {}
+        ds = self.table.snapshot_dataset(epoch=epoch,
+                                         columns=self._read_columns())
+        agg: dict[str, int] = {}
         for blk in ds.map_batches(self._partials,
                                   batch_format="pyarrow").iter_batches(
                                       batch_format="pyarrow"):
             for k, n in zip(blk["k"].to_pylist(), blk["n"].to_pylist()):
                 agg[k] = agg.get(k, 0) + int(n)
-        _atomic_write_json(self._path, {
-            "last_epoch": self.table.committed_epoch(),
-            "counts": {k: v for k, v in agg.items() if v},
-        })
+        return {k: v for k, v in agg.items() if v}
 
     # -- internals -----------------------------------------------------------
 
@@ -265,6 +282,15 @@ def epoch_group_delta_dataset(table: LakeTable, col: str, epoch: int,
                     pc.fill_null(new[TOMB_COLUMN], 0),
                     pa.scalar(1, pa.int8()))))
             if live_new.num_rows:
+                if (value_col is not None
+                        and value_col not in live_new.column_names):
+                    # pre-evolution epoch file without the value column:
+                    # null values contribute nothing to the SUM (same rule
+                    # as the rebuild path), so null-fill rather than KeyError
+                    live_new = live_new.append_column(
+                        value_col,
+                        pa.nulls(live_new.num_rows,
+                                 full_schema.field(value_col).type))
                 sel = [col] + ([value_col] if value_col is not None else [])
                 plus = _partial_agg(live_new.select(sel), col,
                                     value_col, value_kernel)
@@ -419,12 +445,23 @@ class KeyedGroupCountView:
                 self.engine.truncate(epoch=e)
                 applied += 1
                 continue
-            prev = epochs[i - 1] if i > 0 else None
             # catch-up source lakes commit ONE manifest covering an epoch
             # span (epochs_covered); mirror the span so the view's epoch
             # numbering stays 1:1 with the source numbering it tracks
             vc = self.engine.table.committed_epoch()
             expected = 0 if vc is None else vc + 1
+            if m.get("mode") == "rewrite":
+                # out-of-band rewrite: offsets do not advance
+                # (offset_min/max = -1) so the epoch delta is empty by
+                # construction. Recompute from the source snapshot AT this
+                # epoch and commit it as this view epoch — advancing the
+                # cursor with an empty delta would leave the view
+                # permanently stale (rebuild()'s cursor guard would then
+                # see nothing to do)
+                self._rebuild_at(e, epochs_covered=(expected, e))
+                applied += 1
+                continue
+            prev = epochs[i - 1] if i > 0 else None
             if distributed:
                 self._apply_delta_distributed(e, prev, m,
                                               epochs_covered=(expected, e))
@@ -436,19 +473,38 @@ class KeyedGroupCountView:
             applied += 1
         return applied
 
-    def rebuild(self) -> None:
-        """Full recompute as ONE catch-up view epoch (bootstrap, or after an
-        out-of-band source rewrite): recompute all counts, diff against the
-        view's current keys so vanished groups become tombstones, and land
-        the view cursor exactly at the source's committed epoch via
-        ``epochs_covered``. O(total groups) by definition."""
+    def rebuild(self, force: bool = False) -> None:
+        """Full recompute as ONE catch-up view epoch (bootstrap, or repair):
+        recompute all counts, diff against the view's current keys so
+        vanished groups become tombstones, and land the view cursor exactly
+        at the source's committed epoch via ``epochs_covered``. O(total
+        groups) by definition.
+
+        ``force=True`` repairs a view whose cursor already sits at the
+        source's committed epoch but whose counts are suspect (e.g. the
+        view log predates rewrite-aware ``refresh``). The commit log is
+        append-only and 1:1 with source numbering, so the repair RESETS the
+        view's lake table (all files under its table dir are removed) and
+        bootstrap-commits one catch-up epoch covering ``(0, src_committed)``
+        — cursor parity and all invariants are restored in one epoch."""
         src_committed = self.table.committed_epoch()
         if src_committed is None:
             return
         view_committed = self.engine.table.committed_epoch()
         if view_committed is not None and view_committed >= src_committed:
-            return
-        ds = self.table.snapshot_dataset(columns=[self.col])
+            if not force:
+                return
+            self._reset_view_table()
+            view_committed = None
+        expected = 0 if view_committed is None else view_committed + 1
+        self._rebuild_at(src_committed,
+                         epochs_covered=(expected, src_committed))
+
+    def _rebuild_at(self, epoch: int,
+                    epochs_covered: tuple[int, int]) -> None:
+        """Recompute counts from the source snapshot AT ``epoch`` and commit
+        them as view epoch ``epoch`` (tombstoning groups that vanished)."""
+        ds = self.table.snapshot_dataset(epoch=epoch, columns=[self.col])
         counts: dict[str, int] = {}
         col = self.col
         for blk in ds.map_batches(
@@ -457,12 +513,32 @@ class KeyedGroupCountView:
             for k, n in zip(blk["k"].to_pylist(), blk["n"].to_pylist()):
                 counts[k] = counts.get(k, 0) + int(n)
         stale = [k for k in self._existing_keys() if k not in counts]
-        expected = 0 if view_committed is None else view_committed + 1
         self._commit_events(
             upserts={k: v for k, v in counts.items() if v},
             deletes=stale,
-            epoch=src_committed,
-            epochs_covered=(expected, src_committed),
+            epoch=epoch,
+            epochs_covered=epochs_covered,
+        )
+
+    def _reset_view_table(self) -> None:
+        """Remove every file of the VIEW's lake table and re-open the
+        engine on the now-empty dir (``CDCEngine`` recreates ``_table.json``
+        on construction). Local-FS and object-store safe: file removals
+        only, directories are left behind/virtual."""
+        from geomesa_nifi_ray.engine import CDCEngine, make_generic_convert_fn
+
+        vt = self.engine.table
+        for f in vt.fs.walk_files(vt.table_dir):
+            vt.fs.remove(f)
+        self.engine = CDCEngine(
+            self.engine.lake_root,
+            table_name=self.engine.table_name,
+            num_buckets=vt.num_buckets,
+            schema=self.VIEW_SCHEMA,
+            key="k",
+            order=("offset",),
+            convert_fn_factory=make_generic_convert_fn,
+            lake_fs=vt.fs,
         )
 
     # -- internals --------------------------------------------------------------

@@ -691,7 +691,10 @@ class LakeTable:
         ]
         schema = self.schema
         if not files:
-            return ray.data.from_arrow(schema.empty_table())
+            empty = schema.empty_table()
+            if include_ops:
+                empty = empty.append_column("_op", pa.array([], pa.string()))
+            return ray.data.from_arrow(empty)
         # One task per epoch file, each read INDIVIDUALLY: epoch files are
         # schema-heterogeneous (a delta carries _tomb only when its bucket
         # had deletes that epoch), and a single multi-file read_parquet
@@ -725,6 +728,14 @@ class LakeTable:
                         )
                     rows = rows.append_column("_op", ops)
                 out.append(rows)
+            if not out:
+                # an empty control batch (possible after repartition) must
+                # yield an empty table, not a concat_tables ValueError
+                empty = schema.empty_table()
+                if include_ops:
+                    empty = empty.append_column(
+                        "_op", pa.array([], pa.string()))
+                return empty
             return pa.concat_tables(out)
 
         control = ray.data.from_arrow(

@@ -35,9 +35,15 @@ def _key_codes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     idx = enc.indices
     if idx.null_count:
         # null keys (dead-lettered upstream, but this kernel must still be
-        # total): group them together under code -1 — a NaN->int64 cast is
-        # undefined behavior with a platform-dependent winner
-        idx = pc.fill_null(idx, -1)
+        # total): each null row gets a UNIQUE negative code so distinct
+        # null-key rows pass through as singleton groups instead of
+        # LWW-merging unrelated rows into one survivor (and a NaN->int64
+        # cast would be undefined behavior with a platform-dependent winner)
+        mask = pc.is_null(idx).to_numpy(zero_copy_only=False)
+        codes = pc.fill_null(idx, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        codes[mask] = -np.arange(1, int(mask.sum()) + 1, dtype=np.int64)
+        return codes
     return idx.to_numpy(zero_copy_only=False).astype(np.int64)
 
 

@@ -39,6 +39,14 @@ def test_cli_synth_replay_status_egress_vacuum(tmp_path):
     assert r["committed_epoch"] == 5 and r["table_rows"] > 0
     assert 0 < r["hottest_bucket_share"] < 1
 
+    # keyed view CLI: group count comes from a distributed count (no
+    # O(total groups) driver snapshot without --show)
+    r = _run_cli("view", "--lake", lake, "--group", "lang",
+                 "--state", "keyed", "--distributed")
+    assert r["epochs_applied"] == 6 and r["groups"] > 0
+    rj = _run_cli("view", "--lake", lake, "--group", "lang", "--show")
+    assert r["groups"] == len(rj["counts"]) == rj["groups"]
+
     r = _run_cli("egress", "--lake", lake, "--epoch", "1", "--out",
                  str(tmp_path / "eg"), "--format", "jsonl")
     assert r["rows"] > 0

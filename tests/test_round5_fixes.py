@@ -1,0 +1,254 @@
+"""Round-5 regression tests for the round-4 ADVICE.md findings.
+
+1. (medium) KeyedGroupCountView.refresh() across a ``rewrite_epoch``
+   manifest must not advance the cursor with an empty delta — the view
+   would be permanently stale and rebuild()'s cursor guard would no-op.
+   refresh() now recomputes at the rewrite epoch; rebuild(force=True)
+   repairs legacy-stale views by resetting the view table.
+2. GroupCountView / GroupSumView (JSON state) refresh() across a rewrite
+   epoch recomputes instead of applying an empty delta.
+3. epoch_group_delta's plus side null-fills a genuinely missing value
+   column (pre-evolution epoch files) instead of raising KeyError.
+4. LWW kernels: distinct null-key rows must each survive (never merge
+   into one).
+5. epoch_changes_dataset(include_ops=True) keeps the ``_op`` column on
+   the empty-epoch early return and on empty control batches.
+"""
+
+import collections
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from geomesa_nifi_ray.engine import CDCEngine
+
+
+def _lang_counts_of(snap):
+    return {k: v for k, v in
+            collections.Counter(snap["lang"].to_pylist()).items()
+            if k is not None}
+
+
+def _epoch(eng, epoch, urls, langs, ts0, off0, ops=None, htmls=None):
+    import ray.data
+
+    n = len(urls)
+    t = {
+        "url": pa.array(urls),
+        "warc_ts": pa.array([ts0 + i for i in range(n)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array(
+            htmls if htmls is not None else
+            [None if (ops and ops[i] == "delete") else b"<p>x</p>"
+             for i in range(n)], pa.large_binary()),
+        "lang": pa.array(langs, pa.string()),
+        "offset": pa.array([off0 + i for i in range(n)], pa.int64()),
+    }
+    if ops:
+        t["_op"] = pa.array(ops, pa.string())
+    eng.apply_epoch(ray.data.from_arrow(pa.table(t)), epoch=epoch,
+                    offset_range=(off0, off0 + n - 1))
+
+
+def _rewrite_langs(eng):
+    """Out-of-band rewrite: every non-'en' lang becomes 'xx'."""
+    def rw(batch):
+        lang = batch["lang"]
+        new = pc.if_else(pc.equal(pc.fill_null(lang, ""), "en"), lang,
+                         pa.scalar("xx", pa.string()))
+        return batch.set_column(batch.column_names.index("lang"), "lang", new)
+
+    eng.rewrite_epoch(rw)
+
+
+# -- 1: keyed view vs rewrite epochs ---------------------------------------
+
+def test_keyed_view_refresh_recomputes_across_rewrite(ray_session, tmp_path):
+    from geomesa_nifi_ray.derived import KeyedGroupCountView
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    view = KeyedGroupCountView(eng.table, str(tmp_path / "kview"),
+                               group_col="lang", num_buckets=4)
+    _epoch(eng, 0, [f"https://k/{i}" for i in range(6)],
+           ["en", "en", "de", "de", "fr", "fr"], 1_000_000, 0)
+    assert view.refresh() == 1
+    _rewrite_langs(eng)  # commits a mode='rewrite' manifest (epoch 1)
+
+    # refresh alone must land the correct counts — no rebuild() needed
+    assert view.refresh() == 1
+    assert view.last_epoch() == eng.table.committed_epoch() == 1
+    expect = _lang_counts_of(eng.table.snapshot_table())
+    assert view.counts() == expect == {"en": 2, "xx": 4}
+    for stale in ("de", "fr"):
+        assert stale not in view.counts()
+
+    # and incremental refresh continues seamlessly after the rewrite
+    _epoch(eng, 2, ["https://k/0"], ["pt"], 2_000_000, 10)
+    assert view.refresh() == 1
+    assert view.counts() == _lang_counts_of(eng.table.snapshot_table())
+
+
+def test_keyed_view_rebuild_force_repairs_stale_parity(ray_session, tmp_path):
+    """A view whose cursor reached the source's committed epoch with stale
+    counts (the legacy empty-delta-over-rewrite trap): rebuild() is a no-op
+    by the cursor guard, rebuild(force=True) must repair."""
+    from geomesa_nifi_ray.derived import KeyedGroupCountView
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    view = KeyedGroupCountView(eng.table, str(tmp_path / "kview"),
+                               group_col="lang", num_buckets=4)
+    _epoch(eng, 0, [f"https://k/{i}" for i in range(6)],
+           ["en", "en", "de", "de", "fr", "fr"], 1_000_000, 0)
+    view.refresh()
+    _rewrite_langs(eng)
+    # replicate the legacy behavior: commit an EMPTY view epoch over the
+    # rewrite, leaving the cursor at parity with stale counts
+    view._commit_events({}, [], epoch=1, epochs_covered=(1, 1))
+    assert view.last_epoch() == eng.table.committed_epoch() == 1
+    stale = view.counts()
+    assert stale == {"en": 2, "de": 2, "fr": 2}  # wrong: rewrite not seen
+
+    view.rebuild()  # guard: cursor at parity -> no-op
+    assert view.counts() == stale
+
+    view.rebuild(force=True)
+    expect = _lang_counts_of(eng.table.snapshot_table())
+    assert view.counts() == expect == {"en": 2, "xx": 4}
+    assert view.last_epoch() == eng.table.committed_epoch()
+
+    # the reset view keeps working incrementally afterwards
+    _epoch(eng, 2, ["https://k/1"], ["pt"], 2_000_000, 10)
+    assert view.refresh() == 1
+    assert view.counts() == _lang_counts_of(eng.table.snapshot_table())
+
+
+def test_keyed_view_distributed_refresh_across_rewrite(ray_session, tmp_path):
+    from geomesa_nifi_ray.derived import KeyedGroupCountView
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    view = KeyedGroupCountView(eng.table, str(tmp_path / "kview"),
+                               group_col="lang", num_buckets=4)
+    _epoch(eng, 0, [f"https://k/{i}" for i in range(6)],
+           ["en", "en", "de", "de", "fr", "fr"], 1_000_000, 0)
+    _rewrite_langs(eng)
+    assert view.refresh(distributed=True) == 2
+    assert view.counts() == _lang_counts_of(eng.table.snapshot_table())
+    assert view.last_epoch() == eng.table.committed_epoch()
+
+
+# -- 2: JSON views vs rewrite epochs ---------------------------------------
+
+def test_json_views_refresh_recompute_across_rewrite(ray_session, tmp_path):
+    from geomesa_nifi_ray.derived import GroupCountView, GroupSumView
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    cview = GroupCountView(eng.table, str(tmp_path / "v"), group_col="lang")
+    sview = GroupSumView(eng.table, str(tmp_path / "v"), group_col="lang",
+                         value_col="text", value_kernel="utf8_length")
+    _epoch(eng, 0, [f"https://k/{i}" for i in range(4)],
+           ["en", "en", "de", "fr"], 1_000_000, 0,
+           htmls=[b"<p>aa</p>", b"<p>bbb</p>", b"<p>cccc</p>", b"<p>d</p>"])
+    assert cview.refresh() == 1 and sview.refresh() == 1
+    _rewrite_langs(eng)
+    assert cview.refresh() == 1
+    assert sview.refresh() == 1
+    assert cview.counts() == _lang_counts_of(eng.table.snapshot_table())
+    assert cview.counts() == {"en": 2, "xx": 2}
+    assert sview.counts() == {"en": 5, "xx": 5}
+    # cursor parity: a later normal epoch still applies incrementally
+    _epoch(eng, 2, ["https://k/0"], ["pt"], 2_000_000, 10,
+           htmls=[b"<p>zz</p>"])
+    assert cview.refresh() == 1 and sview.refresh() == 1
+    assert cview.counts() == _lang_counts_of(eng.table.snapshot_table())
+    assert sview.counts() == {"en": 3, "xx": 5, "pt": 2}
+
+
+# -- 3: plus-side value column missing from a pre-evolution epoch file -----
+
+def test_sum_view_over_pre_evolution_epoch_files(ray_session, tmp_path):
+    """Epoch 0 is written BEFORE the value column exists; the sum view's
+    delta read of that epoch file must null-fill (contribute nothing), not
+    raise KeyError."""
+    import ray.data
+
+    from geomesa_nifi_ray.derived import GroupSumView
+    from geomesa_nifi_ray.engine import make_generic_convert_fn
+
+    v0 = pa.schema([
+        pa.field("k", pa.string()),
+        pa.field("g", pa.string()),
+        pa.field("offset", pa.int64()),
+        pa.field("content_hash", pa.string()),
+    ])
+    v1 = v0.insert(2, pa.field("v", pa.string()))
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2, schema=v0,
+                    key="k", order=("offset",),
+                    convert_fn_factory=make_generic_convert_fn)
+
+    def events(rows, epoch, off0):
+        t = pa.table({
+            "k": pa.array([r[0] for r in rows], pa.string()),
+            "g": pa.array([r[1] for r in rows], pa.string()),
+            "offset": pa.array([off0 + i for i in range(len(rows))],
+                               pa.int64()),
+            **({"v": pa.array([r[2] for r in rows], pa.string())}
+               if len(rows[0]) > 2 else {}),
+        })
+        eng.apply_epoch(ray.data.from_arrow(t), epoch=epoch,
+                        offset_range=(off0, off0 + len(rows) - 1))
+
+    events([("k0", "en"), ("k1", "en"), ("k2", "de"), ("k3", "fr")],
+           epoch=0, off0=0)
+    assert "v" not in eng.table.fs.read_parquet_schema(
+        eng.table.abs_path(
+            next(iter(eng.table.manifest(0)["buckets"].values()))["file"])
+    ).names
+    # additive evolution: the stored schema gains `v`
+    eng.table.set_schema(v1)
+    events([("k4", "en", "hello")], epoch=1, off0=10)
+
+    sview = GroupSumView(eng.table, str(tmp_path / "vw"), group_col="g",
+                         value_col="v", value_kernel="utf8_length")
+    assert sview.refresh() == 2  # epoch 0 (no value column) + epoch 1
+    # epoch-0 rows contribute nothing (null v); sparse contract: zero-sum
+    # groups (de/fr, and en's epoch-0 rows) are not materialized
+    assert sview.counts() == {"en": 5}
+
+    fresh = GroupSumView(eng.table, str(tmp_path / "vw2"), group_col="g",
+                         value_col="v", value_kernel="utf8_length")
+    fresh.rebuild()
+    assert fresh.counts() == sview.counts()
+
+
+# -- 4: null keys never LWW-merge -------------------------------------------
+
+def test_lww_null_keys_pass_through_as_singletons():
+    from geomesa_nifi_ray.upsert import lww_dedupe
+
+    t = pa.table({
+        "url": pa.array([None, "a", None, None, "a"], pa.string()),
+        "warc_ts": pa.array([5, 1, 3, 4, 2], pa.int64()),
+        "offset": pa.array([0, 1, 2, 3, 4], pa.int64()),
+    })
+    out = lww_dedupe(t, "url", ["warc_ts", "offset"])
+    # 'a' dedupes to its winner; every null-key row survives untouched
+    assert out.num_rows == 4
+    keys = out["url"].to_pylist()
+    assert keys.count(None) == 3
+    a_rows = out.filter(pc.equal(pc.fill_null(out["url"], ""), "a"))
+    assert a_rows["warc_ts"].to_pylist() == [2]
+    null_ts = sorted(out.filter(pc.is_null(out["url"]))["warc_ts"].to_pylist())
+    assert null_ts == [3, 4, 5]
+
+
+# -- 5: epoch_changes_dataset include_ops schema stability -------------------
+
+def test_epoch_changes_include_ops_empty_epoch_schema(ray_session, tmp_path):
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    _epoch(eng, 0, ["https://k/0", "https://k/1"], ["en", "de"], 5_000_000, 0)
+    # stale replay: every event LOSES the LWW -> net rows_changed == 0
+    _epoch(eng, 1, ["https://k/0"], ["zz"], 1_000, 10)
+    ds = eng.table.epoch_changes_dataset(1, include_ops=True)
+    assert "_op" in ds.schema().names
+    assert ds.count() == 0
