@@ -1030,7 +1030,12 @@ def q_langid_documents(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
                                override_num_blocks=_DOC_BLOCKS)
-    out = ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 8))
+    # instance => task pool: the stage state is a few KB of stopword
+    # arrays (pickled per task for free), and the vectorized kernel needs
+    # no per-actor warmup — an actor pool pays ~1.2 s startup for nothing
+    # at ANY scale (actor pools stay for heavy-state stages: multimodal
+    # decoders, converter plans)
+    out = ds.map_batches(LangIdStage(), batch_format="pyarrow")
     return out.select_columns(["doc_id", "lang_pred"])
 
 
@@ -1039,7 +1044,10 @@ def q_quality_score_documents(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
                                override_num_blocks=_DOC_BLOCKS)
-    out = ds.map_batches(QualityStage, batch_format="pyarrow", concurrency=(1, 8))
+    # instance => task pool (see q_langid_documents); the per-codepoint
+    # isalpha memo then lives per task, which stays exact — it is a pure
+    # cache, not cross-batch state
+    out = ds.map_batches(QualityStage(), batch_format="pyarrow")
     return out.select_columns(["doc_id", "quality_score", "stopword_ratio", "alpha_ratio"])
 
 

@@ -26,16 +26,73 @@ _PUNCT_RE = re.compile(r"[.!?,;:]")
 _WORD_RE = re.compile(r"[a-zA-ZÀ-ÿ]+")
 
 
+def _np_i64(arr) -> np.ndarray:
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+_ASCII_ALPHA = np.zeros(128, np.bool_)
+_ASCII_ALPHA[ord("a"):ord("z") + 1] = True
+_ASCII_ALPHA[ord("A"):ord("Z") + 1] = True
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, utf8 bytes) of a non-null string/large_string array,
+    zero-copy, slice-offset corrected. Offsets are relative to the byte
+    segment returned (offs[0] == 0)."""
+    off_dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], off_dt,
+                         count=len(arr) + 1 + arr.offset)[arr.offset:]
+    data = np.frombuffer(bufs[2], np.uint8, count=int(offs[-1]))
+    return (offs - offs[0]).astype(np.int64), data[offs[0]:offs[-1]]
+
+
+def _utf8_codepoints(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized UTF-8 decode: (byte position of each codepoint start,
+    decoded codepoints). Arrow guarantees valid UTF-8, so no error paths."""
+    starts = np.flatnonzero((data & 0xC0) != 0x80)
+    lead = data[starts].astype(np.int32)
+    cp = lead.copy()
+    multi = lead >= 0xC0
+    if multi.any():
+        pad = np.concatenate([data, np.zeros(3, np.uint8)])
+        c1 = pad[starts + 1].astype(np.int32) & 0x3F
+        c2 = pad[starts + 2].astype(np.int32) & 0x3F
+        c3 = pad[starts + 3].astype(np.int32) & 0x3F
+        m2 = multi & (lead < 0xE0)
+        m3 = (lead >= 0xE0) & (lead < 0xF0)
+        m4 = lead >= 0xF0
+        cp = np.where(m2, ((lead & 0x1F) << 6) | c1, cp)
+        cp = np.where(m3, ((lead & 0x0F) << 12) | (c1 << 6) | c2, cp)
+        cp = np.where(m4,
+                      ((lead & 0x07) << 18) | (c1 << 12) | (c2 << 6) | c3,
+                      cp)
+    return starts, cp
+
+
 class LangIdStage:
     """Heuristic language ID: CJK character ratio first, else the language
     whose stopword set covers the most tokens. Deterministic; ties resolve
-    alphabetically. 'und' when nothing matches."""
+    alphabetically. 'und' when nothing matches.
+
+    Vectorized end-to-end: Arrow RE2 kernels slice/tokenize the column,
+    ``is_in`` against the stopword sets + ``np.bincount`` segment sums
+    replace the per-word Python loop (round-4 verdict item #2; equivalence
+    vs the scalar reference is property-tested). ~35x over the loop at
+    sf0.1 document shapes (BASELINE.md "langid/quality vectorization")."""
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
         self.text_col, self.out_col = text_col, out_col
         self.profiles = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+        self._langs = sorted(self.profiles)
+        self._stop_arrays = {
+            lang: pa.array(sorted(self.profiles[lang]), type=pa.string())
+            for lang in self._langs
+        }
 
     def classify(self, text: str | None) -> str:
+        """Scalar reference implementation (the spec the vectorized batch
+        kernel is equivalence-tested against; not used on the hot path)."""
         if not text:
             return "und"
         if len(_CJK_RE.findall(text[:2000])) > 0.05 * min(len(text), 2000):
@@ -50,60 +107,193 @@ class LangIdStage:
                 best_lang, best = lang, hits
         return best_lang if best >= max(1, len(words) // 50) else "und"
 
+    def _classify_batch(self, col) -> pa.Array:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        text = pc.fill_null(pc.cast(col, pa.string()), "")
+        full_len = _np_i64(pc.utf8_length(text))
+        # CJK gate: ratio of CJK codepoints in the first 2000 codepoints
+        # vs min(len, 2000) — identical arithmetic to the scalar reference
+        head2k = pc.utf8_slice_codeunits(text, 0, 2000)
+        cjk = _np_i64(pc.count_substring_regex(head2k, _CJK_RE.pattern))
+        is_zh = cjk > 0.05 * np.minimum(full_len, 2000)
+        # tokenize case-SENSITIVELY first, lowercase the flat token array
+        # after — exactly findall(WORD_RE)-then-lower (lowercasing first
+        # could shift token boundaries, e.g. U+0130 -> 'i' + combining dot)
+        head4k = pc.utf8_slice_codeunits(text, 0, 4000)
+        toks = pc.split_pattern_regex(head4k, "[^a-zA-ZÀ-ÿ]+")
+        flat = pc.list_flatten(toks)
+        parents = _np_i64(pc.list_parent_indices(toks))
+        # lowercase + 4x set membership on DISTINCT tokens only, gathered
+        # back through the dictionary codes (tokens repeat heavily)
+        enc = flat.dictionary_encode()
+        codes = _np_i64(enc.indices)
+        uniq = enc.dictionary
+        uniq_low = pc.utf8_lower(uniq)
+        nonempty = pc.not_equal(uniq, "").to_numpy(
+            zero_copy_only=False)[codes] if len(uniq) else np.zeros(0, bool)
+        nwords = np.bincount(parents[nonempty], minlength=n)
+        hits = np.zeros((len(self._langs), n), np.int64)
+        for i, lang in enumerate(self._langs):
+            m_u = pc.is_in(uniq_low, value_set=self._stop_arrays[lang])
+            sel = m_u.to_numpy(zero_copy_only=False)[codes]
+            if sel.any():
+                hits[i] = np.bincount(parents[sel], minlength=n)
+        # argmax returns the FIRST max over the alphabetically-sorted langs
+        # — the reference loop's strictly-greater update rule
+        best = hits.max(axis=0)
+        lang_arr = np.array(self._langs, dtype=object)[hits.argmax(axis=0)]
+        pred = np.where(best >= np.maximum(1, nwords // 50), lang_arr, "und")
+        pred = np.where(nwords == 0, "und", pred)
+        pred = np.where(is_zh, "zh", pred)
+        pred = np.where(full_len == 0, "und", pred)
+        return pa.array(pred, type=pa.string())
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self.classify(t) for t in batch[self.text_col].to_pylist()]
-        return batch.append_column(self.out_col, pa.array(preds, type=pa.string()))
+        return batch.append_column(
+            self.out_col, self._classify_batch(batch[self.text_col]))
 
 
 class QualityStage:
     """Quality-signal columns: char/token counts, punctuation density,
-    stopword ratio, mean word length, alpha ratio, and a [0,1] composite."""
+    stopword ratio, mean word length, alpha ratio, and a [0,1] composite.
+
+    Vectorized: RE2 count kernels for chars/punct, a numpy UTF-8 decoder +
+    ``str.isalpha`` lookups memoized per DISTINCT non-ASCII codepoint for
+    the alpha ratio (exactly CPython's Unicode tables, and ~20x faster
+    than an RE2 ``\\p{L}`` scan, which re-enters the automaton per match),
+    Arrow ``utf8_split_whitespace`` + dictionary-encode + ``np.bincount``
+    segment sums for the per-token signals — no per-character/per-word
+    Python on the hot path (round-4 verdict item #2; equivalence vs the
+    scalar reference is property-tested)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self.en_stop = _STOPWORDS["en"]
+        self._stop_array = pa.array(sorted(self.en_stop), type=pa.string())
+        # isalpha verdict per non-ASCII codepoint, shared across batches
+        # (actor mode) — web text repeats a small distinct-codepoint set
+        self._cp_alpha: dict[int, bool] = {}
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
+    def _alpha_counts(self, text: pa.Array) -> np.ndarray:
+        """Per-row count of alphabetic codepoints (== the scalar
+        reference's ``sum(c.isalpha())``): decode UTF-8 in numpy, table-
+        lookup ASCII, memoized ``chr(cp).isalpha()`` for the (few)
+        distinct non-ASCII codepoints, then one cumsum + offset diff."""
+        offs, data = _string_buffers(text)
+        if data.size == 0:
+            return np.zeros(len(text), np.int64)
+        starts, cps = _utf8_codepoints(data)
+        flags = np.zeros(len(cps), np.bool_)
+        ascii_m = cps < 128
+        flags[ascii_m] = _ASCII_ALPHA[cps[ascii_m]]
+        non_ascii = cps[~ascii_m]
+        if non_ascii.size:
+            uniq = np.unique(non_ascii)
+            cache = self._cp_alpha
+            for c in uniq:
+                ci = int(c)
+                if ci not in cache:
+                    cache[ci] = chr(ci).isalpha()
+            vals = np.fromiter((cache[int(c)] for c in uniq), np.bool_,
+                               count=len(uniq))
+            flags[~ascii_m] = vals[np.searchsorted(uniq, non_ascii)]
+        per_byte = np.zeros(data.size + 1, np.int64)
+        per_byte[starts + 1] = flags
+        cum = np.cumsum(per_byte)
+        return cum[offs[1:]] - cum[offs[:-1]]
+
+    def _signals_ref(self, texts: list[str | None]) -> dict[str, np.ndarray]:
+        """Scalar reference implementation (equivalence-test spec only)."""
         n = len(texts)
-        n_chars = np.zeros(n, np.int64)
-        n_tokens = np.zeros(n, np.int64)
-        punct_ratio = np.zeros(n, np.float64)
-        stop_ratio = np.zeros(n, np.float64)
-        mean_word_len = np.zeros(n, np.float64)
-        alpha_ratio = np.zeros(n, np.float64)
+        out = {
+            "n_chars_q": np.zeros(n, np.int64),
+            "n_tokens": np.zeros(n, np.int64),
+            "punct_ratio": np.zeros(n, np.float64),
+            "stopword_ratio": np.zeros(n, np.float64),
+            "mean_word_len": np.zeros(n, np.float64),
+            "alpha_ratio": np.zeros(n, np.float64),
+        }
         for i, t in enumerate(texts):
             if not t:
                 continue
-            n_chars[i] = len(t)
+            out["n_chars_q"][i] = len(t)
             toks = t.split()
-            n_tokens[i] = len(toks)
-            punct_ratio[i] = len(_PUNCT_RE.findall(t)) / len(t)
-            alpha = sum(1 for c in t if c.isalpha())
-            alpha_ratio[i] = alpha / len(t)
+            out["n_tokens"][i] = len(toks)
+            out["punct_ratio"][i] = len(_PUNCT_RE.findall(t)) / len(t)
+            out["alpha_ratio"][i] = sum(1 for c in t if c.isalpha()) / len(t)
             if toks:
                 low = [w.lower() for w in toks]
-                stop_ratio[i] = sum(1 for w in low if w in self.en_stop) / len(toks)
-                mean_word_len[i] = sum(len(w) for w in toks) / len(toks)
-        score = np.clip(
-            0.3 * np.clip(n_tokens / 100.0, 0, 1)
-            + 0.3 * alpha_ratio
-            + 0.2 * np.clip(stop_ratio / 0.4, 0, 1)
-            + 0.2 * np.clip(1 - np.abs(mean_word_len - 5) / 5, 0, 1),
+                out["stopword_ratio"][i] = (
+                    sum(1 for w in low if w in self.en_stop) / len(toks))
+                out["mean_word_len"][i] = sum(len(w) for w in toks) / len(toks)
+        return out
+
+    def _signals(self, col) -> dict[str, np.ndarray]:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        text = pc.fill_null(pc.cast(col, pa.string()), "")
+        n_chars = _np_i64(pc.utf8_length(text))
+        punct = _np_i64(pc.count_substring_regex(text, r"[.!?,;:]"))
+        alpha = self._alpha_counts(text)
+        # unicode-whitespace tokenization == str.split() (RE2 \s is
+        # ASCII-only, so count_substring_regex(r"\S+") would disagree on
+        # NBSP and friends)
+        toks = pc.utf8_split_whitespace(text)
+        flat = pc.list_flatten(toks)
+        parents = _np_i64(pc.list_parent_indices(toks))
+        flen = _np_i64(pc.utf8_length(flat))
+        nonempty = flen > 0
+        n_tokens = np.bincount(parents[nonempty], minlength=n)
+        tok_chars = np.bincount(parents[nonempty], weights=flen[nonempty],
+                                minlength=n)
+        # lowercase + membership on DISTINCT tokens only, gathered back
+        # through the dictionary codes (tokens repeat heavily in web text)
+        enc = flat.dictionary_encode()
+        codes = _np_i64(enc.indices)
+        stop_u = pc.is_in(pc.utf8_lower(enc.dictionary),
+                          value_set=self._stop_array).to_numpy(
+                              zero_copy_only=False)
+        stop = stop_u[codes] & nonempty
+        stop_hits = np.bincount(parents[stop], minlength=n)
+        chars_d = np.maximum(n_chars, 1)
+        toks_d = np.maximum(n_tokens, 1)
+        return {
+            "n_chars_q": n_chars,
+            "n_tokens": n_tokens,
+            "punct_ratio": punct / chars_d,
+            "stopword_ratio": stop_hits / toks_d,
+            "mean_word_len": tok_chars / toks_d,
+            "alpha_ratio": alpha / chars_d,
+        }
+
+    @staticmethod
+    def _score(sig: dict[str, np.ndarray]) -> np.ndarray:
+        return np.clip(
+            0.3 * np.clip(sig["n_tokens"] / 100.0, 0, 1)
+            + 0.3 * sig["alpha_ratio"]
+            + 0.2 * np.clip(sig["stopword_ratio"] / 0.4, 0, 1)
+            + 0.2 * np.clip(1 - np.abs(sig["mean_word_len"] - 5) / 5, 0, 1),
             0,
             1,
         )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig = self._signals(batch[self.text_col])
+        sig["quality_score"] = self._score(sig)
         out = batch
-        for name, arr, typ in [
-            ("n_chars_q", n_chars, pa.int64()),
-            ("n_tokens", n_tokens, pa.int64()),
-            ("punct_ratio", punct_ratio, pa.float64()),
-            ("stopword_ratio", stop_ratio, pa.float64()),
-            ("mean_word_len", mean_word_len, pa.float64()),
-            ("alpha_ratio", alpha_ratio, pa.float64()),
-            ("quality_score", score, pa.float64()),
+        for name, typ in [
+            ("n_chars_q", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("punct_ratio", pa.float64()),
+            ("stopword_ratio", pa.float64()),
+            ("mean_word_len", pa.float64()),
+            ("alpha_ratio", pa.float64()),
+            ("quality_score", pa.float64()),
         ]:
-            out = out.append_column(name, pa.array(arr, type=typ))
+            out = out.append_column(name, pa.array(sig[name], type=typ))
         return out
 
 
