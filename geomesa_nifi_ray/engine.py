@@ -147,6 +147,8 @@ class EpochResult:
     buckets_touched: int = 0
     buckets_carried: int = 0
     table_rows: int = 0
+    row_groups_total: int = 0    # chain row groups seen by delta merges
+    row_groups_skipped: int = 0  # ... of those, skipped by key min/max stats
     manifest: dict = field(repr=False, default_factory=dict)
 
 
@@ -384,7 +386,8 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
     live_ref = ray.put(live)
 
     def _lineage_row(bucket, file, deltas, epoch_file, rows, rows_changed,
-                     failed, digest, deleted=0) -> pa.Table:
+                     failed, digest, deleted=0, rg_total=0,
+                     rg_skipped=0) -> pa.Table:
         return pa.table(
             {
                 "bucket": pa.array([bucket], type=pa.int32()),
@@ -396,6 +399,9 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
                 "rows_failed": pa.array([failed], type=pa.int64()),
                 "rows_deleted": pa.array([deleted], type=pa.int64()),
                 "digest": pa.array([digest], type=pa.string()),
+                # chain-read row-group pruning observability (delta path)
+                "rg_total": pa.array([rg_total], type=pa.int64()),
+                "rg_skipped": pa.array([rg_skipped], type=pa.int64()),
             }
         )
 
@@ -488,9 +494,25 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
                     pa.concat_tables([combined, dels]), key, order
                 )
             min_cols = [key] + order
+            # chain reads are key-pruned when the sink supports it: bucket
+            # files are key-sorted, so row groups whose [min,max] cannot
+            # contain any of this epoch's keys are skipped — a small epoch
+            # reads O(its key span), not O(touched chain) (round-4 verdict
+            # item #3). Pruning only drops rows whose keys the epoch does
+            # not touch; those never join against the change rows below.
+            keyed_read = getattr(sink, "read_partition_keyed", None)
+            epoch_keys = (sorted(set(combined[key].to_pylist()))
+                          if keyed_read is not None else None)
+            rg_total = rg_kept = 0
             cur_parts = []
             for p in chain:
-                part = sink.read_partition(p, columns=min_cols + [TOMB_COLUMN])
+                if keyed_read is not None:
+                    part, t_rg, k_rg = keyed_read(
+                        p, min_cols + [TOMB_COLUMN], key, epoch_keys)
+                    rg_total += t_rg
+                    rg_kept += k_rg
+                else:
+                    part = sink.read_partition(p, columns=min_cols + [TOMB_COLUMN])
                 if TOMB_COLUMN not in part.column_names:
                     part = part.append_column(
                         TOMB_COLUMN, pa.nulls(part.num_rows, pa.int8()).fill_null(0)
@@ -523,7 +545,8 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
                 # every change lost to the stored winners: chain unchanged
                 return _lineage_row(bucket, entry["file"], entry.get("deltas", []),
                                     None, int(entry["rows"]), rows_changed, failed,
-                                    entry["digest"])
+                                    entry["digest"], rg_total=rg_total,
+                                    rg_skipped=rg_total - rg_kept)
             if (pc.sum(pc.cast(pc.equal(delta[TOMB_COLUMN],
                                         pa.scalar(1, pa.int8())),
                                pa.int64())).as_py() or 0) == 0:
@@ -535,7 +558,9 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
             return _lineage_row(bucket, entry["file"],
                                 entry.get("deltas", []) + [rel], rel,
                                 int(entry["rows"]) + inserts - dels_applied,
-                                rows_changed, failed, digest, dels_applied)
+                                rows_changed, failed, digest, dels_applied,
+                                rg_total=rg_total,
+                                rg_skipped=rg_total - rg_kept)
 
         # full-merge path: epoch-0 creation, compaction, partial update,
         # and mixed per-row modes
@@ -994,6 +1019,7 @@ class CDCEngine:
         order: tuple[str, ...] = ("warc_ts", "offset"),
         content_hash_kernel: str = "md5",
         lake_fs=None,
+        row_group_rows: int | None = None,
     ):
         """``sink_factory(table: LakeTable) -> Sink`` plugs an alternate
         data-plane backend (the DataStoreService SPI analog); default is the
@@ -1012,7 +1038,8 @@ class CDCEngine:
             self.table = LakeTable.create(lake_root, table_name, schema, num_buckets,
                                           key=key, order=order,
                                           content_hash_kernel=content_hash_kernel,
-                                          fs=lake_fs)
+                                          fs=lake_fs,
+                                          row_group_rows=row_group_rows)
         if sink_factory is None:
             from geomesa_nifi_ray.sinks import ParquetLakeSink
 
@@ -1349,6 +1376,8 @@ class CDCEngine:
         rows_applied = sum(int(r["rows_changed"]) for r in touched.values())
         rows_failed = sum(int(r["rows_failed"]) for r in touched.values())
         rows_deleted = sum(int(r.get("rows_deleted", 0) or 0) for r in touched.values())
+        rg_total = sum(int(r.get("rg_total", 0) or 0) for r in touched.values())
+        rg_skipped = sum(int(r.get("rg_skipped", 0) or 0) for r in touched.values())
         rows_collapsed = max(0, rows_in - rows_applied - rows_failed)
         if offset_range is None:
             offset_range = (-1, -1)
@@ -1381,6 +1410,8 @@ class CDCEngine:
             buckets_touched=len(touched),
             buckets_carried=carried,
             table_rows=sum(int(e["rows"]) for e in buckets.values()),
+            row_groups_total=rg_total,
+            row_groups_skipped=rg_skipped,
             manifest=manifest,
         )
 

@@ -52,6 +52,9 @@ from geomesa_nifi_ray.text import TEXT_KERNEL_VERSION
 TABLE_META = "_table.json"
 LOG_DIR = "_log"
 DATA_DIR = "data"
+# rows per parquet row group in bucket files: the pruning granularity of
+# read_parquet_pruned's key-range skip (files are key-sorted)
+BUCKET_ROW_GROUP_ROWS = 65536
 
 # Tombstone marker column inside DELTA files only: a row with _tomb=1
 # carries (key, order..., content_hash) of a delete event and suppresses
@@ -208,6 +211,52 @@ class LakeFS:
         return pq.read_table(path, columns=columns, filters=filters,
                              filesystem=self.pafs)
 
+    def read_parquet_pruned(self, path: str, columns: list[str] | None,
+                            key: str, keys_sorted: list,
+                            ) -> tuple[pa.Table, int, int]:
+        """Row-group-pruned read for key-sorted files: keep only row groups
+        whose parquet ``[min, max]`` statistics on ``key`` could contain one
+        of ``keys_sorted`` (a sorted list). Returns ``(table, row_groups_
+        total, row_groups_kept)``. Columns are leniently projected (missing
+        names are dropped, like the sink's ``read_partition``). Statistics
+        that are absent or suspiciously long (possible truncation) keep
+        their row group — pruning is an optimization, never a filter."""
+        import bisect
+
+        with self.pafs.open_input_file(path) as f:
+            pf = pq.ParquetFile(f)
+            names = pf.schema_arrow.names
+            if columns is not None:
+                columns = [c for c in columns if c in names]
+            md = pf.metadata
+            total = md.num_row_groups
+            if key not in names or total <= 1:
+                return pf.read(columns=columns), total, total
+            kidx = names.index(key)
+            keep = []
+            for i in range(total):
+                st = md.row_group(i).column(kidx).statistics
+                if st is None or not st.has_min_max:
+                    keep.append(i)
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    lo, hi = lo.decode(), hi.decode()
+                if isinstance(lo, str) and (len(lo) >= 4000 or len(hi) >= 4000):
+                    keep.append(i)  # near parquet's stats size cap: distrust
+                    continue
+                j = bisect.bisect_left(keys_sorted, lo)
+                if j < len(keys_sorted) and keys_sorted[j] <= hi:
+                    keep.append(i)
+            if len(keep) == total:
+                return pf.read(columns=columns), total, total
+            if not keep:
+                sch = pf.schema_arrow
+                if columns is not None:
+                    sch = pa.schema([sch.field(c) for c in columns])
+                return sch.empty_table(), total, 0
+            return pf.read_row_groups(keep, columns=columns), total, len(keep)
+
     def read_parquet_schema(self, path: str) -> pa.Schema:
         return pq.read_schema(path, filesystem=self.pafs)
 
@@ -250,23 +299,26 @@ class LakeFS:
             with self.pafs.open_output_stream(path) as f:
                 f.write(data)
 
-    def publish_parquet(self, path: str, table: pa.Table) -> None:
+    def publish_parquet(self, path: str, table: pa.Table,
+                        row_group_rows: int | None = None) -> None:
+        kw = {"compression": "zstd", "write_statistics": True}
+        if row_group_rows is not None:
+            kw["row_group_size"] = int(row_group_rows)
         if self.rename_capable:
             tmp = f"{path}.tmp.{os.getpid()}"
             if self.is_plain_local:
                 with open(tmp, "wb") as f:
-                    pq.write_table(table, f, compression="zstd",
-                                   write_statistics=True)
+                    pq.write_table(table, f, **kw)
                     f.flush()
                     os.fsync(f.fileno())
                 os.replace(tmp, path)
                 return
             with self.pafs.open_output_stream(tmp) as f:
-                pq.write_table(table, f, compression="zstd", write_statistics=True)
+                pq.write_table(table, f, **kw)
             self._move_replacing(tmp, path)
         else:
             with self.pafs.open_output_stream(path) as f:
-                pq.write_table(table, f, compression="zstd", write_statistics=True)
+                pq.write_table(table, f, **kw)
 
 
 class LakeTable:
@@ -297,6 +349,7 @@ class LakeTable:
         exist_ok: bool = False,
         content_hash_kernel: str = "md5",
         fs: LakeFS | None = None,
+        row_group_rows: int | None = None,
     ) -> "LakeTable":
         t = cls(root, name, fs=fs)
         if t.fs.exists(os.path.join(t.table_dir, TABLE_META)):
@@ -315,6 +368,10 @@ class LakeTable:
             "kernel_version": TEXT_KERNEL_VERSION,
             "content_hash_kernel": content_hash_kernel,
         }
+        if row_group_rows is not None:
+            # pruning-granularity override (default BUCKET_ROW_GROUP_ROWS);
+            # stored in meta so every writer task agrees
+            meta["row_group_rows"] = int(row_group_rows)
         from geomesa_nifi_ray.hashing import kernel_fingerprint
 
         fp = kernel_fingerprint(content_hash_kernel)
@@ -530,7 +587,13 @@ class LakeTable:
             b"lake.epoch": str(epoch).encode(),
         }
         table = table.replace_schema_metadata({**(table.schema.metadata or {}), **user_data})
-        self.fs.publish_parquet(path, table)
+        # bucket files are key-sorted (both merge paths sort before write),
+        # so bounded row groups give the delta merge's chain reads per-key
+        # min/max pruning granularity (read_parquet_pruned); 64k web-page
+        # rows ~ a few hundred MB uncompressed per group
+        self.fs.publish_parquet(
+            path, table,
+            row_group_rows=meta.get("row_group_rows", BUCKET_ROW_GROUP_ROWS))
         return rel
 
     def vacuum(self, retain_epochs: int = 2) -> list[str]:

@@ -71,6 +71,21 @@ class ParquetLakeSink:
             columns = [c for c in columns if c in avail]
         return self.table.fs.read_parquet(path, columns=columns)
 
+    def read_partition_keyed(self, ref: str, columns: list[str] | None,
+                             key: str, keys_sorted: list,
+                             ) -> tuple[pa.Table, int, int]:
+        """Key-pruned chain read (OPTIONAL protocol extension — the delta
+        merge probes for it with ``getattr``): bucket files are key-sorted,
+        so parquet row-group min/max statistics skip row groups that cannot
+        contain any of the epoch's keys. Returns ``(table, row_groups_total,
+        row_groups_kept)``; columns leniently projected like
+        ``read_partition``. This is what bounds a small epoch's merge reads
+        by the epoch's key span instead of the touched buckets' full chains
+        (the reference's keyed-index point reads,
+        ``FeatureWriters.scala:115-160``)."""
+        return self.table.fs.read_parquet_pruned(
+            self.table.abs_path(ref), columns, key, keys_sorted)
+
     def commit(self, manifest: dict) -> None:
         self.table.commit_epoch(manifest)
 

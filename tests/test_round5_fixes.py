@@ -252,3 +252,86 @@ def test_epoch_changes_include_ops_empty_epoch_schema(ray_session, tmp_path):
     ds = eng.table.epoch_changes_dataset(1, include_ops=True)
     assert "_op" in ds.schema().names
     assert ds.count() == 0
+
+
+# -- 6: row-group key-skipping in the steady-state delta merge ---------------
+
+def _pages_epoch(eng, epoch, urls, ts0, off0):
+    import ray.data
+
+    n = len(urls)
+    t = pa.table({
+        "url": pa.array(urls),
+        "warc_ts": pa.array([ts0 + i for i in range(n)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([f"<p>{u}@{ts0}</p>".encode() for u in urls],
+                         pa.large_binary()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "offset": pa.array([off0 + i for i in range(n)], pa.int64()),
+    })
+    return eng.apply_epoch(ray.data.from_arrow(t), epoch=epoch,
+                           offset_range=(off0, off0 + n - 1))
+
+
+def test_delta_merge_skips_row_groups(ray_session, tmp_path):
+    """A small epoch touching a narrow key range must skip chain row
+    groups whose key [min,max] cannot contain its keys, with snapshots and
+    manifests identical to an unpruned (single-row-group) control lake."""
+    urls = [f"https://rg.test/{i:04d}" for i in range(1000)]
+    sub = [f"https://rg.test/{i:04d}" for i in range(500, 505)]
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=1,
+                    row_group_rows=50)
+    _pages_epoch(eng, 0, urls, 1_000_000, 0)
+    r = _pages_epoch(eng, 1, sub, 2_000_000, 10_000)
+    assert r.row_groups_total == 20          # 1000 rows / 50 per group
+    assert r.row_groups_skipped > 0          # the point of the feature
+    assert r.row_groups_skipped < r.row_groups_total  # keys DO hit some
+
+    # control: one giant row group -> nothing can be skipped
+    ctl = CDCEngine(str(tmp_path / "ctl"), num_buckets=1)
+    _pages_epoch(ctl, 0, urls, 1_000_000, 0)
+    rc = _pages_epoch(ctl, 1, sub, 2_000_000, 10_000)
+    assert rc.row_groups_skipped == 0
+
+    # pruning must not change any observable state: same digests, same
+    # rows, same snapshot bytes-of-values
+    mb = eng.table.manifest(1)["buckets"]
+    cb = ctl.table.manifest(1)["buckets"]
+    assert {b: (e["rows"], e["digest"]) for b, e in mb.items()} == \
+           {b: (e["rows"], e["digest"]) for b, e in cb.items()}
+    a = eng.table.snapshot_table()
+    b = ctl.table.snapshot_table()
+    assert a.equals(b)
+    # updated keys carry the epoch-1 payloads
+    hit = a.filter(pc.is_in(a["url"], value_set=pa.array(sub)))
+    assert hit.num_rows == len(sub)
+    assert all("@2000000" in t for t in hit["text"].to_pylist())
+
+
+def test_delta_merge_prunes_deletes_too(ray_session, tmp_path):
+    """Tombstone-bearing small epochs go through the same pruned chain
+    read; deletes still apply exactly."""
+    import ray.data
+
+    urls = [f"https://rg.test/{i:04d}" for i in range(600)]
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=1,
+                    row_group_rows=50)
+    _pages_epoch(eng, 0, urls, 1_000_000, 0)
+    dele = [f"https://rg.test/{i:04d}" for i in range(100, 103)]
+    t = pa.table({
+        "url": pa.array(dele),
+        "warc_ts": pa.array([2_000_000 + i for i in range(3)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([None] * 3, pa.large_binary()),
+        "lang": pa.array([None] * 3, pa.string()),
+        "offset": pa.array([10_000 + i for i in range(3)], pa.int64()),
+        "_op": pa.array(["delete"] * 3, pa.string()),
+    })
+    r = eng.apply_epoch(ray.data.from_arrow(t), epoch=1,
+                        offset_range=(10_000, 10_002))
+    assert r.rows_deleted == 3
+    assert r.row_groups_skipped > 0
+    snap = eng.table.snapshot_table()
+    assert snap.num_rows == 597
+    assert not set(dele) & set(snap["url"].to_pylist())
