@@ -1916,6 +1916,17 @@ class CDCEngine:
 
     # -- live tail ----------------------------------------------------------
 
+    def committed_offset(self) -> int:
+        """Greatest committed binlog offset: the RESUME CURSOR for
+        record-granular (message-bus) sources. The latest manifest whose
+        ``offset_max`` is a real offset wins — rewrite/clear manifests
+        advance no offsets (-1) and are skipped."""
+        for e in reversed(self.table.manifest_epochs()):
+            m = self.table.manifest(e)
+            if int(m.get("offset_max", -1)) >= 0:
+                return int(m["offset_max"])
+        return -1
+
     def discover_epochs(self, binlog_dir: str, require_marker: bool = False) -> list[dict]:
         """Discover epoch directories (``epoch-NNNNN/``) directly from the
         filesystem — no descriptor needed, so a producer can drop epoch
@@ -1977,9 +1988,21 @@ class CDCEngine:
 
         results: list[EpochResult] = []
         idle = 0
+        # offset-cursor sources (needs_cursor = True, e.g. the message-bus
+        # AppendLogBusSource) have no producer-side epochs: they form
+        # batches from records strictly after the lake's committed
+        # offset_max — offsets, not directory names, are the resume cursor
+        needs_cursor = bool(getattr(source, "needs_cursor", False))
         while idle < max_idle_polls:
-            pending_meta = {"epochs": source.poll_epochs()}
-            committed = self.table.committed_epoch()
+            if needs_cursor:
+                committed = self.table.committed_epoch()
+                pending_meta = {"epochs": source.poll_epochs(cursor={
+                    "epoch": committed,
+                    "offset": self.committed_offset(),
+                })}
+            else:
+                pending_meta = {"epochs": source.poll_epochs()}
+                committed = self.table.committed_epoch()
             has_new = any(
                 committed is None or e["epoch"] > committed
                 for e in pending_meta["epochs"]

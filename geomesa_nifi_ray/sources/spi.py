@@ -22,6 +22,13 @@ Two built-ins:
   rows + publish the epoch row in one transaction, readers see epochs
   atomically. ``read`` returns a ``ray.data.Dataset`` via
   ``ray.data.read_sql``, proving the engine's non-file ingest seam.
+- :class:`AppendLogBusSource` — the message-bus envelope proper: the log
+  has NO epochs, only records with bus-assigned monotonic offsets; the
+  CONSUMER forms epochs from offset ranges at poll time under the
+  reference's min/max/latency batch envelope
+  (``GetGeoMesaKafkaRecord.scala:113-122,263-304``), and the lake's
+  committed ``offset_max`` — not an epoch directory name — is the resume
+  cursor (``needs_cursor = True``; ``CDCEngine.tail`` passes it).
 """
 
 from __future__ import annotations
@@ -267,5 +274,205 @@ class SqliteBinlogSource:
                     col = col.cast(f.type)
                 arrays.append(col)
             return pa.Table.from_arrays(arrays, schema=schema)
+
+        return ds.map_batches(cast, batch_format="pyarrow")
+
+
+class AppendLogBusSource:
+    """Record-granular message-bus stand-in: an append-only sqlite log
+    whose OFFSETS are assigned by the bus (AUTOINCREMENT rowid) — there
+    are no producer-side epochs at all. The consumer forms epochs from
+    offset ranges at poll time under the reference Kafka processor's
+    batch envelope (``GetGeoMesaKafkaRecord.scala:113-122,263-304``):
+
+    * ``max_records``  — a full batch closes as soon as that many records
+      are pending (``RECORD_MAXIMUM``); a backlog yields several epochs
+      per poll (catch-up);
+    * ``min_records``  — a partial batch below this is NOT emitted ...
+      (``RECORD_MINIMUM``);
+    * ``max_latency_s`` — ... unless the oldest pending record has waited
+      this long (``RECORD_MAX_LATENCY``), so a trickle still commits.
+
+    Exactly-once contract: the bus holds no consumer state. ``tail``
+    passes the lake's committed cursor (``needs_cursor = True``) — epoch
+    numbering continues from ``cursor['epoch']`` and records strictly
+    after ``cursor['offset']`` (the last committed manifest's
+    ``offset_max``, NOT a directory name) are eligible. A batch only
+    becomes immutable when its manifest commits; a crash between polls
+    may re-form a larger batch from the same records, which is exactly a
+    Kafka consumer re-polling an uncommitted range — the lake state
+    converges identically because LWW application is associative (the
+    same argument that legalizes catch-up batching).
+
+    ``pause()`` / ``resume()`` mirror the reference's consumer-pause
+    backpressure: a paused source reports no batches (offsets keep
+    accumulating in the bus) and drains on resume.
+
+    Producers call :meth:`append` (one transaction per call — readers
+    never see a torn append). The event schema is the LAKE schema; the
+    bus assigns the ``offset`` column, so appended events need not (and
+    cannot) set it. Arrival wall-time is stored per row for the latency
+    gate.
+    """
+
+    needs_cursor = True
+
+    def __init__(self, db_path: str, schema: pa.Schema | None = None,
+                 min_records: int = 1, max_records: int = 100_000,
+                 max_latency_s: float = 5.0):
+        self.db_path = db_path
+        self.min_records = int(min_records)
+        self.max_records = int(max_records)
+        self.max_latency_s = float(max_latency_s)
+        self._paused = False
+        exists = os.path.exists(db_path)
+        if not exists and schema is None:
+            raise ValueError("new AppendLogBusSource needs the event schema")
+        con = _sqlite_connect(db_path)
+        try:
+            with con:
+                con.execute(
+                    "CREATE TABLE IF NOT EXISTS _meta (k TEXT PRIMARY KEY, v TEXT)"
+                )
+                row = con.execute(
+                    "SELECT v FROM _meta WHERE k = 'schema'"
+                ).fetchone()
+                if row is None:
+                    payload = pa.schema([f for f in schema
+                                         if f.name != "offset"])
+                    con.execute(
+                        "INSERT INTO _meta VALUES ('schema', ?)",
+                        (json.dumps(schema_to_json(payload)),),
+                    )
+                    decl = ", ".join(
+                        f'"{f.name}" {SqliteBinlogSource._sql_type(f.type)}'
+                        for f in payload
+                    )
+                    con.execute(
+                        "CREATE TABLE log (off INTEGER PRIMARY KEY "
+                        f"AUTOINCREMENT, at REAL, {decl})"
+                    )
+                    self.payload_schema = payload
+                else:
+                    self.payload_schema = schema_from_json(json.loads(row[0]))
+        finally:
+            con.close()
+
+    # -- producer side ---------------------------------------------------------
+
+    def append(self, events: pa.Table) -> tuple[int, int]:
+        """Append records; the bus assigns their offsets. Returns the
+        assigned ``(first_offset, last_offset)``. One transaction — a
+        concurrent poll sees all of this call's rows or none."""
+        import time as _time
+
+        import pyarrow.compute as pc
+
+        events = events.select([f.name for f in self.payload_schema])
+        cols = []
+        for f in self.payload_schema:
+            col = events[f.name]
+            if pa.types.is_timestamp(f.type):
+                col = pc.cast(col, pa.int64())
+            cols.append(col.to_pylist())
+        now = _time.time()
+        con = _sqlite_connect(self.db_path)
+        try:
+            with con:
+                placeholders = ", ".join("?" * (1 + len(self.payload_schema)))
+                con.executemany(
+                    f"INSERT INTO log (at, {', '.join(chr(34) + f.name + chr(34) for f in self.payload_schema)}) "
+                    f"VALUES ({placeholders})",
+                    [(now, *row) for row in zip(*cols)],
+                )
+                last = con.execute(
+                    "SELECT seq FROM sqlite_sequence WHERE name = 'log'"
+                ).fetchone()[0]
+        finally:
+            con.close()
+        return last - events.num_rows + 1, last
+
+    # -- consumer pause (the reference's backpressure lever) --------------------
+
+    def pause(self) -> None:
+        self._paused = True
+
+    def resume(self) -> None:
+        self._paused = False
+
+    # -- Source protocol ---------------------------------------------------------
+
+    def poll_epochs(self, cursor: dict | None = None) -> list[dict]:
+        """Form epoch descriptors for records after ``cursor['offset']``
+        under the min/max/latency envelope. Numbering continues from
+        ``cursor['epoch']``. Stateless: the same cursor re-forms the same
+        full batches (the trailing partial batch may grow between polls —
+        legal, it is uncommitted by definition)."""
+        import time as _time
+
+        if self._paused:
+            return []
+        cursor = cursor or {}
+        after = int(cursor.get("offset") if cursor.get("offset") is not None
+                    else -1)
+        last_epoch = cursor.get("epoch")
+        next_epoch = 0 if last_epoch is None else int(last_epoch) + 1
+        con = _sqlite_connect(self.db_path)
+        try:
+            rows = con.execute(
+                "SELECT off, at FROM log WHERE off > ? ORDER BY off",
+                (after,),
+            ).fetchall()
+        finally:
+            con.close()
+        if not rows:
+            return []
+        now = _time.time()
+        out = []
+        i = 0
+        while i < len(rows):
+            chunk = rows[i:i + self.max_records]
+            if len(chunk) < self.max_records:
+                # trailing partial batch: the min/latency gate
+                oldest = min(at for _, at in chunk)
+                if (len(chunk) < self.min_records
+                        and (now - oldest) < self.max_latency_s):
+                    break
+            out.append({
+                "epoch": next_epoch,
+                "offset_min": int(chunk[0][0]),
+                "offset_max": int(chunk[-1][0]),
+                "rows": len(chunk),
+            })
+            next_epoch += 1
+            i += len(chunk)
+        return out
+
+    def read(self, descriptor: dict):
+        import functools
+
+        import ray.data
+
+        schema = self.payload_schema
+        names = ", ".join(f'"{f.name}"' for f in schema)
+        lo, hi = int(descriptor["offset_min"]), int(descriptor["offset_max"])
+        ds = ray.data.read_sql(
+            f"SELECT off, {names} FROM log WHERE off BETWEEN {lo} AND {hi}",
+            functools.partial(_sqlite_connect, self.db_path),
+        )
+        out_schema = pa.schema(
+            list(schema) + [pa.field("offset", pa.int64())])
+
+        def cast(t: pa.Table) -> pa.Table:
+            arrays = []
+            for f in schema:
+                col = t[f.name]
+                if pa.types.is_timestamp(f.type):
+                    col = col.cast(pa.int64()).cast(f.type)
+                elif not col.type.equals(f.type):
+                    col = col.cast(f.type)
+                arrays.append(col)
+            arrays.append(t["off"].cast(pa.int64()))
+            return pa.Table.from_arrays(arrays, schema=out_schema)
 
         return ds.map_batches(cast, batch_format="pyarrow")
