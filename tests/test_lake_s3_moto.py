@@ -1,0 +1,119 @@
+"""The object-store commit mode against a REAL S3 API (round-4 verdict
+item #5): a moto S3 server through the same ``LakeFS`` seam the simulated
+no-rename filesystem exercises. This is the reference's MinIO/S3
+integration tier (``PutGeoMesaFsTest.scala:60-103``) — skipped
+automatically when moto/boto3 are absent.
+
+The LakeFS backend is :mod:`geomesa_nifi_ray.s3boto` (botocore speaking
+the S3 REST API behind a ``pyarrow.fs`` handler) rather than arrow's C++
+S3FileSystem, because the C++ client rejects moto's
+``CompleteMultipartUpload`` response ("error embedded in a 200 OK") —
+see the module docstring. What this adds over
+``testing.object_store_sim_fs``: real HTTP PUT/GET/LIST/DELETE wire
+semantics (no rename primitive at all, virtual directories, single-PUT
+publish as the linearization point) from BOTH the driver and Ray worker
+processes — the pickled handler must reconnect to the endpoint inside
+merge/read tasks.
+"""
+
+import glob
+import os
+
+import pytest
+
+boto3 = pytest.importorskip("boto3")
+pytest.importorskip("moto")
+
+from geomesa_nifi_ray.engine import CDCEngine  # noqa: E402
+from geomesa_nifi_ray.lake import LakeFS, LakeTable  # noqa: E402
+from geomesa_nifi_ray.s3boto import boto_s3_lakefs  # noqa: E402
+from geomesa_nifi_ray.synth import BinlogSpec, write_binlog  # noqa: E402
+
+SPEC = BinlogSpec(num_events=1200, num_urls=240, num_epochs=3, seed=77)
+
+
+@pytest.fixture(scope="module")
+def s3_server():
+    from moto.server import ThreadedMotoServer
+
+    server = ThreadedMotoServer(ip_address="127.0.0.1", port=0, verbose=False)
+    server.start()
+    host, port = server.get_host_and_port()
+    endpoint = f"http://{host}:{port}"
+    client = boto3.client(
+        "s3", endpoint_url=endpoint, region_name="us-east-1",
+        aws_access_key_id="testing", aws_secret_access_key="testing")
+    client.create_bucket(Bucket="lake")
+    yield endpoint
+    server.stop()
+
+
+def _s3_lakefs(endpoint: str) -> LakeFS:
+    # S3 has no rename: LakeFS must take the single-PUT publish path
+    return boto_s3_lakefs(endpoint)
+
+
+@pytest.fixture()
+def binlog(tmp_path):
+    return write_binlog(str(tmp_path / "binlog"), SPEC)
+
+
+def test_s3_replay_matches_local_and_no_tmp_objects(
+        ray_session, s3_server, binlog, tmp_path):
+    fs = _s3_lakefs(s3_server)
+    eng = CDCEngine("lake/t1", num_buckets=8, lake_fs=fs)
+    eng.replay_binlog(binlog)
+    assert eng.table.committed_epoch() == 2
+
+    ref = CDCEngine(str(tmp_path / "lake_ref"), num_buckets=8)
+    ref.replay_binlog(binlog)
+    assert eng.table.snapshot_table().equals(ref.table.snapshot_table())
+
+    # distributed snapshot: worker tasks re-open the S3 filesystem
+    assert eng.snapshot().count() == ref.table.snapshot_table().num_rows
+
+    # the no-rename publish never writes tmp objects (PUT is the publish)
+    client = boto3.client(
+        "s3", endpoint_url=s3_server, region_name="us-east-1",
+        aws_access_key_id="testing", aws_secret_access_key="testing")
+    keys = [o["Key"] for o in
+            client.list_objects_v2(Bucket="lake", Prefix="t1/").get(
+                "Contents", [])]
+    assert keys and not [k for k in keys if ".tmp." in k]
+
+
+def test_s3_mid_epoch_crash_resume_bit_identity(
+        ray_session, s3_server, binlog, tmp_path):
+    """The S3 'manifest object never appeared' crash: bucket files of the
+    last epoch exist, its manifest does not. Resume must replay that epoch
+    to a bit-identical lake."""
+    fs = _s3_lakefs(s3_server)
+    eng = CDCEngine("lake/t2", num_buckets=8, lake_fs=fs)
+    eng.replay_binlog(binlog, catchup=False)
+    want = eng.table.snapshot_table()
+    want_digests = {b: e["digest"] for b, e in
+                    eng.table.manifest(2)["buckets"].items()}
+
+    client = boto3.client(
+        "s3", endpoint_url=s3_server, region_name="us-east-1",
+        aws_access_key_id="testing", aws_secret_access_key="testing")
+    client.delete_object(Bucket="lake", Key="t2/pages/_log/epoch-00002.json")
+
+    eng2 = CDCEngine("lake/t2", num_buckets=8, lake_fs=_s3_lakefs(s3_server))
+    assert eng2.table.committed_epoch() == 1
+    eng2.replay_binlog(binlog, catchup=False)
+    assert eng2.table.committed_epoch() == 2
+    assert eng2.table.snapshot_table().equals(want)
+    assert {b: e["digest"] for b, e in
+            eng2.table.manifest(2)["buckets"].items()} == want_digests
+
+
+def test_s3_vacuum_and_table_reload(ray_session, s3_server, binlog):
+    fs = _s3_lakefs(s3_server)
+    eng = CDCEngine("lake/t3", num_buckets=8, max_deltas=1, lake_fs=fs)
+    eng.replay_binlog(binlog, catchup=False)
+    want = eng.table.snapshot_table()
+    deleted = eng.table.vacuum(retain_epochs=1)
+    assert deleted
+    t = LakeTable.load("lake/t3", "pages", fs=_s3_lakefs(s3_server))
+    assert t.snapshot_table().equals(want)
