@@ -55,6 +55,11 @@ DATA_DIR = "data"
 # rows per parquet row group in bucket files: the pruning granularity of
 # read_parquet_pruned's key-range skip (files are key-sorted)
 BUCKET_ROW_GROUP_ROWS = 65536
+# manifests stay ONE json up to this many touched buckets; above it the
+# bucket map shards into ~MANIFEST_SHARD_SIZE-bucket range files written
+# before the (still single, still atomic) manifest
+MANIFEST_SHARD_THRESHOLD = 10_000
+MANIFEST_SHARD_SIZE = 10_000
 
 # Tombstone marker column inside DELTA files only: a row with _tomb=1
 # carries (key, order..., content_hash) of a delete event and suppresses
@@ -453,6 +458,12 @@ class LakeTable:
     def _log_path(self, epoch: int) -> str:
         return os.path.join(self.table_dir, LOG_DIR, f"epoch-{epoch:05d}.json")
 
+    def _shard_path(self, epoch: int, shard: int) -> str:
+        # deliberately NOT matching the epoch-*.json pattern so
+        # manifest_epochs never mistakes a shard for a manifest
+        return os.path.join(self.table_dir, LOG_DIR,
+                            f"shards-{epoch:05d}-{shard:04d}.json")
+
     def manifest_epochs(self) -> list[int]:
         """Epoch numbers with a manifest file present, ascending. Catch-up
         batched commits cover a *range* of epochs with one manifest, so the
@@ -476,7 +487,15 @@ class LakeTable:
         return max(epochs) if epochs else None
 
     def manifest(self, epoch: int) -> dict:
-        return self.fs.read_json(self._log_path(epoch))
+        m = self.fs.read_json(self._log_path(epoch))
+        sh = m.get("buckets_sharded")
+        if sh:
+            buckets: dict = {}
+            for i in range(int(sh["shards"])):
+                buckets.update(
+                    self.fs.read_json(self._shard_path(epoch, i))["buckets"])
+            m["buckets"] = buckets
+        return m
 
     def commit_epoch(self, manifest: dict) -> None:
         epoch = int(manifest["epoch"])
@@ -491,6 +510,28 @@ class LakeTable:
         first = int(manifest.get("epochs_covered", [epoch, epoch])[0])
         if first > expected:
             raise SchemaError(f"cannot commit epoch {epoch}; next expected is {expected}")
+        buckets = manifest.get("buckets", {})
+        if len(buckets) > MANIFEST_SHARD_THRESHOLD:
+            # one JSON per ~10^4-bucket id range, written BEFORE the main
+            # manifest — which stays the single atomic linearization point
+            # (a crash after some shards leaves deterministic orphans that
+            # replay overwrites byte-identically). manifest() reassembles,
+            # so every consumer is oblivious; the recorded id ranges let a
+            # future reader fetch only the shards its buckets live in.
+            items = sorted(buckets.items(), key=lambda kv: int(kv[0]))
+            chunks = [items[i:i + MANIFEST_SHARD_SIZE]
+                      for i in range(0, len(items), MANIFEST_SHARD_SIZE)]
+            for i, chunk in enumerate(chunks):
+                self.fs.publish_json(
+                    self._shard_path(epoch, i),
+                    {"epoch": epoch, "shard": i, "buckets": dict(chunk)})
+            manifest = {k: v for k, v in manifest.items() if k != "buckets"}
+            manifest["buckets_sharded"] = {
+                "shards": len(chunks),
+                "count": len(items),
+                "bucket_ranges": [[int(c[0][0]), int(c[-1][0])]
+                                  for c in chunks],
+            }
         self.fs.publish_json(self._log_path(epoch), manifest)
 
     # -- data files ---------------------------------------------------------

@@ -335,3 +335,57 @@ def test_delta_merge_prunes_deletes_too(ray_session, tmp_path):
     snap = eng.table.snapshot_table()
     assert snap.num_rows == 597
     assert not set(dele) & set(snap["url"].to_pylist())
+
+
+# -- 7: manifest sharding above the bucket threshold --------------------------
+
+def test_manifest_sharding_crash_resume(ray_session, tmp_path, monkeypatch):
+    """Above MANIFEST_SHARD_THRESHOLD the bucket map shards into range
+    files; manifest() reassembles transparently, the main JSON stays the
+    atomic linearization point, and crash/resume + reads behave exactly
+    like the single-JSON log."""
+    import glob
+    import os
+
+    import geomesa_nifi_ray.lake as lake_mod
+
+    monkeypatch.setattr(lake_mod, "MANIFEST_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(lake_mod, "MANIFEST_SHARD_SIZE", 3)
+
+    lake = str(tmp_path / "lake")
+    eng = CDCEngine(lake, num_buckets=16)
+    urls = [f"https://s/{i:03d}" for i in range(200)]  # touches all 16
+    _epoch(eng, 0, urls, ["en"] * 200, 1_000_000, 0)
+
+    raw = eng.table.fs.read_json(eng.table._log_path(0))
+    assert "buckets" not in raw
+    sh = raw["buckets_sharded"]
+    assert sh["count"] == 16 and sh["shards"] == 6  # ceil(16/3)
+    assert len(glob.glob(os.path.join(lake, "pages", "_log",
+                                      "shards-00000-*.json"))) == 6
+    # reassembly is complete and ordered ranges cover every bucket
+    m = eng.table.manifest(0)
+    assert len(m["buckets"]) == 16
+    assert sorted(int(b) for b in m["buckets"]) == list(range(16))
+    # manifest_epochs must not mistake shard files for manifests
+    assert eng.table.manifest_epochs() == [0]
+
+    # a small follow-up epoch stays single-JSON (4 >= touched buckets is
+    # not guaranteed; just assert reads work and rows land)
+    _epoch(eng, 1, urls[:3], ["de"] * 3, 2_000_000, 1_000)
+    want = eng.table.snapshot_table()
+    digests = {b: e["digest"] for b, e in
+               eng.table.manifest(1)["buckets"].items()}
+
+    # crash: the newest manifest vanishes (shards may survive — orphans)
+    os.remove(eng.table._log_path(1))
+    eng2 = CDCEngine(lake, num_buckets=16)
+    assert eng2.table.committed_epoch() == 0
+    _epoch(eng2, 1, urls[:3], ["de"] * 3, 2_000_000, 1_000)
+    assert eng2.table.snapshot_table().equals(want)
+    assert {b: e["digest"] for b, e in
+            eng2.table.manifest(1)["buckets"].items()} == digests
+
+    # snapshot/time-travel through the sharded epoch-0 manifest
+    assert eng2.table.snapshot_table(epoch=0).num_rows == 200
+    assert eng2.table.vacuum(retain_epochs=2) == []  # all chains live
