@@ -399,13 +399,12 @@ def duplicate_clusters_dataset(pairs_ds, num_shards: int = 64,
 
 
 def assign_duplicate_clusters_ds(pairs_ds, rounds: int = 16):
-    """Distributed cluster assignment over the pair set; delegates to the
-    Dataset-native alternating-star algorithm (nothing driver-resident —
-    the round-1/2 min-label implementation kept a label dict on the driver,
-    a memory hazard once near-dup membership reaches billions) and
-    materializes the final (doc_id, cluster) table as pandas for the
-    query/golden surface. Use :func:`duplicate_clusters_dataset` directly
-    when the label table itself is too large to collect."""
+    """TEST HELPER ONLY: delegates to the Dataset-native alternating-star
+    algorithm and collects the final (doc_id, cluster) table to a sorted
+    pandas frame for small-scale assertions. No query path uses this —
+    ``q_minhash_clusters_documents`` and the embedding-cluster query both
+    return :func:`duplicate_clusters_dataset`'s Dataset directly, so no
+    label table ever materializes on the driver."""
     out = duplicate_clusters_dataset(pairs_ds)
     df = out.to_pandas()
     return df.sort_values(["doc_id"]).reset_index(drop=True)
