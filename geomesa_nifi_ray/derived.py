@@ -562,8 +562,11 @@ class KeyedGroupCountView:
         vt = self.engine.table
         if vt.committed_epoch() is None:
             return {}
-        live = vt.live_entries()
         buckets = bucket_ids(keys, vt.num_buckets)
+        # shard-pruned manifest read: only the shard files covering the
+        # touched view buckets are fetched (P=10^5 views pay 1-2 JSON
+        # GETs per lookup, not the whole bucket map)
+        live = vt.live_entries(buckets={int(b) for b in buckets})
         by_bucket: dict[int, list[str]] = {}
         for k, b in zip(keys, buckets):
             if int(b) in live:

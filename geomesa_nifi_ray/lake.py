@@ -285,7 +285,25 @@ class LakeFS:
             self.pafs.delete_file(path)
             self.pafs.move(tmp, path)
 
-    def publish_json(self, path: str, payload: dict) -> None:
+    def publish_json(self, path: str, payload: dict,
+                     if_absent: bool = False) -> None:
+        """``if_absent=True`` requests create-if-absent semantics (raises
+        :class:`FileExistsError` when the object already exists) — the
+        split-brain fence for manifest commits. Honored atomically when
+        the backend exposes ``put_if_absent`` (conditional PUT, e.g. the
+        boto3 S3 handler); rename-capable filesystems fall back to the
+        atomic-replace publish under the engine's single-writer cursor
+        assumption (two LOCAL drivers racing the same lake dir is outside
+        the deployment model; on object stores it is exactly the case the
+        fence closes)."""
+        if if_absent and not self.rename_capable:
+            handler = getattr(self.pafs, "handler", None)
+            put = getattr(handler, "put_if_absent", None)
+            if put is not None:
+                data = json.dumps(payload, indent=1, sort_keys=True).encode()
+                if not put(path, data):
+                    raise FileExistsError(path)
+                return
         if self.rename_capable and self.is_plain_local:
             # tmp + FSYNC + atomic rename (a journaled rename of un-synced
             # data can survive a crash as a committed-but-torn manifest —
@@ -486,15 +504,34 @@ class LakeTable:
         epochs = self.manifest_epochs()
         return max(epochs) if epochs else None
 
-    def manifest(self, epoch: int) -> dict:
+    def manifest(self, epoch: int, buckets=None) -> dict:
+        """Manifest for ``epoch``; sharded bucket maps reassemble
+        transparently. ``buckets`` (iterable of bucket ids) restricts a
+        SHARDED read to only the shard files whose recorded id range
+        intersects — point lookups at P=10^5 fetch 1-2 shard JSONs
+        instead of all ~10. Single-JSON manifests always return the full
+        map (it was one read either way)."""
         m = self.fs.read_json(self._log_path(epoch))
         sh = m.get("buckets_sharded")
         if sh:
-            buckets: dict = {}
-            for i in range(int(sh["shards"])):
-                buckets.update(
+            n = int(sh["shards"])
+            need = range(n)
+            ranges = sh.get("bucket_ranges")
+            if buckets is not None and ranges:
+                want = sorted({int(b) for b in buckets})
+                import bisect
+
+                los = [r[0] for r in ranges]
+                need = sorted({
+                    i for b in want
+                    for i in [min(bisect.bisect_right(los, b) - 1, n - 1)]
+                    if 0 <= i and ranges[i][0] <= b <= ranges[i][1]
+                })
+            out: dict = {}
+            for i in need:
+                out.update(
                     self.fs.read_json(self._shard_path(epoch, i))["buckets"])
-            m["buckets"] = buckets
+            m["buckets"] = out
         return m
 
     def commit_epoch(self, manifest: dict) -> None:
@@ -532,7 +569,22 @@ class LakeTable:
                 "bucket_ranges": [[int(c[0][0]), int(c[-1][0])]
                                   for c in chunks],
             }
-        self.fs.publish_json(self._log_path(epoch), manifest)
+        # if_absent: on conditional-PUT-capable backends the manifest
+        # create is fenced — a SECOND writer racing the same epoch either
+        # committed identical bytes (manifests are deterministic from the
+        # immutable source epoch: benign, return) or diverged (split
+        # brain: fail loudly instead of silently overwriting history)
+        try:
+            self.fs.publish_json(self._log_path(epoch), manifest,
+                                 if_absent=True)
+        except FileExistsError:
+            existing = self.fs.read_json(self._log_path(epoch))
+            mine = json.loads(json.dumps(manifest, sort_keys=True))
+            if existing == mine:
+                return
+            raise SchemaError(
+                f"split-brain commit: epoch {epoch} already committed "
+                "with different content by another writer")
 
     # -- data files ---------------------------------------------------------
 
@@ -563,14 +615,17 @@ class LakeTable:
     def abs_path(self, rel: str) -> str:
         return os.path.join(self.table_dir, rel)
 
-    def live_entries(self, epoch: int | None = None) -> dict[int, dict]:
+    def live_entries(self, epoch: int | None = None,
+                     buckets=None) -> dict[int, dict]:
         """bucket -> manifest entry ({file, rows, digest}) at a given epoch
-        (default: latest committed). Empty dict for an empty table."""
+        (default: latest committed). Empty dict for an empty table.
+        ``buckets`` restricts a sharded-manifest read to the relevant
+        shards (see :meth:`manifest`)."""
         if epoch is None:
             epoch = self.committed_epoch()
         if epoch is None:
             return {}
-        m = self.manifest(epoch)
+        m = self.manifest(epoch, buckets=buckets)
         return {int(b): e for b, e in m["buckets"].items()}
 
     def live_entries_with_pending(self) -> dict[int, dict]:

@@ -28,15 +28,15 @@ Real-S3 assumptions of the no-rename commit protocol, made explicit:
   never exposes a partial object, and readers resolve state only through
   manifests, so a crash mid-epoch leaves unreferenced data objects, never
   a torn table.
-* **Replayed PUTs are idempotent by construction**, not by conditional
-  requests: every path is deterministic in (bucket, epoch, kind) and its
-  content is deterministic from the immutable source epoch, so two
-  writers racing the same epoch write identical bytes and last-writer-
-  wins is harmless. Conditional PUT (``If-None-Match: *``, supported by
-  S3 since 2024) would additionally fence a SPLIT-BRAIN driver pair
-  committing different epochs; the engine does not require it because a
-  single tailer owns the cursor, but ``publish_json`` is the one place
-  to add it.
+* **Replayed PUTs are idempotent by construction**: every data path is
+  deterministic in (bucket, epoch, kind) and its content is
+  deterministic from the immutable source epoch, so retried tasks write
+  identical bytes and last-writer-wins is harmless. The MANIFEST commit
+  additionally carries a conditional-PUT fence (``If-None-Match: *``,
+  GA on real S3 since 2024; :meth:`BotoS3Handler.put_if_absent`):
+  a second writer racing the same epoch either wrote identical bytes
+  (benign, commit_epoch returns) or diverged — split brain — and fails
+  loudly instead of silently overwriting history.
 * **Strong read-after-write consistency** (S3 guarantee since 2020):
   the resume path lists/HEADs manifests immediately after commit; an
   eventually-consistent store would need a commit marker re-check loop.
@@ -204,6 +204,27 @@ class BotoS3Handler(pafs.FileSystemHandler):
         db, dk = self._split(dest)
         self._client().copy_object(Bucket=db, Key=dk,
                                    CopySource={"Bucket": sb, "Key": sk})
+
+    # -- conditional publish (not part of FileSystemHandler) -------------------
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        """Atomic create-if-absent via S3 conditional PUT
+        (``If-None-Match: *``, GA on real S3 since 2024; moto supports
+        it). Returns False when the object already exists — the
+        split-brain fence ``LakeFS.publish_json(if_absent=True)`` probes
+        for this method."""
+        from botocore.exceptions import ClientError
+
+        bucket, key = self._split(path)
+        try:
+            self._client().put_object(Bucket=bucket, Key=key, Body=data,
+                                      IfNoneMatch="*")
+            return True
+        except ClientError as e:
+            if e.response.get("Error", {}).get("Code") in (
+                    "PreconditionFailed", "412"):
+                return False
+            raise
 
     def open_input_stream(self, path):
         return self.open_input_file(path)

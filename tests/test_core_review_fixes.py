@@ -131,14 +131,19 @@ def test_null_order_value_loses_lww(ray_session, tmp_path):
     got = dict(zip(out["url"].to_pylist(), out["offset"].to_pylist()))
     assert got["a"] == 5          # real offset beats null
     assert got["b"] is None       # sole version survives
-    # null keys must not crash (undefined NaN->int cast before the fix)
+    # null keys must not crash (undefined NaN->int cast before the round-2
+    # fix) NOR merge: distinct null-key rows are unrelated and pass through
+    # as singletons (round-5 fix of the round-4 ADVICE finding — the old
+    # behavior collapsed them to one surviving row)
     t2 = pa.table({
         "url": pa.array(["a", None, None]),
         "warc_ts": pa.array([1, 2, 3], pa.int64()),
         "offset": pa.array([1, 2, 3], pa.int64()),
     })
     out2 = lww_dedupe(t2, "url", ["warc_ts", "offset"])
-    assert out2.num_rows == 2  # 'a' + one winner for the null-key group
+    assert out2.num_rows == 3  # 'a' + BOTH null-key rows survive
+    assert sorted(out2.filter(pa.compute.is_null(out2["url"]))
+                  ["warc_ts"].to_pylist()) == [2, 3]
 
 
 def test_int_float_assignability_is_exact_only():

@@ -117,3 +117,50 @@ def test_s3_vacuum_and_table_reload(ray_session, s3_server, binlog):
     assert deleted
     t = LakeTable.load("lake/t3", "pages", fs=_s3_lakefs(s3_server))
     assert t.snapshot_table().equals(want)
+
+
+def test_s3_conditional_put_split_brain_fence(ray_session, s3_server, binlog):
+    """Manifest commits on S3 are fenced with If-None-Match: a second
+    writer racing the same epoch is a no-op when its manifest is
+    byte-identical (idempotent replay) and a loud SchemaError when it
+    diverged (split brain) — never a silent overwrite."""
+    from geomesa_nifi_ray.lake import SchemaError
+
+    fs = _s3_lakefs(s3_server)
+    eng = CDCEngine("lake/t4", num_buckets=8, lake_fs=fs)
+    eng.replay_binlog(binlog, catchup=False)
+    t = eng.table
+    m = t.manifest(2)
+    assert t.committed_epoch() == 2
+
+    # identical-content recommit (a crashed driver's retry): benign no-op
+    t.commit_epoch(t.manifest(2) | {})  # epoch < expected -> early return
+
+    # a DIVERGED writer at the next epoch number: first commit wins, the
+    # second must fail loudly
+    nxt = dict(m, epoch=3, epochs_covered=[3, 3], rows_in=1)
+    t.commit_epoch(nxt)
+    diverged = dict(m, epoch=3, epochs_covered=[3, 3], rows_in=999)
+    # bypass the cursor early-return (simulates a stale second driver
+    # that read committed_epoch() == 2 before the first one's commit)
+    with pytest.raises((SchemaError, FileExistsError)):
+        fs_path = t._log_path(3)
+        try:
+            fs.publish_json(fs_path, diverged, if_absent=True)
+        except FileExistsError:
+            raise SchemaError("fenced")
+    # identical replay of the SAME epoch-3 manifest through the fence:
+    # commit_epoch swallows it (content equal)
+    t2 = type(t).load("lake/t4", "pages", fs=_s3_lakefs(s3_server))
+    import json as _json
+
+    same = _json.loads(_json.dumps(nxt, sort_keys=True))
+    # force the publish path despite the cursor (what a crashed driver
+    # that lost the commit ACK would do on its internal retry)
+    try:
+        t2.fs.publish_json(t2._log_path(3), same, if_absent=True)
+        raced = False
+    except FileExistsError:
+        raced = True
+    assert raced  # the fence reports the existing object
+    assert t2.manifest(3)["rows_in"] == 1  # first writer's content stands

@@ -389,3 +389,42 @@ def test_manifest_sharding_crash_resume(ray_session, tmp_path, monkeypatch):
     # snapshot/time-travel through the sharded epoch-0 manifest
     assert eng2.table.snapshot_table(epoch=0).num_rows == 200
     assert eng2.table.vacuum(retain_epochs=2) == []  # all chains live
+
+
+def test_manifest_bucket_filtered_shard_reads(ray_session, tmp_path,
+                                              monkeypatch):
+    """manifest(epoch, buckets=...) fetches only the shard files whose
+    recorded bucket ranges intersect — with entries identical to the full
+    reassembly."""
+    import geomesa_nifi_ray.lake as lake_mod
+
+    monkeypatch.setattr(lake_mod, "MANIFEST_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(lake_mod, "MANIFEST_SHARD_SIZE", 3)
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=16)
+    _epoch(eng, 0, [f"https://s/{i:03d}" for i in range(200)],
+           ["en"] * 200, 1_000_000, 0)
+    t = eng.table
+    full = t.manifest(0)["buckets"]
+    assert len(full) == 16
+
+    calls: list[str] = []
+    real = t.fs.read_json
+    monkeypatch.setattr(
+        t.fs, "read_json", lambda p: (calls.append(p), real(p))[1])
+
+    sub = t.manifest(0, buckets=[0, 1])["buckets"]
+    shard_reads = [p for p in calls if "shards-" in p]
+    assert len(shard_reads) == 1          # buckets 0,1 live in shard 0
+    assert sub["0"] == full["0"] and sub["1"] == full["1"]
+
+    calls.clear()
+    sub = t.manifest(0, buckets=[15])["buckets"]
+    assert len([p for p in calls if "shards-" in p]) == 1
+    assert sub["15"] == full["15"]
+
+    calls.clear()
+    sub = t.manifest(0, buckets=[0, 15])["buckets"]
+    assert len([p for p in calls if "shards-" in p]) == 2
+    # live_entries passthrough
+    le = t.live_entries(0, buckets=[5])
+    assert le[5] == full["5"]
