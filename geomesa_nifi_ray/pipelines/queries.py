@@ -148,6 +148,63 @@ WITH ranked AS (
 SELECT url, warc_ts, text, lang, content_hash, "offset" FROM ranked WHERE rn = 1
 """
 
+# the bus-tail variant: identical LWW, offsets shifted to the bus's
+# 1-based assignment (order-preserving, so the winners are the same rows)
+_CDC_BUS_SNAPSHOT_SQL = """
+WITH ranked AS (
+  SELECT url, warc_ts, text, lang, "offset" + 1 AS "offset",
+         md5(url || chr(31) || CAST(epoch_us(warc_ts) AS VARCHAR)
+                 || chr(31) || text || chr(31) || lang) AS content_hash,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, "offset" DESC) AS rn
+  FROM read_parquet('{glob}')
+  WHERE html IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
+)
+SELECT url, warc_ts, text, lang, content_hash, "offset" FROM ranked WHERE rn = 1
+"""
+
+def q_cdc_bus_tail(sf_dir: str):
+    """The record-granular message-bus ingest path end-to-end: the sf
+    tier's binlog events are appended (in binlog-offset order) to an
+    ``AppendLogBusSource`` — which assigns its OWN offsets — and
+    ``CDCEngine.tail`` drains it under the min/max/latency batch envelope
+    with the lake's committed offset_max as the cursor. Final snapshot
+    must equal the file-based replay's LWW state with every offset
+    shifted by +1 (bus offsets are 1-based); the SQL oracle applies the
+    same shift, so the whole envelope/cursor machinery is value-checked,
+    not just row-counted."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from geomesa_nifi_ray.sources.spi import AppendLogBusSource
+
+    meta = get_binlog(sf_dir)
+    root = os.path.join(CDC_ROOT, _sf_name(sf_dir))
+    key = _lake_key(meta)
+    bus_db = os.path.join(root, f"bus-{key}.db")
+    payload = pa.schema([
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("html", pa.large_binary()),
+        pa.field("lang", pa.string()),
+        pa.field("offset", pa.int64()),  # stripped: the bus assigns it
+    ])
+    fresh = not os.path.exists(bus_db)
+    bus = AppendLogBusSource(bus_db, schema=payload, min_records=1,
+                             max_records=5000, max_latency_s=0.0)
+    if fresh:
+        files = sorted(_glob.glob(os.path.join(binlog_dir(sf_dir),
+                                               "epoch-*", "*.parquet")))
+        events = pa.concat_tables([_pq.read_table(f) for f in files],
+                                  promote_options="permissive")
+        events = events.take(pc.sort_indices(
+            events, sort_keys=[("offset", "ascending")]))
+        bus.append(events)
+    eng = CDCEngine(os.path.join(root, f"lake_bus-{key}"), num_buckets=32)
+    eng.tail(bus, poll_interval=0.05, max_idle_polls=1)
+    return eng.table.snapshot_table().select(SNAPSHOT_COLS)
+
+
 def q_cdc_egress_epoch(sf_dir: str):
     """CDC egress: net row-level changes produced by epoch 1 (the
     change-stream-to-records path), read from manifests + touched bucket
@@ -1965,6 +2022,7 @@ def q_geo_wkb_events(sf_dir: str):
 QUERIES = {
     # CDC core (synth binlog, BASELINE.json input_hint shape)
     "cdc_replay_snapshot": q_cdc_replay_snapshot,
+    "cdc_bus_tail": q_cdc_bus_tail,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_update_partial": q_cdc_update_partial,
     "cdc_egress_epoch": q_cdc_egress_epoch,
@@ -2072,6 +2130,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     return _golden_oracles(sf_dir) | {
         "cdc_replay_snapshot": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_lww_dedup": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
+        # bus offsets are 1-based append order == binlog offset + 1 (the
+        # synth binlog's offsets are contiguous from 0); the +1 shift is
+        # order-preserving so the LWW winners are identical
+        "cdc_bus_tail": _CDC_BUS_SNAPSHOT_SQL.format(
+            glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_update_partial": _CDC_UPDATE_SQL.format(
             epoch0=os.path.join(meta["epochs"][0]["path"], "*.parquet"),
             epoch1=os.path.join(meta["epochs"][1]["path"], "*.parquet"),
