@@ -211,8 +211,13 @@ def minhash_candidate_pairs(ds, *, max_bucket: int = 64, threshold: float = 0.7,
     -> pairs within bucket (capped) -> estimate jaccard from signature
     agreement -> filter >= threshold -> distinct pairs.
     """
-    banded = ds.map_batches(MinHashStage, fn_constructor_kwargs=stage_kw,
-                            batch_format="pyarrow", concurrency=(1, concurrency))
+    # instance => task pool: stage state is two tiny permutation arrays
+    # (pickled per task for free); an actor pool paid ~1.2 s startup per
+    # query for nothing (same adjudication as the langid/quality stages —
+    # BASELINE.md "Langid/quality vectorization"). `concurrency` is kept
+    # for API compatibility; Ray's task pool auto-scales.
+    del concurrency
+    banded = ds.map_batches(MinHashStage(**stage_kw), batch_format="pyarrow")
 
     def shard_pairs(shard: pd.DataFrame) -> pd.DataFrame:
         """One call per shard (64 total), pure numpy: one decode pass for
@@ -507,8 +512,9 @@ class SimHashStage:
 
 def simhash_candidate_pairs(ds, *, max_hamming: int = 3, max_bucket: int = 64,
                             concurrency: int = 8, **kw):
-    banded = ds.map_batches(SimHashStage, fn_constructor_kwargs=kw,
-                            batch_format="pyarrow", concurrency=(1, concurrency))
+    # instance => task pool (same adjudication as MinHashStage above)
+    del concurrency
+    banded = ds.map_batches(SimHashStage(**kw), batch_format="pyarrow")
 
     def shard_pairs(shard: pd.DataFrame) -> pd.DataFrame:
         """Pure-numpy bucket runs (see minhash shard_pairs): combined
@@ -730,12 +736,13 @@ def embedding_lsh_neardup_pairs(ds, *, tau: float = 0.9, planes: int = 8,
     first = ds.limit(1).take_batch(1, batch_format="pyarrow")
     dim = len(first[vec_col][0])
 
+    # instance => task pool (state = one small hyperplane matrix; same
+    # adjudication as MinHashStage)
+    del concurrency
     banded = ds.map_batches(
-        _LshSignStage,
-        fn_constructor_kwargs=dict(dim=dim, vec_col=vec_col, id_col=id_col,
-                                   planes=planes, tables=tables, seed=seed),
+        _LshSignStage(dim=dim, vec_col=vec_col, id_col=id_col,
+                      planes=planes, tables=tables, seed=seed),
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
     )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:

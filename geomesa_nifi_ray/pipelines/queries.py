@@ -370,37 +370,54 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_top_customer_orders(sf_dir: str):
-    """Broadcast hash join (small customer side via ray.put) + grouped
-    revenue + top-10 — the broadcast-join pattern, no shuffle join."""
-    import ray
+    """Grouped revenue + top-10 with a broadcast name join. Scale shape
+    (round-5 rewrite, ~2x): per-batch PARTIAL sums combine before the one
+    keyed exchange (the shuffle carries <=|customers| pre-aggregated rows,
+    int key only — no name strings); the global ``sort().limit(10)`` is
+    replaced by per-block top-10 + a driver merge of <=10xblocks rows; the
+    customer names join onto exactly 10 rows at the end."""
     import ray.data
-    from ray.data.aggregate import Count, Sum
 
     import pyarrow.parquet as pq
-
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    cust_ref = ray.put(cust.combine_chunks())
+    from ray.data.aggregate import Sum
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
-    def join_name(t: pa.Table) -> pa.Table:
-        lookup = ray.get(cust_ref)  # broadcast Arrow table, fetched once per node
-        pos = pc.index_in(t["o_custkey"], value_set=lookup["c_custkey"])
-        names = lookup["c_name"].take(pos)
-        return t.append_column("c_name", names)
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")])
+        return pa.table({
+            "o_custkey": g["o_custkey"],
+            "rev": g["o_totalprice_sum"],
+            "n": pc.cast(g["count_all"], pa.int64()),
+        })
 
-    out = (
-        orders.map_batches(join_name, batch_format="pyarrow")
-        .groupby(["o_custkey", "c_name"])
-        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
-        .sort(["revenue", "o_custkey"], descending=[True, False])
-        .limit(10)
-        .to_pandas()
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("rev", alias_name="revenue"),
+                   Sum("n", alias_name="n_orders"))
     )
-    out["revenue"] = out["revenue"].round(4)
-    return out
+
+    def local_top(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("revenue", "descending"),
+                                            ("o_custkey", "ascending")])
+        return t.take(idx.slice(0, 10))
+
+    cand = pd.DataFrame(
+        agg.map_batches(local_top, batch_format="pyarrow").take_all())
+    top = (cand.sort_values(["revenue", "o_custkey"],
+                            ascending=[False, True], kind="stable")
+           .head(10).reset_index(drop=True))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"]).combine_chunks()
+    pos = pc.index_in(pa.array(top["o_custkey"]), value_set=cust["c_custkey"])
+    top.insert(1, "c_name", cust["c_name"].take(pos).to_pylist())
+    top["revenue"] = top["revenue"].round(4)
+    top["n_orders"] = top["n_orders"].astype("int64")
+    return top
 
 
 _TOP_CUSTOMER_SQL = """
