@@ -211,10 +211,18 @@ def run_bench() -> dict:
             return time.perf_counter() - t0
 
         sequential_walls = _until_stable(_sequential_once, reps)
-        # same interference gate as the headline (sequential warm floor:
-        # BASELINE.md round-4 calm-host 3.63 s — catch-up parity)
+        # same interference gate as the headline, against the SEQUENTIAL
+        # recorded floor (BASELINE.md round-5 calm-host 3.11 s) — not a
+        # scaled copy of the catch-up floor, which would open a false
+        # interference window between the two thresholds
         if warm_floor is not None:
-            seq_floor = warm_floor * 1.01
+            seq_env = os.environ.get("GRAFT_SEQ_WARM_FLOOR_SEC")
+            if seq_env:
+                seq_floor = float(seq_env)
+            elif os.environ.get("GRAFT_WARM_FLOOR_SEC"):
+                seq_floor = warm_floor  # custom config: one floor for both
+            else:
+                seq_floor = 3.11
             while (min(sequential_walls) > 1.25 * seq_floor
                    and len(sequential_walls) < gate_cap):
                 sequential_walls.append(round(_sequential_once(), 3))

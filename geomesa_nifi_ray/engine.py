@@ -1922,7 +1922,10 @@ class CDCEngine:
         ``offset_max`` is a real offset wins — rewrite/clear manifests
         advance no offsets (-1) and are skipped."""
         for e in reversed(self.table.manifest_epochs()):
-            m = self.table.manifest(e)
+            # head-only read: offset_max lives in the main manifest JSON;
+            # manifest() would reassemble every shard of a >10k-bucket
+            # epoch (O(shards) GETs) on every idle tail poll
+            m = self.table.manifest_head(e)
             if int(m.get("offset_max", -1)) >= 0:
                 return int(m["offset_max"])
         return -1

@@ -100,12 +100,31 @@ def content_hash_generic(batch: pa.Table, hash_cols: list[str],
     if kernel not in CONTENT_HASH_KERNELS:
         raise ValueError(f"unknown content hash kernel {kernel!r}; "
                          f"supported: {CONTENT_HASH_KERNELS}")
-    parts = [pc.cast(batch[c], pa.string()) for c in hash_cols]
+
+    def _is_bin(t: pa.DataType) -> bool:
+        return (pa.types.is_binary(t) or pa.types.is_large_binary(t)
+                or pa.types.is_fixed_size_binary(t))
+
+    has_bin = any(_is_bin(batch[c].type) for c in hash_cols)
+    if has_bin:
+        # binary hash columns cannot round-trip through a UTF-8 string
+        # cast (arbitrary bytes are legal key material); join in BINARY
+        # space instead — non-binary columns keep their string-cast form,
+        # utf8-encoded, so their payload bytes are unchanged. Oracle form:
+        # md5(c1::BLOB || '\\x1f'::BLOB || ...) in DuckDB.
+        parts = [pc.cast(batch[c] if _is_bin(batch[c].type)
+                         else pc.cast(batch[c], pa.string()), pa.binary())
+                 for c in hash_cols]
+        sep: bytes | str = HASH_SEP.encode()
+        empty: bytes | str = b""
+    else:
+        parts = [pc.cast(batch[c], pa.string()) for c in hash_cols]
+        sep, empty = HASH_SEP, ""
     parts = [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
              for p in parts]
     # a null in ANY hash column keeps the hash null (join's emit_null
     # default) — matching the established generic-convert semantics
-    joined = (pc.binary_join_element_wise(*parts, HASH_SEP)
+    joined = (pc.binary_join_element_wise(*parts, sep)
               if len(parts) > 1 else parts[0])
     if isinstance(joined, pa.ChunkedArray):
         joined = joined.combine_chunks()
@@ -113,14 +132,16 @@ def content_hash_generic(batch: pa.Table, hash_cols: list[str],
         import polars as pl
 
         null_mask = pc.is_null(joined)
-        h = pl.from_arrow(pc.fill_null(joined, "")).hash(seed=0) \
+        h = pl.from_arrow(pc.fill_null(joined, empty)).hash(seed=0) \
             .to_numpy().astype(np.uint64)
         hexed = _hex16(h)
         if joined.null_count:
             hexed = pc.if_else(null_mask, pa.nulls(len(hexed), pa.string()),
                                hexed)
         return hexed
-    out = [None if v is None else hashlib.md5(v.encode("utf-8")).hexdigest()
+    out = [None if v is None else
+           hashlib.md5(v if isinstance(v, bytes) else v.encode("utf-8"))
+           .hexdigest()
            for v in joined.to_pylist()]
     return pa.array(out, type=pa.string())
 

@@ -238,6 +238,12 @@ class LakeFS:
             if key not in names or total <= 1:
                 return pf.read(columns=columns), total, total
             kidx = names.index(key)
+            # parquet returns BYTES statistics for both string and binary
+            # columns; decode only when the Arrow key type is a string so a
+            # binary-keyed table compares bytes-to-bytes (decoding would
+            # crash on non-UTF8 keys and mis-compare str vs bytes)
+            ktype = pf.schema_arrow.field(key).type
+            key_is_str = pa.types.is_string(ktype) or pa.types.is_large_string(ktype)
             keep = []
             for i in range(total):
                 st = md.row_group(i).column(kidx).statistics
@@ -245,13 +251,23 @@ class LakeFS:
                     keep.append(i)
                     continue
                 lo, hi = st.min, st.max
-                if isinstance(lo, bytes):
-                    lo, hi = lo.decode(), hi.decode()
-                if isinstance(lo, str) and (len(lo) >= 4000 or len(hi) >= 4000):
+                if isinstance(lo, bytes) and key_is_str:
+                    try:
+                        lo, hi = lo.decode(), hi.decode()
+                    except UnicodeDecodeError:
+                        keep.append(i)  # undecodable stats: distrust
+                        continue
+                if (isinstance(lo, (str, bytes))
+                        and (len(lo) >= 4000 or len(hi) >= 4000)):
                     keep.append(i)  # near parquet's stats size cap: distrust
                     continue
-                j = bisect.bisect_left(keys_sorted, lo)
-                if j < len(keys_sorted) and keys_sorted[j] <= hi:
+                try:
+                    j = bisect.bisect_left(keys_sorted, lo)
+                    hit = j < len(keys_sorted) and keys_sorted[j] <= hi
+                except TypeError:
+                    keep.append(i)  # stats/key type mismatch: never filter
+                    continue
+                if hit:
                     keep.append(i)
             if len(keep) == total:
                 return pf.read(columns=columns), total, total
@@ -504,6 +520,15 @@ class LakeTable:
         epochs = self.manifest_epochs()
         return max(epochs) if epochs else None
 
+    def manifest_head(self, epoch: int) -> dict:
+        """The manifest's top-level fields ONLY (epoch, offsets, counts,
+        mode, ...) in one JSON GET — sharded bucket maps are NOT fetched
+        or reassembled. The cheap read for cursor/metadata probes like
+        ``CDCEngine.committed_offset`` that would otherwise pay O(shards)
+        GETs per poll; ``buckets``/``buckets_sharded`` must not be used
+        from the result (use :meth:`manifest` when entries are needed)."""
+        return self.fs.read_json(self._log_path(epoch))
+
     def manifest(self, epoch: int, buckets=None) -> dict:
         """Manifest for ``epoch``; sharded bucket maps reassemble
         transparently. ``buckets`` (iterable of bucket ids) restricts a
@@ -559,9 +584,24 @@ class LakeTable:
             chunks = [items[i:i + MANIFEST_SHARD_SIZE]
                       for i in range(0, len(items), MANIFEST_SHARD_SIZE)]
             for i, chunk in enumerate(chunks):
-                self.fs.publish_json(
-                    self._shard_path(epoch, i),
-                    {"epoch": epoch, "shard": i, "buckets": dict(chunk)})
+                # shards carry the same fence as the manifest: a diverged
+                # split-brain writer must fail HERE, before its bucket maps
+                # could shadow an already-committed epoch's shards (the
+                # manifest fence alone fires only after the shard bytes are
+                # overwritten). Crash-replay stays legal: replay re-derives
+                # identical shard bytes and the adjudication below returns.
+                payload = {"epoch": epoch, "shard": i, "buckets": dict(chunk)}
+                try:
+                    self.fs.publish_json(self._shard_path(epoch, i), payload,
+                                         if_absent=True)
+                except FileExistsError:
+                    existing = self.fs.read_json(self._shard_path(epoch, i))
+                    mine = json.loads(json.dumps(payload, sort_keys=True))
+                    if existing != mine:
+                        raise SchemaError(
+                            f"split-brain commit: epoch {epoch} shard {i} "
+                            "already written with different content by "
+                            "another writer")
             manifest = {k: v for k, v in manifest.items() if k != "buckets"}
             manifest["buckets_sharded"] = {
                 "shards": len(chunks),

@@ -136,9 +136,14 @@ def q_cdc_update_partial(sf_dir: str):
     return eng.table.snapshot_table().select(SNAPSHOT_COLS)
 
 
-_CDC_SNAPSHOT_SQL = """
+# ONE load-bearing LWW/content_hash oracle template. The bus-tail variant
+# differs only in the offset projection (the bus re-assigns 1-based
+# offsets, an order-preserving shift, so the LWW winners are identical) —
+# substituting OFFSET_EXPR keeps the md5 recipe / window / filters in a
+# single place instead of two hand-synced copies.
+_CDC_SNAPSHOT_SQL_T = """
 WITH ranked AS (
-  SELECT url, warc_ts, text, lang, "offset",
+  SELECT url, warc_ts, text, lang, OFFSET_EXPR AS "offset",
          md5(url || chr(31) || CAST(epoch_us(warc_ts) AS VARCHAR)
                  || chr(31) || text || chr(31) || lang) AS content_hash,
          row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, "offset" DESC) AS rn
@@ -148,19 +153,9 @@ WITH ranked AS (
 SELECT url, warc_ts, text, lang, content_hash, "offset" FROM ranked WHERE rn = 1
 """
 
-# the bus-tail variant: identical LWW, offsets shifted to the bus's
-# 1-based assignment (order-preserving, so the winners are the same rows)
-_CDC_BUS_SNAPSHOT_SQL = """
-WITH ranked AS (
-  SELECT url, warc_ts, text, lang, "offset" + 1 AS "offset",
-         md5(url || chr(31) || CAST(epoch_us(warc_ts) AS VARCHAR)
-                 || chr(31) || text || chr(31) || lang) AS content_hash,
-         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, "offset" DESC) AS rn
-  FROM read_parquet('{glob}')
-  WHERE html IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
-)
-SELECT url, warc_ts, text, lang, content_hash, "offset" FROM ranked WHERE rn = 1
-"""
+_CDC_SNAPSHOT_SQL = _CDC_SNAPSHOT_SQL_T.replace("OFFSET_EXPR", '"offset"')
+_CDC_BUS_SNAPSHOT_SQL = _CDC_SNAPSHOT_SQL_T.replace(
+    "OFFSET_EXPR", '("offset" + 1)')
 
 def q_cdc_bus_tail(sf_dir: str):
     """The record-granular message-bus ingest path end-to-end: the sf

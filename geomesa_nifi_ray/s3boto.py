@@ -181,9 +181,23 @@ class BotoS3Handler(pafs.FileSystemHandler):
         bucket, key = self._split(path)
         prefix = key.rstrip("/") + "/" if key else ""
         cl = self._client()
-        r = cl.list_objects_v2(Bucket=bucket, Prefix=prefix)
-        for o in r.get("Contents", []):
-            cl.delete_object(Bucket=bucket, Key=o["Key"])
+        # paginate: list_objects_v2 returns at most 1000 keys per call —
+        # a single unpaginated pass would silently leave the rest behind
+        # (a "deleted" table dir still holding data files). Batch deletes
+        # 1000 at a time via delete_objects.
+        token = None
+        while True:
+            kw = {"Bucket": bucket, "Prefix": prefix}
+            if token:
+                kw["ContinuationToken"] = token
+            r = cl.list_objects_v2(**kw)
+            keys = [{"Key": o["Key"]} for o in r.get("Contents", [])]
+            if keys:
+                cl.delete_objects(Bucket=bucket,
+                                  Delete={"Objects": keys, "Quiet": True})
+            token = r.get("NextContinuationToken")
+            if not token:
+                break
 
     def delete_dir_contents(self, path, missing_dir_ok=False):
         self.delete_dir(path)
@@ -213,18 +227,34 @@ class BotoS3Handler(pafs.FileSystemHandler):
         it). Returns False when the object already exists — the
         split-brain fence ``LakeFS.publish_json(if_absent=True)`` probes
         for this method."""
+        import time
+
         from botocore.exceptions import ClientError
 
         bucket, key = self._split(path)
-        try:
-            self._client().put_object(Bucket=bucket, Key=key, Body=data,
-                                      IfNoneMatch="*")
-            return True
-        except ClientError as e:
-            if e.response.get("Error", {}).get("Code") in (
-                    "PreconditionFailed", "412"):
-                return False
-            raise
+        for attempt in range(5):
+            try:
+                self._client().put_object(Bucket=bucket, Key=key, Body=data,
+                                          IfNoneMatch="*")
+                return True
+            except ClientError as e:
+                code = e.response.get("Error", {}).get("Code")
+                if code in ("PreconditionFailed", "412"):
+                    return False
+                if code in ("ConditionalRequestConflict", "409",
+                            "OperationAborted"):
+                    # real S3 can answer a RACING conditional PUT with 409
+                    # (retry-and-see semantics) instead of 412; moto always
+                    # 412s. Re-probe: if the rival's PUT landed, that is
+                    # the normal lost-the-race outcome; otherwise retry.
+                    if self._info(path).type == pafs.FileType.File:
+                        return False
+                    time.sleep(0.05 * (attempt + 1))
+                    continue
+                raise
+        # five conflicting rounds with no object appearing: surface it
+        raise OSError(f"put_if_absent: persistent conditional-PUT conflict "
+                      f"on {path}")
 
     def open_input_stream(self, path):
         return self.open_input_file(path)

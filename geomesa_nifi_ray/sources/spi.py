@@ -363,11 +363,30 @@ class AppendLogBusSource:
     def append(self, events: pa.Table) -> tuple[int, int]:
         """Append records; the bus assigns their offsets. Returns the
         assigned ``(first_offset, last_offset)``. One transaction — a
-        concurrent poll sees all of this call's rows or none."""
+        concurrent poll sees all of this call's rows or none.
+
+        A zero-row append is a no-op (a trickle producer flushing an
+        empty batch is normal); it assigns no offsets and returns the
+        empty range ``(last + 1, last)`` — callers must treat
+        ``first > last`` as "nothing appended"."""
         import time as _time
 
         import pyarrow.compute as pc
 
+        if events.num_rows == 0:
+            con = _sqlite_connect(self.db_path)
+            try:
+                import sqlite3
+                try:
+                    row = con.execute(
+                        "SELECT seq FROM sqlite_sequence WHERE name = 'log'"
+                    ).fetchone()
+                except sqlite3.OperationalError:
+                    row = None  # sqlite_sequence absent before first insert
+            finally:
+                con.close()
+            last = int(row[0]) if row else 0
+            return last + 1, last
         events = events.select([f.name for f in self.payload_schema])
         cols = []
         for f in self.payload_schema:

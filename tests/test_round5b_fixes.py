@@ -1,0 +1,231 @@
+"""Round-5 regression tests for the round-5 diff review findings.
+
+1. read_parquet_pruned must handle BINARY key columns: parquet stats come
+   back as bytes for both string and binary columns; decoding is only
+   legal for string keys (non-UTF8 binary keys crashed, and decoded stats
+   mis-compared str vs bytes).
+2. AppendLogBusSource.append with a zero-row table is a documented no-op
+   (trickle producers flush empty batches); it must not crash on a fresh
+   bus and must return the documented empty range (last + 1, last).
+3. CDCEngine.committed_offset reads only the manifest HEAD (one JSON per
+   epoch probed) — never the shard files of a sharded manifest; the tail
+   cursor probe runs on every idle poll.
+4. BotoS3Handler.put_if_absent treats S3's documented 409
+   ConditionalRequestConflict as contention (re-probe + retry), not a
+   fatal error — real S3 can 409 a racing conditional PUT where moto
+   always 412s.
+5. The bus-tail SQL oracle derives from the SAME template as the file
+   replay oracle (offset projection is the only difference) so the LWW /
+   content-hash recipe can never silently diverge between the two.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from geomesa_nifi_ray.engine import CDCEngine
+from geomesa_nifi_ray.lake import LakeFS
+
+
+# -- 1: binary-key row-group pruning ----------------------------------------
+
+def _write_sorted(path: str, keys, vals, rows_per_group: int):
+    t = pa.table({"k": keys, "v": pa.array(vals, pa.int64())})
+    pq.write_table(t, path, row_group_size=rows_per_group)
+
+
+def test_read_parquet_pruned_binary_key(tmp_path):
+    fs = LakeFS()
+    path = str(tmp_path / "bin.parquet")
+    # sorted binary keys including non-UTF8 bytes (0x80/0xff are invalid
+    # UTF-8 lead/continuation bytes) spread over 4 row groups
+    keys = pa.array(
+        [bytes([b, i]) for b in (0x10, 0x41, 0x80, 0xFF) for i in range(4)],
+        pa.binary())
+    _write_sorted(path, keys, list(range(16)), rows_per_group=4)
+
+    got, total, kept = fs.read_parquet_pruned(
+        path, None, "k", [bytes([0x80, 2])])
+    assert total == 4
+    assert kept <= 2  # only the group(s) whose range covers 0x80..
+    assert bytes([0x80, 2]) in got["k"].to_pylist()
+
+    # keep-none path: a probe key beyond every max prunes everything
+    got, total, kept = fs.read_parquet_pruned(
+        path, None, "k", [b"\xff\xff\xff"])
+    assert (total, kept, got.num_rows) == (4, 0, 0)
+
+    # large_binary keys go through the same non-decoding path
+    path2 = str(tmp_path / "lbin.parquet")
+    _write_sorted(path2, keys.cast(pa.large_binary()), list(range(16)), 4)
+    got, total, kept = fs.read_parquet_pruned(
+        path2, ["k"], "k", [bytes([0x41, 0])])
+    assert bytes([0x41, 0]) in got["k"].to_pylist()
+
+
+def test_read_parquet_pruned_binary_key_end_to_end(ray_session, tmp_path):
+    """A generic CDC table keyed on a BINARY column must survive the
+    second upsert epoch (the delta path takes read_partition_keyed ->
+    read_parquet_pruned)."""
+    import ray.data
+
+    from geomesa_nifi_ray.engine import make_generic_convert_fn
+
+    schema = pa.schema([
+        pa.field("kid", pa.binary()),
+        pa.field("val", pa.int64()),
+        pa.field("ts", pa.int64()),
+        pa.field("seq", pa.int64()),
+        pa.field("content_hash", pa.string()),
+    ])
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=4, schema=schema,
+                    key="kid", order=("ts", "seq"),
+                    convert_fn_factory=make_generic_convert_fn)
+
+    def ep(epoch, n, off0, bump=0):
+        t = pa.table({
+            "kid": pa.array([bytes([0x80 + (i % 64), i // 64])
+                             for i in range(n)], pa.binary()),
+            "val": pa.array([i + bump for i in range(n)], pa.int64()),
+            "ts": pa.array([off0 + i for i in range(n)], pa.int64()),
+            "seq": pa.array([off0 + i for i in range(n)], pa.int64()),
+        })
+        eng.apply_epoch(ray.data.from_arrow(t), epoch=epoch,
+                        offset_range=(off0, off0 + n - 1))
+
+    ep(0, 120, 0)
+    ep(1, 30, 1000, bump=5000)  # second epoch: the pruned-merge path
+    snap = eng.table.snapshot_table()
+    assert snap.num_rows == 120
+    by_key = dict(zip(snap["kid"].to_pylist(), snap["val"].to_pylist()))
+    assert by_key[bytes([0x80, 0])] == 5000  # epoch-1 winner
+
+
+# -- 2: empty bus append ------------------------------------------------------
+
+def test_bus_append_empty_table(tmp_path):
+    from geomesa_nifi_ray.sources.spi import AppendLogBusSource
+
+    schema = pa.schema([
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("offset", pa.int64()),
+    ])
+    bus = AppendLogBusSource(str(tmp_path / "bus.db"), schema=schema)
+    empty = schema.empty_table()
+
+    # fresh bus (sqlite_sequence does not even exist yet): no crash, the
+    # documented empty range (first > last means "nothing appended")
+    first, last = bus.append(empty)
+    assert (first, last) == (1, 0)
+
+    rows = pa.table({
+        "url": pa.array(["https://a", "https://b"]),
+        "warc_ts": pa.array([1, 2], pa.int64()).cast(pa.timestamp("us")),
+        "offset": pa.array([0, 0], pa.int64()),
+    })
+    assert bus.append(rows) == (1, 2)
+    assert bus.append(empty) == (3, 2)   # still an empty range
+    assert bus.append(rows) == (3, 4)    # offsets resume unharmed
+
+
+# -- 3: committed_offset reads manifest heads only ---------------------------
+
+def test_committed_offset_skips_shard_files(ray_session, tmp_path,
+                                            monkeypatch):
+    import ray.data
+
+    import geomesa_nifi_ray.lake as lake_mod
+
+    monkeypatch.setattr(lake_mod, "MANIFEST_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(lake_mod, "MANIFEST_SHARD_SIZE", 3)
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=16)
+    n = 200
+    t = pa.table({
+        "url": pa.array([f"https://s/{i:03d}" for i in range(n)]),
+        "warc_ts": pa.array([1_000_000 + i for i in range(n)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([b"<p>x</p>"] * n, pa.large_binary()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "offset": pa.array(list(range(n)), pa.int64()),
+    })
+    eng.apply_epoch(ray.data.from_arrow(t), epoch=0, offset_range=(0, n - 1))
+    raw = eng.table.fs.read_json(eng.table._log_path(0))
+    assert "buckets_sharded" in raw  # the epoch really is sharded
+
+    calls: list[str] = []
+    real = eng.table.fs.read_json
+    monkeypatch.setattr(eng.table.fs, "read_json",
+                        lambda p: (calls.append(p), real(p))[1])
+    assert eng.committed_offset() == n - 1
+    assert calls, "committed_offset read no manifests at all?"
+    assert not [p for p in calls if "shards-" in os.path.basename(p)]
+
+
+# -- 4: put_if_absent under S3's 409 conditional-request conflict -------------
+
+class _FakeClient:
+    def __init__(self, codes, store):
+        self.codes = list(codes)   # error codes to raise, in order
+        self.store = store         # dict key -> bytes ("the bucket")
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        from botocore.exceptions import ClientError
+
+        if self.codes:
+            raise ClientError({"Error": {"Code": self.codes.pop(0)}},
+                              "PutObject")
+        self.store[Key] = Body
+
+
+def _handler_with(monkeypatch, codes, exists_after: bool):
+    import pyarrow.fs as pafs
+
+    from geomesa_nifi_ray.s3boto import BotoS3Handler
+
+    pytest.importorskip("botocore")
+    h = BotoS3Handler("http://127.0.0.1:1")  # never actually dialed
+    store: dict = {}
+    fake = _FakeClient(codes, store)
+    monkeypatch.setattr(h, "_client", lambda: fake)
+    ftype = pafs.FileType.File if exists_after else pafs.FileType.NotFound
+    monkeypatch.setattr(h, "_info",
+                        lambda path: pafs.FileInfo("x", ftype))
+    return h, store
+
+
+def test_put_if_absent_retries_through_409(monkeypatch):
+    # two conflicts, then the PUT lands: contention, not an error
+    h, store = _handler_with(
+        monkeypatch, ["ConditionalRequestConflict", "409"],
+        exists_after=False)
+    assert h.put_if_absent("lake/k", b"v") is True
+    assert store == {"k": b"v"}
+
+
+def test_put_if_absent_409_lost_race_returns_false(monkeypatch):
+    # conflict, and the rival's object is there on re-probe: lost the race
+    h, store = _handler_with(
+        monkeypatch, ["ConditionalRequestConflict"], exists_after=True)
+    assert h.put_if_absent("lake/k", b"v") is False
+    assert store == {}
+
+
+def test_put_if_absent_412_still_returns_false(monkeypatch):
+    h, store = _handler_with(monkeypatch, ["PreconditionFailed"],
+                             exists_after=False)
+    assert h.put_if_absent("lake/k", b"v") is False
+
+
+# -- 5: one SQL template for both snapshot oracles ----------------------------
+
+def test_bus_snapshot_sql_derives_from_file_template():
+    from geomesa_nifi_ray.pipelines.queries import (
+        _CDC_BUS_SNAPSHOT_SQL, _CDC_SNAPSHOT_SQL)
+
+    # the bus oracle is the file oracle with ONLY the offset projection
+    # swapped — byte-for-byte otherwise
+    assert _CDC_BUS_SNAPSHOT_SQL.replace('("offset" + 1)', '"offset"') \
+        == _CDC_SNAPSHOT_SQL
