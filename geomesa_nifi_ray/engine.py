@@ -1146,7 +1146,9 @@ class CDCEngine:
             # vs Arrow-RE2 vectorized — is byte-identical, one version.)
             kernel_sensitive = {"html", "text"} <= set(self.table.schema.names)
             if kernel_sensitive:
-                tip = self.table.manifest(committed)
+                # head-only: the gate reads kernel_version/mode, never the
+                # bucket map — no shard reassembly on sharded manifests
+                tip = self.table.manifest_head(committed)
                 prev_kernel = tip.get("kernel_version")
                 if (tip.get("mode") != "clear" and prev_kernel is not None
                         and prev_kernel != TEXT_KERNEL_VERSION):

@@ -100,7 +100,8 @@ def prometheus_text(table: LakeTable) -> str:
     last_epoch = -1
     last_offset = -1
     for e in epochs:
-        m = table.manifest(e)
+        # head-only read: counters live in the top-level manifest JSON
+        m = table.manifest_head(e)
         rows_in += int(m["rows_in"])
         applied += int(m.get("rows_applied", 0))
         failed += int(m["rows_failed"])

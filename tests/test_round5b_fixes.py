@@ -163,6 +163,19 @@ def test_committed_offset_skips_shard_files(ray_session, tmp_path,
     assert calls, "committed_offset read no manifests at all?"
     assert not [p for p in calls if "shards-" in os.path.basename(p)]
 
+    # the counters loop in the Prometheus scrape is head-only too: only
+    # live_entries() (which genuinely needs the bucket map) reassembles,
+    # so the shard files are each read ONCE, not once per manifest pass
+    from geomesa_nifi_ray.metrics import prometheus_text
+
+    calls.clear()
+    text = prometheus_text(eng.table)
+    assert str(n) in text
+    n_shards = eng.table.fs.read_json(
+        eng.table._log_path(0))["buckets_sharded"]["shards"]
+    shard_reads = [p for p in calls if "shards-" in os.path.basename(p)]
+    assert len(shard_reads) == n_shards
+
 
 # -- 4: put_if_absent under S3's 409 conditional-request conflict -------------
 
