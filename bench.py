@@ -30,7 +30,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 def _warm_floor() -> float | None:
     """The recorded warm-floor wall for the STANDARD headline config
-    (BASELINE.md round-5 calm-host readings: catch-up best 3.39 s at
+    (BASELINE.md round-5 calm-host readings: catch-up best 3.30 s at
     sf0.1 / 32 CPUs / default exchange). The interference gate only
     engages for that config — other sf/cpu/exchange combinations have no
     recorded floor unless GRAFT_WARM_FLOOR_SEC supplies one."""
@@ -39,7 +39,7 @@ def _warm_floor() -> float | None:
         return float(env)
     if (NUM_CPUS == 32 and SF_DIR.rstrip("/").endswith("sf0.1")
             and not os.environ.get("GRAFT_EXCHANGE")):
-        return 3.39
+        return 3.30
     return None
 
 
