@@ -214,15 +214,19 @@ def run_bench() -> dict:
         # same interference gate as the headline, against the SEQUENTIAL
         # recorded floor (BASELINE.md round-5 calm-host 3.11 s) — not a
         # scaled copy of the catch-up floor, which would open a false
-        # interference window between the two thresholds
-        if warm_floor is not None:
-            seq_env = os.environ.get("GRAFT_SEQ_WARM_FLOOR_SEC")
-            if seq_env:
-                seq_floor = float(seq_env)
-            elif os.environ.get("GRAFT_WARM_FLOOR_SEC"):
-                seq_floor = warm_floor  # custom config: one floor for both
-            else:
-                seq_floor = 3.11
+        # interference window between the two thresholds. An explicit
+        # GRAFT_SEQ_WARM_FLOOR_SEC engages the gate even when no headline
+        # floor exists for the config.
+        seq_env = os.environ.get("GRAFT_SEQ_WARM_FLOOR_SEC")
+        if seq_env:
+            seq_floor = float(seq_env)
+        elif warm_floor is None:
+            seq_floor = None  # no recorded floor for this config
+        elif os.environ.get("GRAFT_WARM_FLOOR_SEC"):
+            seq_floor = warm_floor  # custom config: one floor for both
+        else:
+            seq_floor = 3.11
+        if seq_floor is not None:
             while (min(sequential_walls) > 1.25 * seq_floor
                    and len(sequential_walls) < gate_cap):
                 sequential_walls.append(round(_sequential_once(), 3))

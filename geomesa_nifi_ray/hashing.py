@@ -160,7 +160,17 @@ def kernel_fingerprint(kernel: str) -> str | None:
         return None
     sentinel = pa.table(
         {"s": pa.array(["geomesa-nifi-ray/xx64-fingerprint/v1"])})
-    return content_hash_generic(sentinel, ["s"], kernel="xx64")[0].as_py()
+    s_fp = content_hash_generic(sentinel, ["s"], kernel="xx64")[0].as_py()
+    # the binary hash path rides a SEPARATE polars dtype code path (Binary
+    # vs Utf8 — equal today, but each could change independently across
+    # polars versions), so binary-keyed xx64 tables need their own
+    # behavior probe. Non-UTF8 bytes make the sentinel unreachable via the
+    # string path.
+    bin_sentinel = pa.table({"b": pa.array(
+        [b"geomesa-nifi-ray/xx64-fingerprint/bin/v2\x00\xff\x80"],
+        pa.binary())})
+    b_fp = content_hash_generic(bin_sentinel, ["b"], kernel="xx64")[0].as_py()
+    return f"{s_fp}:{b_fp}"
 
 
 def content_hash_rows(

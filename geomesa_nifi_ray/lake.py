@@ -432,7 +432,12 @@ class LakeTable:
             from geomesa_nifi_ray.hashing import kernel_fingerprint
 
             current = kernel_fingerprint(t.content_hash_kernel)
-            if current != stamped:
+            # legacy v1 stamps carried only the utf8-path probe; accept
+            # them when that part still reproduces (the lake predates
+            # binary hash columns entirely)
+            legacy_ok = (current is not None and ":" in current
+                         and stamped == current.split(":")[0])
+            if current != stamped and not legacy_ok:
                 raise RuntimeError(
                     f"content-hash kernel {t.content_hash_kernel!r} of table "
                     f"{name!r} no longer reproduces the fingerprint stamped "
@@ -552,10 +557,14 @@ class LakeTable:
                     for i in [min(bisect.bisect_right(los, b) - 1, n - 1)]
                     if 0 <= i and ranges[i][0] <= b <= ranges[i][1]
                 })
+            files = sh.get("files")
             out: dict = {}
             for i in need:
-                out.update(
-                    self.fs.read_json(self._shard_path(epoch, i))["buckets"])
+                # content-addressed names recorded in the manifest; fall
+                # back to the legacy fixed naming for pre-digest manifests
+                path = (os.path.join(self.table_dir, LOG_DIR, files[i])
+                        if files else self._shard_path(epoch, i))
+                out.update(self.fs.read_json(path)["buckets"])
             m["buckets"] = out
         return m
 
@@ -583,29 +592,33 @@ class LakeTable:
             items = sorted(buckets.items(), key=lambda kv: int(kv[0]))
             chunks = [items[i:i + MANIFEST_SHARD_SIZE]
                       for i in range(0, len(items), MANIFEST_SHARD_SIZE)]
+            # shards are CONTENT-ADDRESSED (name carries a digest of the
+            # bytes): same name => same bytes, so overwrites are always
+            # harmless (crash replay may legally re-form an epoch with
+            # different content — bus sources grow trailing batches — and
+            # then writes DIFFERENT names, never shadowing bytes any
+            # committed manifest references; a diverged racing writer's
+            # shards are likewise private to its own names). The single
+            # fenced linearization point stays the main manifest PUT below;
+            # losers' shards become unreferenced orphans that vacuum()
+            # removes.
+            import hashlib as _hashlib
+
+            shard_files = []
             for i, chunk in enumerate(chunks):
-                # shards carry the same fence as the manifest: a diverged
-                # split-brain writer must fail HERE, before its bucket maps
-                # could shadow an already-committed epoch's shards (the
-                # manifest fence alone fires only after the shard bytes are
-                # overwritten). Crash-replay stays legal: replay re-derives
-                # identical shard bytes and the adjudication below returns.
                 payload = {"epoch": epoch, "shard": i, "buckets": dict(chunk)}
-                try:
-                    self.fs.publish_json(self._shard_path(epoch, i), payload,
-                                         if_absent=True)
-                except FileExistsError:
-                    existing = self.fs.read_json(self._shard_path(epoch, i))
-                    mine = json.loads(json.dumps(payload, sort_keys=True))
-                    if existing != mine:
-                        raise SchemaError(
-                            f"split-brain commit: epoch {epoch} shard {i} "
-                            "already written with different content by "
-                            "another writer")
+                digest = _hashlib.md5(
+                    json.dumps(payload, sort_keys=True).encode()
+                ).hexdigest()[:12]
+                name = f"shards-{epoch:05d}-{i:04d}-{digest}.json"
+                self.fs.publish_json(
+                    os.path.join(self.table_dir, LOG_DIR, name), payload)
+                shard_files.append(name)
             manifest = {k: v for k, v in manifest.items() if k != "buckets"}
             manifest["buckets_sharded"] = {
                 "shards": len(chunks),
                 "count": len(items),
+                "files": shard_files,
                 "bucket_ranges": [[int(c[0][0]), int(c[-1][0])]
                                   for c in chunks],
             }
@@ -771,6 +784,29 @@ class LakeTable:
                 continue  # in-flight epoch's flushed-but-uncommitted file
             self.fs.remove(abs_path)
             deleted.append(rel)
+        # content-addressed shard JSONs: crashed or raced commits leave
+        # orphans no manifest references (manifests themselves are never
+        # vacuumed, so the referenced set is complete and stable). Shards
+        # of epochs NEWER than the cursor are kept — they may belong to
+        # an in-flight commit whose manifest lands next.
+        referenced: set[str] = set()
+        for e in epochs:
+            sh = self.manifest_head(e).get("buckets_sharded")
+            if not sh:
+                continue
+            files = sh.get("files") or [
+                os.path.basename(self._shard_path(e, i))
+                for i in range(int(sh["shards"]))]
+            referenced.update(files)
+        shard_re = re.compile(r"^shards-(\d+)-")
+        for abs_path in self.fs.walk_files(os.path.join(self.table_dir,
+                                                        LOG_DIR)):
+            base = os.path.basename(abs_path)
+            m = shard_re.match(base)
+            if m is None or base in referenced or int(m.group(1)) > committed:
+                continue
+            self.fs.remove(abs_path)
+            deleted.append(os.path.relpath(abs_path, self.table_dir))
         return deleted
 
     # -- reads --------------------------------------------------------------

@@ -193,8 +193,16 @@ class BotoS3Handler(pafs.FileSystemHandler):
             r = cl.list_objects_v2(**kw)
             keys = [{"Key": o["Key"]} for o in r.get("Contents", [])]
             if keys:
-                cl.delete_objects(Bucket=bucket,
-                                  Delete={"Objects": keys, "Quiet": True})
+                resp = cl.delete_objects(
+                    Bucket=bucket, Delete={"Objects": keys, "Quiet": True})
+                errs = resp.get("Errors") or []
+                if errs:
+                    # batch deletes return 200 with per-key failures in
+                    # Errors; swallowing them would report a "deleted" dir
+                    # that still holds objects
+                    raise OSError(
+                        f"delete_dir {path}: {len(errs)} object(s) failed "
+                        f"to delete; first: {errs[0]}")
             token = r.get("NextContinuationToken")
             if not token:
                 break

@@ -166,12 +166,12 @@ def test_s3_conditional_put_split_brain_fence(ray_session, s3_server, binlog):
     assert t2.manifest(3)["rows_in"] == 1  # first writer's content stands
 
 
-def test_s3_sharded_shard_files_are_fenced(s3_server, monkeypatch):
-    """Round-5 review finding: shard JSONs carry the same conditional-PUT
-    fence as the manifest. A diverged writer racing the SAME epoch (both
-    computed expected=N before either committed) must fail loudly at the
-    first diverged shard — and the first writer's committed shard bytes
-    must be untouched."""
+def test_s3_sharded_shard_files_are_content_addressed(s3_server, monkeypatch):
+    """Round-5 review finding: shard JSONs are content-addressed (digest
+    in the name), so a diverged writer racing the SAME epoch writes its
+    own shard files and the committed manifest's shard bytes can never be
+    shadowed; the racing commit still fails loudly at the fenced manifest
+    PUT."""
     import pyarrow as pa
 
     import geomesa_nifi_ray.lake as lake_mod
@@ -205,12 +205,33 @@ def test_s3_sharded_shard_files_are_fenced(s3_server, monkeypatch):
     t2.committed_epoch = lambda: None  # the stale pre-commit view
     with pytest.raises(SchemaError, match="split-brain"):
         t2.commit_epoch(mk(999))
-    # A's shard content is INTACT (the corruption the fence closes)
+    # A's shard content is INTACT (the corruption content-addressing
+    # closes): the loser wrote different shard NAMES, never A's bytes
     assert all(e["rows"] == 5 for e in t.manifest(0)["buckets"].values())
 
     # the same stale writer replaying IDENTICAL content is benign
     t2.commit_epoch(mk(5))
     assert all(e["rows"] == 5 for e in t.manifest(0)["buckets"].values())
+
+    # crash-replay whose RE-FORMED epoch content legally differs (bus
+    # sources grow trailing batches): orphan shards from the crashed
+    # attempt must not wedge the commit (the old shard-level fence
+    # false-positived here as split-brain)
+    t3 = LakeTable.create("lake/shardreform", "pages", schema, num_buckets=8,
+                          fs=_s3_lakefs(s3_server))
+    # simulate the crashed first attempt: its shards land (under their own
+    # content digests), the manifest never does
+    import os as _os
+
+    t3.fs.publish_json(
+        _os.path.join(t3.table_dir, "_log", "shards-00000-0000-deadbeef0123.json"),
+        {"epoch": 0, "shard": 0, "buckets": dict(list(mk(3)["buckets"].items())[:3])})
+    t3.commit_epoch(mk(7))  # the re-formed (different) epoch commits fine
+    assert all(e["rows"] == 7 for e in t3.manifest(0)["buckets"].values())
+    # vacuum sweeps the unreferenced orphan shard JSONs
+    removed = t3.vacuum(retain_epochs=2)
+    assert any("shards-" in p for p in removed)
+    assert all(e["rows"] == 7 for e in t3.manifest(0)["buckets"].values())
 
 
 def test_s3_delete_dir_paginates_past_1000_objects(s3_server):

@@ -17,6 +17,10 @@
 5. The bus-tail SQL oracle derives from the SAME template as the file
    replay oracle (offset projection is the only difference) so the LWW /
    content-hash recipe can never silently diverge between the two.
+6. The xx64 kernel fingerprint probes BOTH polars hash code paths (Utf8
+   and Binary) so binary-keyed lakes are guarded against a polars
+   upgrade that changes only the Binary dtype hashing; legacy v1 stamps
+   (utf8 probe only) keep loading while that part reproduces.
 """
 
 import os
@@ -242,3 +246,38 @@ def test_bus_snapshot_sql_derives_from_file_template():
     # swapped — byte-for-byte otherwise
     assert _CDC_BUS_SNAPSHOT_SQL.replace('("offset" + 1)', '"offset"') \
         == _CDC_SNAPSHOT_SQL
+
+
+# -- 6: xx64 fingerprint covers the binary hash path --------------------------
+
+def test_xx64_fingerprint_probes_binary_path_and_accepts_legacy(tmp_path):
+    from geomesa_nifi_ray.hashing import kernel_fingerprint
+    from geomesa_nifi_ray.lake import LakeTable
+
+    fp = kernel_fingerprint("xx64")
+    assert fp is not None and ":" in fp  # utf8 probe + binary probe
+
+    schema = pa.schema([pa.field("k", pa.string()),
+                        pa.field("content_hash", pa.string())])
+    t = LakeTable.create(str(tmp_path), "t", schema, num_buckets=2,
+                         content_hash_kernel="xx64")
+    assert t.meta["content_hash_fingerprint"] == fp
+    LakeTable.load(str(tmp_path), "t")  # round-trips
+
+    # a legacy v1 stamp (utf8 probe only) still loads while that part
+    # reproduces
+    meta_path = None
+    import glob as _glob
+    import json as _json
+    for p in _glob.glob(str(tmp_path / "t" / "*.json")):
+        meta_path = p
+    meta = _json.load(open(meta_path))
+    meta["content_hash_fingerprint"] = fp.split(":")[0]
+    _json.dump(meta, open(meta_path, "w"))
+    LakeTable.load(str(tmp_path), "t")
+
+    # a stamp that matches neither form fails loudly
+    meta["content_hash_fingerprint"] = "0123456789abcdef"
+    _json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(RuntimeError, match="fingerprint"):
+        LakeTable.load(str(tmp_path), "t")
