@@ -281,3 +281,63 @@ def test_xx64_fingerprint_probes_binary_path_and_accepts_legacy(tmp_path):
     _json.dump(meta, open(meta_path, "w"))
     with pytest.raises(RuntimeError, match="fingerprint"):
         LakeTable.load(str(tmp_path), "t")
+
+
+# -- 7: content-addressed shards, locally (no object store needed) -----------
+
+def test_sharded_reformed_replay_and_orphan_vacuum(ray_session, tmp_path,
+                                                   monkeypatch):
+    """A crashed sharded commit leaves orphan shard files; a legal replay
+    that RE-FORMED the epoch with different content (bus sources grow
+    trailing batches) must commit under new content-addressed names, and
+    vacuum() must sweep the unreferenced orphans."""
+    import glob
+
+    import ray.data
+
+    import geomesa_nifi_ray.lake as lake_mod
+
+    monkeypatch.setattr(lake_mod, "MANIFEST_SHARD_THRESHOLD", 4)
+    monkeypatch.setattr(lake_mod, "MANIFEST_SHARD_SIZE", 3)
+    lake = str(tmp_path / "lake")
+
+    def ep_table(n, off0):
+        return pa.table({
+            "url": pa.array([f"https://s/{i:03d}" for i in range(n)]),
+            "warc_ts": pa.array([1_000_000 + off0 + i for i in range(n)],
+                                pa.int64()).cast(pa.timestamp("us")),
+            "html": pa.array([b"<p>x</p>"] * n, pa.large_binary()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "offset": pa.array([off0 + i for i in range(n)], pa.int64()),
+        })
+
+    # crashed attempt: epoch 0 formed with 150 rows, shards land, the
+    # manifest does not (simulated by committing on a scratch table and
+    # copying its shard files over as orphans)
+    eng0 = CDCEngine(str(tmp_path / "scratch"), num_buckets=16)
+    eng0.apply_epoch(ray.data.from_arrow(ep_table(150, 0)), epoch=0,
+                     offset_range=(0, 149))
+    orphan_srcs = glob.glob(str(tmp_path / "scratch" / "pages" / "_log" /
+                                "shards-00000-*.json"))
+    assert orphan_srcs  # the scratch epoch really sharded
+
+    eng = CDCEngine(lake, num_buckets=16)
+    import shutil
+    for p in orphan_srcs:
+        shutil.copy(p, os.path.join(lake, "pages", "_log",
+                                    os.path.basename(p)))
+
+    # the replay re-formed epoch 0 with MORE rows: must commit cleanly
+    eng.apply_epoch(ray.data.from_arrow(ep_table(200, 0)), epoch=0,
+                    offset_range=(0, 199))
+    assert eng.table.snapshot_table().num_rows == 200
+    assert len(eng.table.manifest(0)["buckets"]) == 16
+
+    # vacuum sweeps the orphans; the committed shards survive
+    removed = eng.table.vacuum(retain_epochs=2)
+    orphan_names = {os.path.basename(p) for p in orphan_srcs}
+    committed_names = set(eng.table.manifest_head(0)
+                          ["buckets_sharded"]["files"])
+    swept = {os.path.basename(p) for p in removed if "shards-" in p}
+    assert swept == orphan_names - committed_names
+    assert eng.table.snapshot_table().num_rows == 200  # reads intact
