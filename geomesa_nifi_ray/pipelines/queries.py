@@ -905,6 +905,79 @@ FROM documents GROUP BY lang
 """
 
 
+def q_vocab_topk_documents(sf_dir: str, k: int = 20):
+    """Per-language top-k token frequencies — the vocabulary-building step
+    of a training-data pipeline. Scale shape: per-batch PARTIAL
+    (lang, token) counts (Arrow RE2 split + list-flatten + in-batch
+    group_by) combine BEFORE the one keyed exchange, so the shuffle
+    carries unique (lang, token) rows, never token instances; the global
+    sort is replaced by per-block top-k-per-lang + a driver merge of
+    <= k x langs x blocks candidate rows (the reference analog is the
+    converter pipeline's aggregate counters; tokenization matches the
+    whitespace rule of ``q_token_stats_documents``)."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["lang"]), pc.is_valid(t["text"])))
+        toks = pc.split_pattern_regex(t["text"], r"\s+")
+        flat = pc.list_flatten(toks)
+        lang = t["lang"].take(pc.list_parent_indices(toks))
+        pairs = pa.table({"lang": lang, "token": flat})
+        pairs = pairs.filter(pc.not_equal(pairs["token"], ""))  # boundary ''
+        g = pairs.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g["lang"], "token": g["token"],
+                         "cnt": pc.cast(g["count_all"], pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["lang", "token"])
+             .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def local_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[("lang", "ascending"),
+                                            ("cnt", "descending"),
+                                            ("token", "ascending")])
+        t = t.take(idx)
+        langs = np.asarray(t["lang"])
+        starts = np.r_[0, np.nonzero(langs[1:] != langs[:-1])[0] + 1]
+        ends = np.r_[starts[1:], len(langs)]
+        keep = np.concatenate([np.arange(s, min(s + k, e))
+                               for s, e in zip(starts, ends)])
+        return t.take(pa.array(keep, pa.int64()))
+
+    cand = pd.DataFrame(
+        agg.map_batches(local_top, batch_format="pyarrow").take_all())
+    cand = cand.sort_values(["lang", "cnt", "token"],
+                            ascending=[True, False, True], kind="stable")
+    cand["rank"] = cand.groupby("lang").cumcount() + 1
+    top = cand[cand["rank"] <= k].reset_index(drop=True)
+    top["rank"] = top["rank"].astype("int64")
+    return top[["lang", "token", "cnt", "rank"]]
+
+
+_VOCAB_TOPK_SQL = """
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(text, '\\s+')) AS token
+  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+), counts AS (
+  SELECT lang, token, count(*) AS cnt FROM toks
+  WHERE token <> '' GROUP BY lang, token
+), ranked AS (
+  SELECT lang, token, CAST(cnt AS BIGINT) AS cnt,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, token ASC) AS rank
+  FROM counts
+)
+SELECT lang, token, cnt, rank FROM ranked WHERE rank <= 20
+"""
+
+
 def q_schema_project_documents(sf_dir: str):
     """Existing-mode schema-adapter stage: reorder, cast, null-fill, drop."""
     import ray.data
@@ -2081,6 +2154,7 @@ QUERIES = {
     "token_stats_documents": q_token_stats_documents,
     "quality_documents": q_quality_documents,
     "lang_distribution_documents": q_lang_distribution_documents,
+    "vocab_topk_documents": q_vocab_topk_documents,
     "schema_project_documents": q_schema_project_documents,
     "training_data_prep": q_training_data_prep,
     "embedding_topk": q_embedding_topk,
@@ -2190,6 +2264,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "token_stats_documents": _TOKEN_STATS_SQL,
         "quality_documents": _QUALITY_SQL,
         "lang_distribution_documents": _LANG_DIST_SQL,
+        "vocab_topk_documents": _VOCAB_TOPK_SQL,
         "schema_project_documents": _SCHEMA_PROJECT_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
