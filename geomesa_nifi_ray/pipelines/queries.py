@@ -978,6 +978,81 @@ SELECT lang, token, cnt, rank FROM ranked WHERE rank <= 20
 """
 
 
+def q_length_filter_documents(sf_dir: str, lo_q: float = 0.05,
+                              hi_q: float = 0.95):
+    """Length-window curation filter: keep documents inside the
+    per-language [P5, P95] of ``n_chars`` (the standard too-short /
+    too-long cut of a training-data pipeline). Scale shape: the EXACT
+    per-lang quantile boundaries come from a compact distributed
+    value-count histogram (one small keyed aggregate over (lang,
+    n_chars) — cardinality is langs x distinct lengths, bounded and tiny
+    relative to rows), never a global sort; the boundaries broadcast in
+    the filter closure and the filter itself is one vectorized
+    map_batches pass. percentile_disc semantics: the value at 1-based
+    position ceil(q * n) of the sorted column — matches DuckDB/Postgres
+    WITHIN GROUP (ORDER BY ...)."""
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["lang"]),
+                             pc.is_valid(t["n_chars"])))
+        g = t.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g["lang"], "n_chars": g["n_chars"],
+                         "cnt": pc.cast(g["count_all"], pa.int64())})
+
+    hist = pd.DataFrame(
+        ds.map_batches(partial, batch_format="pyarrow")
+          .groupby(["lang", "n_chars"])
+          .aggregate(Sum("cnt", alias_name="cnt")).take_all())
+    bounds: dict[str, tuple[int, int]] = {}
+    for lang, grp in hist.groupby("lang"):
+        grp = grp.sort_values("n_chars")
+        cum = grp["cnt"].cumsum().to_numpy()
+        vals = grp["n_chars"].to_numpy()
+        n = int(cum[-1])
+
+        def disc(q: float) -> int:
+            import numpy as np
+
+            target = math.ceil(q * n)
+            return int(vals[int(np.searchsorted(cum, target, side="left"))])
+
+        bounds[lang] = (disc(lo_q), disc(hi_q))
+
+    langs_arr = pa.array(list(bounds), pa.string())
+    lo_arr = pa.array([bounds[v][0] for v in bounds], pa.int64())
+    hi_arr = pa.array([bounds[v][1] for v in bounds], pa.int64())
+
+    def keep(t: pa.Table) -> pa.Table:
+        # vectorized boundary lookup: index_in yields null for unknown /
+        # null langs, take propagates it, and filter drops null masks
+        idx = pc.index_in(t["lang"], value_set=langs_arr)
+        m = pc.and_(pc.greater_equal(t["n_chars"], lo_arr.take(idx)),
+                    pc.less_equal(t["n_chars"], hi_arr.take(idx)))
+        return t.filter(m)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+_LENGTH_FILTER_SQL = """
+WITH b AS (
+  SELECT lang,
+         percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo,
+         percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS hi
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN b USING (lang)
+WHERE d.n_chars BETWEEN b.lo AND b.hi
+"""
+
+
 def q_schema_project_documents(sf_dir: str):
     """Existing-mode schema-adapter stage: reorder, cast, null-fill, drop."""
     import ray.data
@@ -2155,6 +2230,7 @@ QUERIES = {
     "quality_documents": q_quality_documents,
     "lang_distribution_documents": q_lang_distribution_documents,
     "vocab_topk_documents": q_vocab_topk_documents,
+    "length_filter_documents": q_length_filter_documents,
     "schema_project_documents": q_schema_project_documents,
     "training_data_prep": q_training_data_prep,
     "embedding_topk": q_embedding_topk,
@@ -2265,6 +2341,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "quality_documents": _QUALITY_SQL,
         "lang_distribution_documents": _LANG_DIST_SQL,
         "vocab_topk_documents": _VOCAB_TOPK_SQL,
+        "length_filter_documents": _LENGTH_FILTER_SQL,
         "schema_project_documents": _SCHEMA_PROJECT_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
