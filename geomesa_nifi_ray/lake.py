@@ -978,6 +978,74 @@ class LakeTable:
         ).repartition(len(files))
         return control.map_batches(read_changes, batch_format="pyarrow")
 
+    def epoch_diff_dataset(self, epoch_a: int, epoch_b: int):
+        """Row-level diff between the table states at two committed
+        epochs: ``_change`` in {'added', 'removed', 'changed'} with the
+        epoch-b payload for added/changed rows and the epoch-a payload
+        for removed rows (keys whose LWW winner became a tombstone).
+
+        Scale shape: BUCKET-LOCAL — both states live in the same bucketed
+        layout, so one task diffs one bucket's chains at the two epochs
+        and there is no shuffle at any size; buckets whose manifest
+        entries are identical at both epochs (same files + digests) are
+        skipped without reading a byte. The time-travel analog of the
+        reference's change-stream egress (``GetGeoMesaKafkaRecord``'s
+        Change/Delete stream) computed between arbitrary epochs."""
+        import ray.data
+
+        ea = self.live_entries(epoch_a)
+        eb = self.live_entries(epoch_b)
+        work = [b for b in sorted(set(ea) | set(eb)) if ea.get(b) != eb.get(b)]
+        schema, key, order = self.schema, self.key, self.order
+        out_schema = schema.append(pa.field("_change", pa.string()))
+        if not work:
+            return ray.data.from_arrow(out_schema.empty_table())
+        lake_fs = self.fs
+        table_dir = self.table_dir
+        chains = {b: (self.chain_files(ea[b]) if b in ea else [],
+                      self.chain_files(eb[b]) if b in eb else [])
+                  for b in work}
+
+        def _state(files: list[str]) -> pa.Table:
+            if not files:
+                return schema.empty_table()
+            tabs = [lake_fs.read_parquet(os.path.join(table_dir, f))
+                    for f in files]
+            return merge_chain_tables(tabs, schema, key, order)
+
+        def _tag(t: pa.Table, tag: str) -> pa.Table:
+            return t.append_column(
+                "_change", pa.nulls(t.num_rows, pa.string()).fill_null(tag))
+
+        def diff(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            out = []
+            for b in batch["b"].to_pylist():
+                fa, fb = chains[b]
+                ta, tb = _state(fa), _state(fb)
+                ka = ta[key].combine_chunks()
+                kb = tb[key].combine_chunks()
+                pos_in_a = pc.index_in(kb, value_set=ka)
+                new_mask = pc.is_null(pos_in_a)
+                out.append(_tag(tb.filter(new_mask), "added"))
+                both = tb.filter(pc.invert(new_mask))
+                pos = pos_in_a.filter(pc.invert(new_mask))
+                a_hash = ta["content_hash"].combine_chunks().take(pos)
+                diff_mask = pc.not_equal(
+                    pc.fill_null(both["content_hash"], ""),
+                    pc.fill_null(a_hash, ""))
+                out.append(_tag(both.filter(diff_mask), "changed"))
+                gone = pc.is_null(pc.index_in(ka, value_set=kb))
+                out.append(_tag(ta.filter(gone), "removed"))
+            out = [t for t in out if t.num_rows]
+            return pa.concat_tables(out) if out else out_schema.empty_table()
+
+        control = ray.data.from_arrow(
+            pa.table({"b": pa.array(work, type=pa.int64())})
+        ).repartition(len(work))
+        return control.map_batches(diff, batch_format="pyarrow")
+
     def snapshot_table(self, epoch: int | None = None,
                        include_pending: bool = False) -> pa.Table:
         """Driver-side snapshot as one Arrow table — tests / small tables only."""

@@ -224,6 +224,58 @@ FROM ranked WHERE rn = 1 AND "offset" BETWEEN {lo} AND {hi}
 """
 
 
+def q_cdc_epoch_diff(sf_dir: str):
+    """Time-travel diff: row-level changes between the table state at
+    epoch 0 and the final committed state (added / changed per key; this
+    lake has no deletes, removals are exercised by the deletes-lake unit
+    test). Bucket-local — one task per changed bucket, no shuffle; see
+    :meth:`~geomesa_nifi_ray.lake.LakeTable.epoch_diff_dataset`."""
+    eng = run_cdc_replay(sf_dir)
+    cols = SNAPSHOT_COLS + ["_change"]
+    return eng.table.epoch_diff_dataset(
+        0, eng.table.committed_epoch()).map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow")
+
+
+_CDC_DIFF_SQL = """
+WITH s0 AS (
+  SELECT * FROM (
+    SELECT url, warc_ts, text, lang, "offset",
+           md5(url || chr(31) || CAST(epoch_us(warc_ts) AS VARCHAR)
+                   || chr(31) || text || chr(31) || lang) AS content_hash,
+           row_number() OVER (PARTITION BY url
+                              ORDER BY warc_ts DESC, "offset" DESC) AS rn
+    FROM read_parquet('{glob}')
+    WHERE html IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
+      AND "offset" <= {o0}
+  ) WHERE rn = 1
+), s1 AS (
+  SELECT * FROM (
+    SELECT url, warc_ts, text, lang, "offset",
+           md5(url || chr(31) || CAST(epoch_us(warc_ts) AS VARCHAR)
+                   || chr(31) || text || chr(31) || lang) AS content_hash,
+           row_number() OVER (PARTITION BY url
+                              ORDER BY warc_ts DESC, "offset" DESC) AS rn
+    FROM read_parquet('{glob}')
+    WHERE html IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
+      AND "offset" <= {o1}
+  ) WHERE rn = 1
+)
+SELECT COALESCE(s1.url, s0.url) AS url,
+       COALESCE(s1.warc_ts, s0.warc_ts) AS warc_ts,
+       COALESCE(s1.text, s0.text) AS text,
+       COALESCE(s1.lang, s0.lang) AS lang,
+       COALESCE(s1.content_hash, s0.content_hash) AS content_hash,
+       COALESCE(s1."offset", s0."offset") AS "offset",
+       CASE WHEN s0.url IS NULL THEN 'added'
+            WHEN s1.url IS NULL THEN 'removed'
+            ELSE 'changed' END AS _change
+FROM s1 FULL OUTER JOIN s0 ON s1.url = s0.url
+WHERE s0.url IS NULL OR s1.url IS NULL
+   OR s0.content_hash <> s1.content_hash
+"""
+
+
 def _evo_spec(sf_dir: str) -> BinlogSpec:
     import dataclasses
 
@@ -2186,6 +2238,7 @@ QUERIES = {
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_update_partial": q_cdc_update_partial,
     "cdc_egress_epoch": q_cdc_egress_epoch,
+    "cdc_epoch_diff": q_cdc_epoch_diff,
     "cdc_enrich_tokens": q_cdc_enrich_tokens,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     # relational / streaming-window / converter parity (registered views)
@@ -2310,6 +2363,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             epoch1=os.path.join(meta["epochs"][1]["path"], "*.parquet"),
             lo=meta["epochs"][1]["offset_min"],
             hi=meta["epochs"][1]["offset_max"],
+        ),
+        "cdc_epoch_diff": _CDC_DIFF_SQL.format(
+            glob=f"{bdir}/epoch-*/*.parquet",
+            o0=meta["epochs"][0]["offset_max"],
+            o1=meta["epochs"][-1]["offset_max"],
         ),
         "pricing_summary": _PRICING_SQL,
         "top_customer_orders": _TOP_CUSTOMER_SQL,

@@ -26,6 +26,7 @@
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
 
@@ -341,3 +342,60 @@ def test_sharded_reformed_replay_and_orphan_vacuum(ray_session, tmp_path,
     swept = {os.path.basename(p) for p in removed if "shards-" in p}
     assert swept == orphan_names - committed_names
     assert eng.table.snapshot_table().num_rows == 200  # reads intact
+
+
+# -- 8: epoch-diff dataset (time-travel diff, bucket-local) -------------------
+
+def test_epoch_diff_dataset_add_change_remove(ray_session, tmp_path,
+                                              monkeypatch):
+    """epoch_diff_dataset(a, b) classifies added / changed / removed rows
+    between two committed states, skips buckets whose manifest entries
+    are identical, and removals surface the epoch-a payload (keys whose
+    LWW winner became a tombstone)."""
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=4)
+
+    def ep(epoch, urls, langs, ts0, off0, ops=None):
+        n = len(urls)
+        cols = {
+            "url": pa.array(urls),
+            "warc_ts": pa.array([ts0 + i for i in range(n)],
+                                pa.int64()).cast(pa.timestamp("us")),
+            "html": pa.array(
+                [None if (ops and ops[i] == "delete") else b"<p>x</p>"
+                 for i in range(n)], pa.large_binary()),
+            "lang": pa.array(langs, pa.string()),
+            "offset": pa.array([off0 + i for i in range(n)], pa.int64()),
+        }
+        if ops:
+            cols["_op"] = pa.array(ops, pa.string())
+        eng.apply_epoch(ray.data.from_arrow(pa.table(cols)), epoch=epoch,
+                        offset_range=(off0, off0 + n - 1))
+
+    base = [f"https://d/{i:02d}" for i in range(12)]
+    ep(0, base, ["en"] * 12, 1_000_000, 0)
+    # epoch 1: change 2 keys, add 2, delete 2
+    ep(1, [base[0], base[1], "https://d/new-a", "https://d/new-b",
+           base[2], base[3]],
+       ["de", "de", "fr", "fr", "en", "en"], 2_000_000, 100,
+       ops=["upsert", "upsert", "upsert", "upsert", "delete", "delete"])
+
+    diff = eng.table.epoch_diff_dataset(0, 1)
+    rows = pa.Table.from_pylist(diff.take_all())
+    tags = dict(zip(rows["url"].to_pylist(), rows["_change"].to_pylist()))
+    assert tags[base[0]] == "changed" and tags[base[1]] == "changed"
+    assert tags["https://d/new-a"] == "added"
+    assert tags[base[2]] == "removed" and tags[base[3]] == "removed"
+    assert len(tags) == 6
+    # removed rows carry the epoch-0 payload
+    removed = rows.filter(pc.equal(rows["_change"], "removed"))
+    assert set(removed["lang"].to_pylist()) == {"en"}
+    assert all(o < 100 for o in removed["offset"].to_pylist())
+
+    # identical-state diff is empty and reads nothing
+    assert eng.table.epoch_diff_dataset(1, 1).count() == 0
+    # self-consistency: diff(0,1) added+changed keys all live at epoch 1
+    live = set(eng.table.snapshot_table()["url"].to_pylist())
+    for u, t in tags.items():
+        assert (u in live) == (t != "removed")
