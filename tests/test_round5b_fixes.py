@@ -399,3 +399,60 @@ def test_epoch_diff_dataset_add_change_remove(ray_session, tmp_path,
     live = set(eng.table.snapshot_table()["url"].to_pylist())
     for u, t in tags.items():
         assert (u in live) == (t != "removed")
+
+
+def test_epoch_diff_reconstructs_target_state(ray_session, tmp_path):
+    """Invariant: applying diff(a, b) to snapshot(a) — drop 'removed'
+    keys, upsert 'added'/'changed' rows — reproduces snapshot(b)
+    bit-for-bit, across several epochs of a randomized lake."""
+    import numpy as np
+    import ray.data
+
+    rng = np.random.RandomState(11)
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=8)
+    urls = [f"https://r/{i:03d}" for i in range(60)]
+    off = 0
+    for epoch in range(4):
+        n = 30
+        pick = rng.choice(len(urls), size=n, replace=False)
+        ops = ["delete" if (epoch > 0 and rng.rand() < 0.2) else "upsert"
+               for _ in range(n)]
+        cols = {
+            "url": pa.array([urls[i] for i in pick]),
+            "warc_ts": pa.array([1_000_000 * (epoch + 1) + i
+                                 for i in range(n)],
+                                pa.int64()).cast(pa.timestamp("us")),
+            "html": pa.array([None if ops[i] == "delete"
+                              else f"<p>{epoch}-{i}</p>".encode()
+                              for i in range(n)], pa.large_binary()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "offset": pa.array([off + i for i in range(n)], pa.int64()),
+            "_op": pa.array(ops, pa.string()),
+        }
+        eng.apply_epoch(ray.data.from_arrow(pa.table(cols)), epoch=epoch,
+                        offset_range=(off, off + n - 1))
+        off += n
+
+    def state(epoch):
+        t = eng.table.snapshot_table(epoch=epoch)
+        return {u: h for u, h in zip(t["url"].to_pylist(),
+                                     t["content_hash"].to_pylist())}
+
+    for a, b in [(0, 1), (0, 3), (1, 3), (2, 2)]:
+        sa, sb = state(a), state(b)
+        rows = pa.Table.from_pylist(
+            eng.table.epoch_diff_dataset(a, b).take_all())
+        rebuilt = dict(sa)
+        if rows.num_rows:
+            for u, h, ch in zip(rows["url"].to_pylist(),
+                                rows["content_hash"].to_pylist(),
+                                rows["_change"].to_pylist()):
+                if ch == "removed":
+                    assert rebuilt.pop(u, None) is not None
+                else:
+                    if ch == "added":
+                        assert u not in rebuilt
+                    else:
+                        assert u in rebuilt and rebuilt[u] != h
+                    rebuilt[u] = h
+        assert rebuilt == sb, f"diff({a},{b}) does not reconstruct"
