@@ -226,7 +226,9 @@ def run_bench() -> dict:
             seq_floor = warm_floor  # custom config: one floor for both
         else:
             seq_floor = 3.11
-        if seq_floor is not None:
+        # same reps=1 contract as the headline gate: an explicit single
+        # timed run is honored, never extended
+        if seq_floor is not None and len(sequential_walls) > 1:
             while (min(sequential_walls) > 1.25 * seq_floor
                    and len(sequential_walls) < gate_cap):
                 sequential_walls.append(round(_sequential_once(), 3))

@@ -433,10 +433,17 @@ class LakeTable:
 
             current = kernel_fingerprint(t.content_hash_kernel)
             # legacy v1 stamps carried only the utf8-path probe; accept
-            # them when that part still reproduces (the lake predates
-            # binary hash columns entirely)
+            # them when that part still reproduces — and UPGRADE the stamp
+            # to the two-part form immediately, so a FUTURE polars change
+            # to only the Binary dtype hash path still fails loudly here
+            # instead of slipping through the utf8-only comparison forever
             legacy_ok = (current is not None and ":" in current
                          and stamped == current.split(":")[0])
+            if legacy_ok:
+                meta = dict(t.meta, content_hash_fingerprint=current)
+                t.fs.publish_json(os.path.join(t.table_dir, TABLE_META),
+                                  meta)
+                t._meta = meta
             if current != stamped and not legacy_ok:
                 raise RuntimeError(
                     f"content-hash kernel {t.content_hash_kernel!r} of table "
@@ -530,8 +537,11 @@ class LakeTable:
         mode, ...) in one JSON GET — sharded bucket maps are NOT fetched
         or reassembled. The cheap read for cursor/metadata probes like
         ``CDCEngine.committed_offset`` that would otherwise pay O(shards)
-        GETs per poll; ``buckets``/``buckets_sharded`` must not be used
-        from the result (use :meth:`manifest` when entries are needed)."""
+        GETs per poll. The ``buckets`` entry map must not be used from
+        the result (a sharded manifest has none — use :meth:`manifest`
+        when entries are needed); the ``buckets_sharded`` METADATA
+        (shards / files / bucket_ranges) is complete here and fine to
+        read."""
         return self.fs.read_json(self._log_path(epoch))
 
     def manifest(self, epoch: int, buckets=None) -> dict:
@@ -607,9 +617,11 @@ class LakeTable:
             shard_files = []
             for i, chunk in enumerate(chunks):
                 payload = {"epoch": epoch, "shard": i, "buckets": dict(chunk)}
+                # FULL md5 of the exact published bytes: truncating would
+                # weaken the never-shadow guarantee to probabilistic
                 digest = _hashlib.md5(
-                    json.dumps(payload, sort_keys=True).encode()
-                ).hexdigest()[:12]
+                    json.dumps(payload, indent=1, sort_keys=True).encode()
+                ).hexdigest()
                 name = f"shards-{epoch:05d}-{i:04d}-{digest}.json"
                 self.fs.publish_json(
                     os.path.join(self.table_dir, LOG_DIR, name), payload)
@@ -788,25 +800,34 @@ class LakeTable:
         # orphans no manifest references (manifests themselves are never
         # vacuumed, so the referenced set is complete and stable). Shards
         # of epochs NEWER than the cursor are kept — they may belong to
-        # an in-flight commit whose manifest lands next.
-        referenced: set[str] = set()
-        for e in epochs:
-            sh = self.manifest_head(e).get("buckets_sharded")
-            if not sh:
-                continue
-            files = sh.get("files") or [
-                os.path.basename(self._shard_path(e, i))
-                for i in range(int(sh["shards"]))]
-            referenced.update(files)
+        # an in-flight commit whose manifest lands next. Walk FIRST and
+        # probe only the epochs that actually have shard files on disk —
+        # typically none — instead of a manifest_head GET per committed
+        # epoch (O(total epochs) on a long-lived object-store lake).
         shard_re = re.compile(r"^shards-(\d+)-")
+        candidates: list[tuple[str, str, int]] = []
         for abs_path in self.fs.walk_files(os.path.join(self.table_dir,
                                                         LOG_DIR)):
             base = os.path.basename(abs_path)
             m = shard_re.match(base)
-            if m is None or base in referenced or int(m.group(1)) > committed:
-                continue
-            self.fs.remove(abs_path)
-            deleted.append(os.path.relpath(abs_path, self.table_dir))
+            if m is not None and int(m.group(1)) <= committed:
+                candidates.append((abs_path, base, int(m.group(1))))
+        if candidates:
+            epoch_set = set(epochs)
+            referenced: set[str] = set()
+            for e in sorted({e for _, _, e in candidates} & epoch_set):
+                sh = self.manifest_head(e).get("buckets_sharded")
+                if not sh:
+                    continue
+                files = sh.get("files") or [
+                    os.path.basename(self._shard_path(e, i))
+                    for i in range(int(sh["shards"]))]
+                referenced.update(files)
+            for abs_path, base, _ in candidates:
+                if base in referenced:
+                    continue
+                self.fs.remove(abs_path)
+                deleted.append(os.path.relpath(abs_path, self.table_dir))
         return deleted
 
     # -- reads --------------------------------------------------------------
@@ -993,18 +1014,20 @@ class LakeTable:
         Change/Delete stream) computed between arbitrary epochs."""
         import ray.data
 
+        schema, key, order = self.schema, self.key, self.order
+        if "content_hash" not in schema.names:
+            raise ValueError(
+                "epoch_diff_dataset requires a content_hash column (the "
+                "row-identity the 'changed' classification compares); "
+                f"table {self.name!r} schema has none")
         ea = self.live_entries(epoch_a)
         eb = self.live_entries(epoch_b)
         work = [b for b in sorted(set(ea) | set(eb)) if ea.get(b) != eb.get(b)]
-        schema, key, order = self.schema, self.key, self.order
         out_schema = schema.append(pa.field("_change", pa.string()))
         if not work:
             return ray.data.from_arrow(out_schema.empty_table())
         lake_fs = self.fs
         table_dir = self.table_dir
-        chains = {b: (self.chain_files(ea[b]) if b in ea else [],
-                      self.chain_files(eb[b]) if b in eb else [])
-                  for b in work}
 
         def _state(files: list[str]) -> pa.Table:
             if not files:
@@ -1021,8 +1044,8 @@ class LakeTable:
             import pyarrow.compute as pc
 
             out = []
-            for b in batch["b"].to_pylist():
-                fa, fb = chains[b]
+            for fa, fb in zip(batch["fa"].to_pylist(),
+                              batch["fb"].to_pylist()):
                 ta, tb = _state(fa), _state(fb)
                 ka = ta[key].combine_chunks()
                 kb = tb[key].combine_chunks()
@@ -1041,9 +1064,15 @@ class LakeTable:
             out = [t for t in out if t.num_rows]
             return pa.concat_tables(out) if out else out_schema.empty_table()
 
-        control = ray.data.from_arrow(
-            pa.table({"b": pa.array(work, type=pa.int64())})
-        ).repartition(len(work))
+        # the control table CARRIES each bucket's two chain-file lists so a
+        # task receives only its own rows — a closure-captured {bucket:
+        # chains} map would ship O(P) state to each of P tasks (O(P^2))
+        control = ray.data.from_arrow(pa.table({
+            "fa": pa.array([self.chain_files(ea[b]) if b in ea else []
+                            for b in work], pa.list_(pa.string())),
+            "fb": pa.array([self.chain_files(eb[b]) if b in eb else []
+                            for b in work], pa.list_(pa.string())),
+        })).repartition(len(work))
         return control.map_batches(diff, batch_format="pyarrow")
 
     def snapshot_table(self, epoch: int | None = None,

@@ -237,6 +237,14 @@ def q_cdc_epoch_diff(sf_dir: str):
         lambda t: t.select(cols), batch_format="pyarrow")
 
 
+# Precondition: valid for binlogs WITHOUT delete events (the synth replay
+# binlog has none — deletes arrive only via the _op column, which these
+# parquet epochs lack). With deletes, the html-IS-NOT-NULL pre-window
+# filter would resurrect a key's older upsert where the engine tombstones
+# it; the 'removed' branch below is kept for FULL OUTER JOIN symmetry and
+# is exercised by the tombstone unit test
+# (tests/test_round5b_fixes.py::test_epoch_diff_dataset_add_change_remove),
+# not by this oracle.
 _CDC_DIFF_SQL = """
 WITH s0 AS (
   SELECT * FROM (

@@ -275,7 +275,12 @@ def test_xx64_fingerprint_probes_binary_path_and_accepts_legacy(tmp_path):
     meta = _json.load(open(meta_path))
     meta["content_hash_fingerprint"] = fp.split(":")[0]
     _json.dump(meta, open(meta_path, "w"))
-    LakeTable.load(str(tmp_path), "t")
+    t2 = LakeTable.load(str(tmp_path), "t")
+    # ... and the stamp is UPGRADED in place so a future Binary-path-only
+    # polars change still fails loudly
+    assert t2.meta["content_hash_fingerprint"] == fp
+    assert _json.load(open(meta_path))["content_hash_fingerprint"] == fp
+    meta = _json.load(open(meta_path))
 
     # a stamp that matches neither form fails loudly
     meta["content_hash_fingerprint"] = "0123456789abcdef"
