@@ -85,6 +85,18 @@ def main(argv: list[str] | None = None) -> int:
     eg.add_argument("--out", required=True)
     eg.add_argument("--format", default="jsonl")
 
+    df = sub.add_parser(
+        "diff",
+        description="Row-level diff between the table states at two "
+        "committed epochs (added / changed / removed); bucket-local, "
+        "no shuffle.",
+    )
+    df.add_argument("--lake", required=True)
+    df.add_argument("--from", dest="epoch_a", type=int, required=True)
+    df.add_argument("--to", dest="epoch_b", type=int, required=True)
+    df.add_argument("--out", required=True)
+    df.add_argument("--format", default="jsonl")
+
     vc = sub.add_parser("vacuum")
     vc.add_argument("--lake", required=True)
     vc.add_argument("--retain", type=int, default=2)
@@ -231,6 +243,22 @@ def main(argv: list[str] | None = None) -> int:
         t = LakeTable.load(args.lake, "pages")
         lineage = egress_epoch(t, args.epoch, args.out, format=args.format).to_pandas()
         print(json.dumps({"shards": len(lineage), "rows": int(lineage.rows.sum())}))
+        return 0
+
+    if args.cmd == "diff":
+        _ray_session(args.num_cpus)
+        from geomesa_nifi_ray.export import export_dataset
+        from geomesa_nifi_ray.lake import LakeTable
+
+        t = LakeTable.load(args.lake, "pages")
+        ds = t.epoch_diff_dataset(args.epoch_a, args.epoch_b)
+        lineage = export_dataset(ds, args.out, format=args.format)
+        if hasattr(lineage, "to_pandas"):
+            lineage = lineage.to_pandas()
+            rows = int(lineage["rows"].sum()) if len(lineage) else 0
+            print(json.dumps({"shards": len(lineage), "rows": rows}))
+        else:
+            print(json.dumps({"out": lineage}))
         return 0
 
     if args.cmd == "vacuum":

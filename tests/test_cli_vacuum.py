@@ -98,3 +98,30 @@ def test_cli_compact_folds_chains(tmp_path):
     assert t2.snapshot_table().equals(before)  # logical state unchanged
     d = _run_cli("vacuum", "--lake", lake, "--retain", "1")
     assert d["deleted_files"] > 0  # old chains reclaimed
+
+
+def test_cli_diff(tmp_path):
+    """`diff --from a --to b` exports the row-level epoch diff with the
+    _change tag; diffing an epoch against itself exports nothing."""
+    import glob
+
+    binlog = str(tmp_path / "binlog")
+    lake = str(tmp_path / "lake")
+    _run_cli("synth", "--out", binlog, "--events", "1200", "--urls", "240",
+             "--epochs", "3")
+    _run_cli("replay", "--binlog", binlog, "--lake", lake, "--buckets", "8")
+
+    out = str(tmp_path / "diff")
+    r = _run_cli("diff", "--lake", lake, "--from", "0", "--to", "2",
+                 "--out", out, "--format", "jsonl")
+    assert r["rows"] > 0 and r["shards"] > 0
+    lines = []
+    for p in glob.glob(os.path.join(out, "*.jsonl")):
+        lines += open(p).read().splitlines()
+    assert len(lines) == r["rows"]
+    tags = {json.loads(ln)["_change"] for ln in lines}
+    assert tags <= {"added", "changed", "removed"} and "added" in tags
+
+    r = _run_cli("diff", "--lake", lake, "--from", "2", "--to", "2",
+                 "--out", str(tmp_path / "diff2"), "--format", "jsonl")
+    assert r["rows"] == 0
