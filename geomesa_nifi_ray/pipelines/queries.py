@@ -1038,6 +1038,73 @@ SELECT lang, token, cnt, rank FROM ranked WHERE rank <= 20
 """
 
 
+def q_doc_freq_documents(sf_dir: str, k: int = 50):
+    """Corpus document frequency + IDF for the top-k tokens by document
+    count — the inverse-document-frequency table a curation / relevance
+    pipeline builds once per corpus. Differs from ``vocab_topk`` in the
+    DISTINCT-per-document semantics: a token counts once per document it
+    appears in, however often. Scale shape: the per-batch partial
+    dedups (doc_id, token) pairs BEFORE counting (group_by inside the
+    batch), the keyed exchange carries unique (token, df) partials, and
+    the top-k is per-block + driver merge — no global sort. IDF =
+    ln(N / df) with N the corpus document count, rounded to 6 places to
+    match the oracle's float formatting."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["doc_id"]),
+                             pc.is_valid(t["text"])))
+        toks = pc.split_pattern_regex(t["text"], r"\s+")
+        flat = pc.list_flatten(toks)
+        doc = t["doc_id"].take(pc.list_parent_indices(toks))
+        pairs = pa.table({"doc_id": doc, "token": flat})
+        pairs = pairs.filter(pc.not_equal(pairs["token"], ""))
+        # distinct (doc, token) within the batch; a doc never spans
+        # batches (one row = one doc), so per-batch distinct is exact
+        g = pairs.group_by(["doc_id", "token"]).aggregate([])
+        d = g.group_by("token").aggregate([([], "count_all")])
+        return pa.table({"token": d["token"],
+                         "df": pc.cast(d["count_all"], pa.int64())})
+
+    n_docs = ds.count()
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("df", alias_name="df")))
+
+    def local_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[("df", "descending"),
+                                            ("token", "ascending")])
+        return t.take(idx.slice(0, k))
+
+    cand = pd.DataFrame(
+        agg.map_batches(local_top, batch_format="pyarrow").take_all())
+    top = (cand.sort_values(["df", "token"], ascending=[False, True],
+                            kind="stable").head(k).reset_index(drop=True))
+    top["idf"] = np.round(np.log(n_docs / top["df"].to_numpy()), 6)
+    return top[["token", "df", "idf"]]
+
+
+_DOC_FREQ_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(text, '\\s+')) AS token
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM pairs
+  WHERE token <> '' GROUP BY token
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT token, df, round(ln(n.n_docs / df), 6) AS idf
+FROM counts, n
+ORDER BY df DESC, token ASC LIMIT 50
+"""
+
+
 def q_length_filter_documents(sf_dir: str, lo_q: float = 0.05,
                               hi_q: float = 0.95):
     """Length-window curation filter: keep documents inside the
@@ -2291,6 +2358,7 @@ QUERIES = {
     "quality_documents": q_quality_documents,
     "lang_distribution_documents": q_lang_distribution_documents,
     "vocab_topk_documents": q_vocab_topk_documents,
+    "doc_freq_documents": q_doc_freq_documents,
     "length_filter_documents": q_length_filter_documents,
     "schema_project_documents": q_schema_project_documents,
     "training_data_prep": q_training_data_prep,
@@ -2407,6 +2475,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "quality_documents": _QUALITY_SQL,
         "lang_distribution_documents": _LANG_DIST_SQL,
         "vocab_topk_documents": _VOCAB_TOPK_SQL,
+        "doc_freq_documents": _DOC_FREQ_SQL,
         "length_filter_documents": _LENGTH_FILTER_SQL,
         "schema_project_documents": _SCHEMA_PROJECT_SQL,
         "embedding_topk": _EMBEDDING_TOPK_SQL,
