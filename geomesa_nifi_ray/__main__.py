@@ -22,6 +22,20 @@ import json
 import sys
 
 
+def _print_export_summary(result, out_dir: str, fmt: str) -> None:
+    """One JSON summary shape for every export-producing subcommand
+    (snapshot / egress / diff): parquet returns the out dir; the shard
+    writers return a lineage table (path, rows, bytes)."""
+    if isinstance(result, str):
+        print(json.dumps({"out_dir": result, "format": fmt,
+                          "shards": None, "rows": None}))
+        return
+    lineage = result.to_pandas()
+    rows = int(lineage["rows"].sum()) if len(lineage) else 0
+    print(json.dumps({"out_dir": out_dir, "format": fmt,
+                      "shards": len(lineage), "rows": rows}))
+
+
 def _ray_session(num_cpus: int | None):
     import ray
 
@@ -227,12 +241,7 @@ def main(argv: list[str] | None = None) -> int:
 
         t = LakeTable.load(args.lake, "pages")
         out = export_dataset(t.snapshot_dataset(), args.out, format=args.format)
-        if isinstance(out, str):
-            print(json.dumps({"out_dir": out, "format": args.format}))
-        else:
-            lineage = out.to_pandas()
-            print(json.dumps({"out_dir": args.out, "format": args.format,
-                              "shards": len(lineage), "rows": int(lineage.rows.sum())}))
+        _print_export_summary(out, args.out, args.format)
         return 0
 
     if args.cmd == "egress":
@@ -241,8 +250,8 @@ def main(argv: list[str] | None = None) -> int:
         from geomesa_nifi_ray.lake import LakeTable
 
         t = LakeTable.load(args.lake, "pages")
-        lineage = egress_epoch(t, args.epoch, args.out, format=args.format).to_pandas()
-        print(json.dumps({"shards": len(lineage), "rows": int(lineage.rows.sum())}))
+        out = egress_epoch(t, args.epoch, args.out, format=args.format)
+        _print_export_summary(out, args.out, args.format)
         return 0
 
     if args.cmd == "diff":
@@ -252,13 +261,8 @@ def main(argv: list[str] | None = None) -> int:
 
         t = LakeTable.load(args.lake, "pages")
         ds = t.epoch_diff_dataset(args.epoch_a, args.epoch_b)
-        lineage = export_dataset(ds, args.out, format=args.format)
-        if hasattr(lineage, "to_pandas"):
-            lineage = lineage.to_pandas()
-            rows = int(lineage["rows"].sum()) if len(lineage) else 0
-            print(json.dumps({"shards": len(lineage), "rows": rows}))
-        else:
-            print(json.dumps({"out": lineage}))
+        out = export_dataset(ds, args.out, format=args.format)
+        _print_export_summary(out, args.out, args.format)
         return 0
 
     if args.cmd == "vacuum":

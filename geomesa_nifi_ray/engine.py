@@ -1034,6 +1034,9 @@ class CDCEngine:
         self.convert_fn_factory = convert_fn_factory or make_convert_fn
         if LakeTable.exists(lake_root, table_name, fs=lake_fs):
             self.table = LakeTable.load(lake_root, table_name, fs=lake_fs)
+            # writer context: upgrade a legacy utf8-only xx64 fingerprint
+            # stamp to the two-part probe (load() itself is read-only)
+            self.table.upgrade_fingerprint_if_legacy()
         else:
             self.table = LakeTable.create(lake_root, table_name, schema, num_buckets,
                                           key=key, order=order,

@@ -433,17 +433,15 @@ class LakeTable:
 
             current = kernel_fingerprint(t.content_hash_kernel)
             # legacy v1 stamps carried only the utf8-path probe; accept
-            # them when that part still reproduces — and UPGRADE the stamp
-            # to the two-part form immediately, so a FUTURE polars change
-            # to only the Binary dtype hash path still fails loudly here
-            # instead of slipping through the utf8-only comparison forever
+            # them when that part still reproduces. load() itself stays
+            # READ-ONLY (a reader must not need write credentials, and a
+            # reader republishing meta could clobber a concurrent writer's
+            # update) — the WRITER upgrades the stamp via
+            # upgrade_fingerprint_if_legacy() (CDCEngine.__init__), so a
+            # FUTURE polars change to only the Binary dtype hash path
+            # still fails loudly on actively-written lakes.
             legacy_ok = (current is not None and ":" in current
                          and stamped == current.split(":")[0])
-            if legacy_ok:
-                meta = dict(t.meta, content_hash_fingerprint=current)
-                t.fs.publish_json(os.path.join(t.table_dir, TABLE_META),
-                                  meta)
-                t._meta = meta
             if current != stamped and not legacy_ok:
                 raise RuntimeError(
                     f"content-hash kernel {t.content_hash_kernel!r} of table "
@@ -498,6 +496,29 @@ class LakeTable:
         meta["schema_version"] = int(meta["schema_version"]) + 1
         self.fs.publish_json(os.path.join(self.table_dir, TABLE_META), meta)
         self._meta = meta
+
+    def upgrade_fingerprint_if_legacy(self) -> bool:
+        """WRITER-side stamp upgrade: if the table carries a legacy
+        utf8-only xx64 fingerprint (accepted by load() while it still
+        reproduces), republish meta with the current two-part probe so a
+        future polars change to only the Binary hash path fails loudly.
+        A reader never calls this — load() is read-only by contract; the
+        single-writer model makes the fresh-read + publish safe here."""
+        from geomesa_nifi_ray.hashing import kernel_fingerprint
+
+        stamped = self.meta.get("content_hash_fingerprint")
+        if stamped is None or ":" in stamped:
+            return False
+        current = kernel_fingerprint(self.content_hash_kernel)
+        if current is None or stamped != current.split(":")[0]:
+            return False
+        # fresh read: never republish a meta snapshot older than the store
+        meta = dict(self.fs.read_json(
+            os.path.join(self.table_dir, TABLE_META)))
+        meta["content_hash_fingerprint"] = current
+        self.fs.publish_json(os.path.join(self.table_dir, TABLE_META), meta)
+        self._meta = meta
+        return True
 
     # -- commit log ---------------------------------------------------------
 

@@ -1065,13 +1065,24 @@ def q_doc_freq_documents(sf_dir: str, k: int = 50):
         pairs = pa.table({"doc_id": doc, "token": flat})
         pairs = pairs.filter(pc.not_equal(pairs["token"], ""))
         # distinct (doc, token) within the batch; a doc never spans
-        # batches (one row = one doc), so per-batch distinct is exact
+        # batches (one row = one doc — ENFORCED below), so the per-batch
+        # distinct is exact
         g = pairs.group_by(["doc_id", "token"]).aggregate([])
         d = g.group_by("token").aggregate([([], "count_all")])
         return pa.table({"token": d["token"],
                          "df": pc.cast(d["count_all"], pa.int64())})
 
-    n_docs = ds.count()
+    # precondition check over the key column ONLY (cheap single-int64
+    # scan): a duplicated doc_id would make the per-batch distinct
+    # under-dedup across batches and silently overcount df
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"])
+    n_docs = ids.count()
+    n_distinct = ids.groupby("doc_id").count().count()
+    if n_distinct != n_docs:
+        raise ValueError(
+            f"doc_freq_documents requires unique doc_id per row "
+            f"({n_docs - n_distinct} duplicate rows found)")
     agg = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby("token").aggregate(Sum("df", alias_name="df")))
 

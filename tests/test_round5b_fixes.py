@@ -276,10 +276,16 @@ def test_xx64_fingerprint_probes_binary_path_and_accepts_legacy(tmp_path):
     meta["content_hash_fingerprint"] = fp.split(":")[0]
     _json.dump(meta, open(meta_path, "w"))
     t2 = LakeTable.load(str(tmp_path), "t")
-    # ... and the stamp is UPGRADED in place so a future Binary-path-only
-    # polars change still fails loudly
+    # load() is READ-ONLY: the legacy stamp is accepted but not rewritten
+    # (a reader must not need write credentials)
+    assert _json.load(open(meta_path))["content_hash_fingerprint"] \
+        == fp.split(":")[0]
+    # the WRITER upgrades the stamp so a future Binary-path-only polars
+    # change still fails loudly
+    assert t2.upgrade_fingerprint_if_legacy() is True
     assert t2.meta["content_hash_fingerprint"] == fp
     assert _json.load(open(meta_path))["content_hash_fingerprint"] == fp
+    assert t2.upgrade_fingerprint_if_legacy() is False  # idempotent
     meta = _json.load(open(meta_path))
 
     # a stamp that matches neither form fails loudly
