@@ -76,6 +76,7 @@ TIMED_QUERIES = [
     "minhash_dedup_documents",
     "embedding_topk",
     "langid_documents",
+    "vocab_topk_documents",
 ]
 
 
