@@ -163,10 +163,17 @@ def run_bench() -> dict:
         lake_root = f"/tmp/graft_bench/lake_catchup_{NUM_CPUS}"
         shutil.rmtree(lake_root, ignore_errors=True)
         t0 = time.perf_counter()
-        eng_box["eng"] = run_cdc_replay(SF_DIR, lake_root=lake_root,
-                                        num_buckets=64, catchup=True,
-                                        exchange=exchange)
-        return time.perf_counter() - t0
+        eng = run_cdc_replay(SF_DIR, lake_root=lake_root,
+                             num_buckets=64, catchup=True,
+                             exchange=exchange)
+        wall = time.perf_counter() - t0
+        eng_box["eng"] = eng
+        # keep the stats panel of the BEST rep, not the last one — a
+        # gate-extended final rep can land on a burst and would otherwise
+        # overwrite the panel with throttled per-stage numbers
+        if "best" not in eng_box or wall < eng_box["best"][0]:
+            eng_box["best"] = (wall, eng.last_stats)
+        return wall
 
     headline_walls = _until_stable(_headline_once, reps)
     # Interference gate (round-4 verdict item #1): the committed artifact
@@ -187,12 +194,19 @@ def run_bench() -> dict:
             interference = _host_evidence()
     eng = eng_box["eng"]
     headline = min(headline_walls)
-    if eng.last_stats:
+    best_wall, best_stats = eng_box.get("best", (None, eng.last_stats))
+    if best_wall is not None:
+        best_wall = round(best_wall, 3)
+    # headline-only invocations are quick verification probes (small sf,
+    # few cpus) — don't let them clobber the committed full-config panel
+    if best_stats and os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") != "1":
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_STATS.txt"), "w") as f:
             f.write(f"# per-stage stats of the headline catch-up replay "
-                    f"(num_cpus={NUM_CPUS}, sf={SF_DIR})\n")
-            f.write(eng.last_stats)
+                    f"(num_cpus={NUM_CPUS}, sf={SF_DIR}, "
+                    f"best-rep wall={best_wall}s"
+                    f"{', INTERFERENCE SUSPECTED' if interference else ''})\n")
+            f.write(best_stats)
     table_rows = sum(int(b["rows"]) for b in eng.table.manifest(
         eng.table.committed_epoch())["buckets"].values())
 

@@ -1013,6 +1013,11 @@ def q_vocab_topk_documents(sf_dir: str, k: int = 20):
 
     cand = pd.DataFrame(
         agg.map_batches(local_top, batch_format="pyarrow").take_all())
+    if cand.empty:  # all-null corpus: oracle returns 0 rows, same schema
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             "token": pd.Series([], dtype=object),
+                             "cnt": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
     cand = cand.sort_values(["lang", "cnt", "token"],
                             ascending=[True, False, True], kind="stable")
     cand["rank"] = cand.groupby("lang").cumcount() + 1
@@ -1078,11 +1083,19 @@ def q_doc_freq_documents(sf_dir: str, k: int = 50):
     ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                 columns=["doc_id"])
     n_docs = ids.count()
-    n_distinct = ids.groupby("doc_id").count().count()
-    if n_distinct != n_docs:
+    # uniqueness is checked over NON-NULL ids only: null-id rows are
+    # dropped by partial() (and by the oracle's doc_id IS NOT NULL), so
+    # they can't cross-batch under-dedup — but n_docs for IDF stays the
+    # full row count to match the oracle's `count(*) FROM documents`
+    nn = ids.map_batches(
+        lambda t: t.filter(pc.is_valid(t["doc_id"])),
+        batch_format="pyarrow")
+    n_nonnull = nn.count()
+    n_distinct = nn.groupby("doc_id").count().count() if n_nonnull else 0
+    if n_distinct != n_nonnull:
         raise ValueError(
             f"doc_freq_documents requires unique doc_id per row "
-            f"({n_docs - n_distinct} duplicate rows found)")
+            f"({n_nonnull - n_distinct} duplicate rows found)")
     agg = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby("token").aggregate(Sum("df", alias_name="df")))
 
@@ -1095,6 +1108,10 @@ def q_doc_freq_documents(sf_dir: str, k: int = 50):
 
     cand = pd.DataFrame(
         agg.map_batches(local_top, batch_format="pyarrow").take_all())
+    if cand.empty:  # all-null corpus: oracle returns 0 rows, same schema
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "df": pd.Series([], dtype="int64"),
+                             "idf": pd.Series([], dtype="float64")})
     top = (cand.sort_values(["df", "token"], ascending=[False, True],
                             kind="stable").head(k).reset_index(drop=True))
     top["idf"] = np.round(np.log(n_docs / top["df"].to_numpy()), 6)

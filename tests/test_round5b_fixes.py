@@ -467,3 +467,57 @@ def test_epoch_diff_reconstructs_target_state(ray_session, tmp_path):
                         assert u in rebuilt and rebuilt[u] != h
                     rebuilt[u] = h
         assert rebuilt == sb, f"diff({a},{b}) does not reconstruct"
+
+
+# -- review: doc_freq null-id precondition + empty-corpus shapes -------------
+
+def _write_docs(path, rows):
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(
+        [("doc_id", pa.string()), ("lang", pa.string()),
+         ("text", pa.string())])), os.path.join(path, "documents.parquet"))
+
+
+def test_doc_freq_allows_null_doc_ids(ray_session, tmp_path):
+    """NULL doc_ids are filtered by partial() and the oracle alike — they
+    must not trip the uniqueness precondition (review finding r5c #1)."""
+    from geomesa_nifi_ray.pipelines.queries import q_doc_freq_documents
+    d = str(tmp_path)
+    _write_docs(d, [
+        {"doc_id": "a", "lang": "en", "text": "x y"},
+        {"doc_id": "b", "lang": "en", "text": "x"},
+        {"doc_id": None, "lang": "en", "text": "x z"},
+        {"doc_id": None, "lang": "en", "text": "z"},
+    ])
+    top = q_doc_freq_documents(d)
+    got = dict(zip(top["token"], top["df"]))
+    assert got == {"x": 2, "y": 1}  # null-id rows contribute nothing
+    # but N for IDF is the full row count (matches the SQL oracle)
+    import numpy as np
+    x = top[top["token"] == "x"].iloc[0]
+    assert x["idf"] == np.round(np.log(4 / 2), 6)
+
+
+def test_doc_freq_still_rejects_real_duplicates(ray_session, tmp_path):
+    from geomesa_nifi_ray.pipelines.queries import q_doc_freq_documents
+    d = str(tmp_path)
+    _write_docs(d, [
+        {"doc_id": "a", "lang": "en", "text": "x"},
+        {"doc_id": "a", "lang": "en", "text": "y"},
+    ])
+    with pytest.raises(ValueError, match="unique doc_id"):
+        q_doc_freq_documents(d)
+
+
+def test_doc_freq_and_vocab_topk_empty_corpus(ray_session, tmp_path):
+    """All-NULL text: both queries return 0 rows with the full oracle
+    schema instead of KeyError on the missing agg column (r5c #2)."""
+    from geomesa_nifi_ray.pipelines.queries import (
+        q_doc_freq_documents, q_vocab_topk_documents)
+    d = str(tmp_path)
+    _write_docs(d, [{"doc_id": "a", "lang": "en", "text": None},
+                    {"doc_id": "b", "lang": None, "text": None}])
+    df = q_doc_freq_documents(d)
+    assert len(df) == 0 and list(df.columns) == ["token", "df", "idf"]
+    vt = q_vocab_topk_documents(d)
+    assert len(vt) == 0 and list(vt.columns) == ["lang", "token", "cnt",
+                                                 "rank"]
