@@ -194,12 +194,13 @@ def run_bench() -> dict:
             interference = _host_evidence()
     eng = eng_box["eng"]
     headline = min(headline_walls)
-    best_wall, best_stats = eng_box.get("best", (None, eng.last_stats))
-    if best_wall is not None:
-        best_wall = round(best_wall, 3)
     # headline-only invocations are quick verification probes (small sf,
     # few cpus) — don't let them clobber the committed full-config panel
-    if best_stats and os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") != "1":
+    headline_only = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") == "1"
+    best_wall, best_stats = eng_box["best"]  # set by the guaranteed first rep
+    if best_wall is not None:
+        best_wall = round(best_wall, 3)
+    if best_stats and not headline_only:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_STATS.txt"), "w") as f:
             f.write(f"# per-stage stats of the headline catch-up replay "
@@ -213,7 +214,6 @@ def run_bench() -> dict:
     # sequential replay: one pipeline + one commit per epoch (the
     # steady-state low-latency cadence). Skipped in headline-only mode
     # (the --scaling subprocesses time the headline alone).
-    headline_only = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") == "1"
     sequential = None
     sequential_walls = []
     if not headline_only:

@@ -8,6 +8,7 @@ cluster-size knob of the two-cluster-size scaling protocol)::
     python -m geomesa_nifi_ray status --lake /tmp/lake
     python -m geomesa_nifi_ray snapshot --lake /tmp/lake --out /tmp/snap --format csv
     python -m geomesa_nifi_ray egress --lake /tmp/lake --epoch 2 --out /tmp/changes --format jsonl
+    python -m geomesa_nifi_ray diff --lake /tmp/lake --from 1 --to 3 --out /tmp/diff --format jsonl
     python -m geomesa_nifi_ray vacuum --lake /tmp/lake --retain 2
     python -m geomesa_nifi_ray truncate --lake /tmp/lake
     python -m geomesa_nifi_ray metrics --lake /tmp/lake [--serve --port 9464]
@@ -260,7 +261,11 @@ def main(argv: list[str] | None = None) -> int:
         from geomesa_nifi_ray.lake import LakeTable
 
         t = LakeTable.load(args.lake, "pages")
-        ds = t.epoch_diff_dataset(args.epoch_a, args.epoch_b)
+        try:
+            ds = t.epoch_diff_dataset(args.epoch_a, args.epoch_b)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         out = export_dataset(ds, args.out, format=args.format)
         _print_export_summary(out, args.out, args.format)
         return 0

@@ -1041,6 +1041,15 @@ class LakeTable:
                 "epoch_diff_dataset requires a content_hash column (the "
                 "row-identity the 'changed' classification compares); "
                 f"table {self.name!r} schema has none")
+        avail = self.manifest_epochs()
+        missing = sorted({e for e in (epoch_a, epoch_b) if e not in avail})
+        if missing:
+            raise ValueError(
+                f"no manifest for epoch(s) {missing}; diffable epochs are "
+                f"{avail or '[] (empty table)'} — catch-up replay commits "
+                "ONE range manifest at its final epoch (intermediate "
+                "epochs have no snapshot to diff against) and vacuum "
+                "retires old manifests")
         ea = self.live_entries(epoch_a)
         eb = self.live_entries(epoch_b)
         work = [b for b in sorted(set(ea) | set(eb)) if ea.get(b) != eb.get(b)]

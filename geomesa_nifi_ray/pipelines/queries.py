@@ -965,6 +965,21 @@ FROM documents GROUP BY lang
 """
 
 
+def _token_pairs(t: pa.Table, col: str) -> pa.Table:
+    """(``col``, token) pairs under THE corpus tokenization rule —
+    whitespace split (Arrow RE2 ``\\s+``), empty boundary tokens dropped,
+    null ``col``/``text`` rows dropped. The single definition shared by
+    ``q_vocab_topk_documents`` and ``q_doc_freq_documents`` so the two
+    queries can never desynchronize on what a "token" is (matches the
+    whitespace rule of ``q_token_stats_documents``)."""
+    t = t.filter(pc.and_(pc.is_valid(t[col]), pc.is_valid(t["text"])))
+    toks = pc.split_pattern_regex(t["text"], r"\s+")
+    flat = pc.list_flatten(toks)
+    keyv = t[col].take(pc.list_parent_indices(toks))
+    pairs = pa.table({col: keyv, "token": flat})
+    return pairs.filter(pc.not_equal(pairs["token"], ""))
+
+
 def q_vocab_topk_documents(sf_dir: str, k: int = 20):
     """Per-language top-k token frequencies — the vocabulary-building step
     of a training-data pipeline. Scale shape: per-batch PARTIAL
@@ -983,12 +998,7 @@ def q_vocab_topk_documents(sf_dir: str, k: int = 20):
                                columns=["lang", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_(pc.is_valid(t["lang"]), pc.is_valid(t["text"])))
-        toks = pc.split_pattern_regex(t["text"], r"\s+")
-        flat = pc.list_flatten(toks)
-        lang = t["lang"].take(pc.list_parent_indices(toks))
-        pairs = pa.table({"lang": lang, "token": flat})
-        pairs = pairs.filter(pc.not_equal(pairs["token"], ""))  # boundary ''
+        pairs = _token_pairs(t, "lang")
         g = pairs.group_by(["lang", "token"]).aggregate([([], "count_all")])
         return pa.table({"lang": g["lang"], "token": g["token"],
                          "cnt": pc.cast(g["count_all"], pa.int64())})
@@ -1062,13 +1072,7 @@ def q_doc_freq_documents(sf_dir: str, k: int = 50):
                                columns=["doc_id", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_(pc.is_valid(t["doc_id"]),
-                             pc.is_valid(t["text"])))
-        toks = pc.split_pattern_regex(t["text"], r"\s+")
-        flat = pc.list_flatten(toks)
-        doc = t["doc_id"].take(pc.list_parent_indices(toks))
-        pairs = pa.table({"doc_id": doc, "token": flat})
-        pairs = pairs.filter(pc.not_equal(pairs["token"], ""))
+        pairs = _token_pairs(t, "doc_id")
         # distinct (doc, token) within the batch; a doc never spans
         # batches (one row = one doc — ENFORCED below), so the per-batch
         # distinct is exact
@@ -1090,8 +1094,20 @@ def q_doc_freq_documents(sf_dir: str, k: int = 50):
     nn = ids.map_batches(
         lambda t: t.filter(pc.is_valid(t["doc_id"])),
         batch_format="pyarrow")
-    n_nonnull = nn.count()
-    n_distinct = nn.groupby("doc_id").count().count() if n_nonnull else 0
+    # ONE pass: (distinct groups, non-null rows) both derive from the
+    # grouped counts — per-block partials, driver sum — instead of two
+    # separate executions of the same read+filter scan
+    gc = nn.groupby("doc_id").count()
+
+    def _acc(t: pa.Table) -> pa.Table:
+        cnt_col = next(n for n in t.column_names if n != "doc_id")
+        rows = pc.sum(t[cnt_col]).as_py() or 0
+        return pa.table({"groups": pa.array([t.num_rows], pa.int64()),
+                         "rows": pa.array([int(rows)], pa.int64())})
+
+    tot = gc.map_batches(_acc, batch_format="pyarrow").sum(["groups", "rows"])
+    n_distinct = int(tot["sum(groups)"]) if tot else 0
+    n_nonnull = int(tot["sum(rows)"]) if tot else 0
     if n_distinct != n_nonnull:
         raise ValueError(
             f"doc_freq_documents requires unique doc_id per row "

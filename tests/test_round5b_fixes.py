@@ -521,3 +521,41 @@ def test_doc_freq_and_vocab_topk_empty_corpus(ray_session, tmp_path):
     vt = q_vocab_topk_documents(d)
     assert len(vt) == 0 and list(vt.columns) == ["lang", "token", "cnt",
                                                  "rank"]
+
+
+def test_engine_init_upgrades_legacy_fingerprint(ray_session, tmp_path):
+    """The WRITER-side legacy-fingerprint upgrade is wired through
+    CDCEngine.__init__ (engine.py:1039), not only reachable by calling
+    LakeTable.upgrade_fingerprint_if_legacy() by hand (r5d review #2):
+    opening an actively-written legacy lake with the engine must rewrite
+    the utf8-only stamp to the two-part probe on disk."""
+    import glob
+    import json
+
+    from geomesa_nifi_ray.hashing import kernel_fingerprint
+
+    fp = kernel_fingerprint("xx64")
+    root = str(tmp_path / "lake")
+    CDCEngine(root, num_buckets=2, content_hash_kernel="xx64")
+    (meta_path,) = glob.glob(os.path.join(root, "pages", "*.json"))
+    meta = json.load(open(meta_path))
+    assert meta["content_hash_fingerprint"] == fp
+    meta["content_hash_fingerprint"] = fp.split(":")[0]  # legacy v1 stamp
+    json.dump(meta, open(meta_path, "w"))
+
+    eng = CDCEngine(root, num_buckets=2, content_hash_kernel="xx64")
+    assert json.load(open(meta_path))["content_hash_fingerprint"] == fp
+    assert eng.table.meta["content_hash_fingerprint"] == fp
+
+
+def test_cli_diff_rejects_unknown_epoch(ray_session, tmp_path):
+    """epoch_diff_dataset names the diffable epochs instead of crashing
+    with a raw FileNotFoundError when asked for an epoch that has no
+    manifest — the catch-up range-manifest / vacuumed / typo'd cases
+    (r5d review #1)."""
+    from geomesa_nifi_ray.lake import LakeTable
+
+    CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    t = LakeTable.load(str(tmp_path / "lake"), "pages")
+    with pytest.raises(ValueError, match="diffable epochs"):
+        t.epoch_diff_dataset(0, 7)
