@@ -9,6 +9,7 @@ cluster-size knob of the two-cluster-size scaling protocol)::
     python -m geomesa_nifi_ray snapshot --lake /tmp/lake --out /tmp/snap --format csv
     python -m geomesa_nifi_ray egress --lake /tmp/lake --epoch 2 --out /tmp/changes --format jsonl
     python -m geomesa_nifi_ray diff --lake /tmp/lake --from 1 --to 3 --out /tmp/diff --format jsonl
+    python -m geomesa_nifi_ray lookup --lake /tmp/lake --key https://ex.com/a [--epoch 2]
     python -m geomesa_nifi_ray vacuum --lake /tmp/lake --retain 2
     python -m geomesa_nifi_ray truncate --lake /tmp/lake
     python -m geomesa_nifi_ray metrics --lake /tmp/lake [--serve --port 9464]
@@ -111,6 +112,20 @@ def main(argv: list[str] | None = None) -> int:
     df.add_argument("--to", dest="epoch_b", type=int, required=True)
     df.add_argument("--out", required=True)
     df.add_argument("--format", default="jsonl")
+
+    lk = sub.add_parser(
+        "lookup",
+        description="Keyed point lookup: print the live row (if any) for "
+        "each --key as a JSON line. Driver-side — hashes keys to their "
+        "buckets and opens only the matching row groups; no Ray session.",
+    )
+    lk.add_argument("--lake", required=True)
+    lk.add_argument("--key", action="append", required=True,
+                    help="key value (repeatable)")
+    lk.add_argument("--epoch", type=int, default=None,
+                    help="time-travel to this committed epoch")
+    lk.add_argument("--columns", default=None,
+                    help="comma-separated projection")
 
     vc = sub.add_parser("vacuum")
     vc.add_argument("--lake", required=True)
@@ -268,6 +283,20 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         out = export_dataset(ds, args.out, format=args.format)
         _print_export_summary(out, args.out, args.format)
+        return 0
+
+    if args.cmd == "lookup":
+        from geomesa_nifi_ray.lake import LakeTable
+
+        t = LakeTable.load(args.lake, "pages")
+        cols = args.columns.split(",") if args.columns else None
+        try:
+            hit = t.lookup_keys(args.key, columns=cols, epoch=args.epoch)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        for row in hit.to_pylist():
+            print(json.dumps(row, default=str))
         return 0
 
     if args.cmd == "vacuum":

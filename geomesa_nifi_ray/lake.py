@@ -940,6 +940,77 @@ class LakeTable:
         ).repartition(len(chains))
         return control.map_batches(read_chain, batch_format="pyarrow")
 
+    def lookup_keys(self, keys, columns: list[str] | None = None,
+                    epoch: int | None = None) -> pa.Table:
+        """Keyed point lookup: the live row (if any) for each given key
+        value, at the latest committed state or a time-travel ``epoch``.
+
+        O(probe), never O(lake): keys hash to their buckets with the
+        ingest partitioner (crc32 of ``str(key)`` % P), only the touched
+        buckets' manifest shards are fetched (sharded manifests prune by
+        bucket range), and each chain file is opened with parquet
+        row-group min/max key-skipping (:meth:`LakeFS.read_parquet_pruned`
+        — bucket files are key-sorted), so a point probe reads a couple of
+        row groups, not the bucket. LWW + tombstones resolve exactly as in
+        the snapshot: a tombstoned or never-written key returns no row.
+        The store-side keyed index read of the reference's modify writer
+        (``FeatureWriters.scala:115-160``) as a user-facing API.
+
+        Driver-side by design (no Ray job — a point probe must not pay
+        cluster scheduling latency); the contract is a SMALL probe set
+        (≤ ~10^4 keys). For bulk key joins use :meth:`snapshot_dataset`
+        with a broadcast filter instead. Output is one row per present
+        key, unordered; ``columns`` projects the result."""
+        import zlib
+
+        import pyarrow.compute as pc
+
+        schema = self.schema
+        out_cols = list(columns) if columns is not None else list(schema.names)
+        out_schema = pa.schema([schema.field(c) for c in out_cols])
+        if epoch is not None and epoch not in self.manifest_epochs():
+            raise ValueError(
+                f"no manifest for epoch {epoch}; lookup-able epochs are "
+                f"{self.manifest_epochs() or '[] (empty table)'}")
+        uniq = list(dict.fromkeys(k for k in keys if k is not None))
+        if not uniq:
+            return out_schema.empty_table()
+        # merge needs key + order columns even when the caller projects
+        # them away
+        need = list(dict.fromkeys([self.key, *self.order, *out_cols]))
+        proj_schema = pa.schema([schema.field(c) for c in need])
+        key_type = schema.field(self.key).type
+        by_bucket: dict[int, list] = {}
+        for k in uniq:
+            b = int(zlib.crc32(str(k).encode("utf-8")) % self.num_buckets)
+            by_bucket.setdefault(b, []).append(k)
+        entries = self.live_entries(epoch, buckets=set(by_bucket))
+        outs = []
+        for b, ks in sorted(by_bucket.items()):
+            e = entries.get(b)
+            if e is None:
+                continue
+            ks_sorted = sorted(ks)
+            tabs = []
+            for f in LakeTable.chain_files(e):
+                path = self.abs_path(f)
+                names = set(self.fs.read_parquet_schema(path).names)
+                cols = [c for c in need if c in names]
+                if TOMB_COLUMN in names:
+                    cols.append(TOMB_COLUMN)
+                t, _, _ = self.fs.read_parquet_pruned(
+                    path, cols, self.key, ks_sorted)
+                tabs.append(t)
+            merged = merge_chain_tables(tabs, proj_schema, self.key,
+                                        list(self.order))
+            hit = merged.filter(pc.is_in(
+                merged[self.key], value_set=pa.array(ks, type=key_type)))
+            if hit.num_rows:
+                outs.append(hit.select(out_cols))
+        if not outs:
+            return out_schema.empty_table()
+        return pa.concat_tables(outs)
+
     def epoch_changes_dataset(self, epoch: int, include_ops: bool = False):
         """CDC egress: the net row-level changes epoch ``epoch`` produced —
         rows of the table-as-of-``epoch`` whose winning ``offset`` falls in

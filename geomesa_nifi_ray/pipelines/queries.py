@@ -153,7 +153,28 @@ WITH ranked AS (
 SELECT url, warc_ts, text, lang, content_hash, "offset" FROM ranked WHERE rn = 1
 """
 
+def q_cdc_point_lookup(sf_dir: str):
+    """Keyed point lookup over the replayed lake (`LakeTable.lookup_keys`):
+    probe keys hash to their buckets with the ingest partitioner, only the
+    touched buckets' manifest shards + chain files open, and each file
+    read skips row groups by parquet key min/max — O(probe), never
+    O(lake). The probe set here is every binlog url ending in '7'
+    (deterministic and SQL-expressible); production callers pass explicit
+    keys. Reference analog: the modify-writer's keyed store reads
+    (``FeatureWriters.scala:115-160``)."""
+    import pyarrow.dataset as pads
+
+    eng = run_cdc_replay(sf_dir)
+    meta = get_binlog(sf_dir)
+    files = [f for e in meta["epochs"] for f in e["files"]]
+    u = pads.dataset(files).to_table(columns=["url"])["url"].combine_chunks()
+    u = pc.unique(pc.drop_null(u))
+    probe = pc.filter(u, pc.ends_with(u, "7")).to_pylist()
+    return eng.table.lookup_keys(probe, columns=SNAPSHOT_COLS)
+
+
 _CDC_SNAPSHOT_SQL = _CDC_SNAPSHOT_SQL_T.replace("OFFSET_EXPR", '"offset"')
+_CDC_POINT_LOOKUP_SQL = _CDC_SNAPSHOT_SQL + " AND url LIKE '%7'"
 _CDC_BUS_SNAPSHOT_SQL = _CDC_SNAPSHOT_SQL_T.replace(
     "OFFSET_EXPR", '("offset" + 1)')
 
@@ -2353,6 +2374,7 @@ def q_geo_wkb_events(sf_dir: str):
 QUERIES = {
     # CDC core (synth binlog, BASELINE.json input_hint shape)
     "cdc_replay_snapshot": q_cdc_replay_snapshot,
+    "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_bus_tail": q_cdc_bus_tail,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_update_partial": q_cdc_update_partial,
@@ -2464,6 +2486,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     meta = get_binlog(sf_dir)
     return _golden_oracles(sf_dir) | {
         "cdc_replay_snapshot": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
+        "cdc_point_lookup": _CDC_POINT_LOOKUP_SQL.format(
+            glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_lww_dedup": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         # bus offsets are 1-based append order == binlog offset + 1 (the
         # synth binlog's offsets are contiguous from 0); the +1 shift is
