@@ -10,6 +10,7 @@ cluster-size knob of the two-cluster-size scaling protocol)::
     python -m geomesa_nifi_ray egress --lake /tmp/lake --epoch 2 --out /tmp/changes --format jsonl
     python -m geomesa_nifi_ray diff --lake /tmp/lake --from 1 --to 3 --out /tmp/diff --format jsonl
     python -m geomesa_nifi_ray lookup --lake /tmp/lake --key https://ex.com/a [--epoch 2]
+    python -m geomesa_nifi_ray delete --lake /tmp/lake --key https://ex.com/a
     python -m geomesa_nifi_ray vacuum --lake /tmp/lake --retain 2
     python -m geomesa_nifi_ray truncate --lake /tmp/lake
     python -m geomesa_nifi_ray metrics --lake /tmp/lake [--serve --port 9464]
@@ -126,6 +127,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="time-travel to this committed epoch")
     lk.add_argument("--columns", default=None,
                     help="comma-separated projection")
+
+    de = sub.add_parser(
+        "delete",
+        description="Delete keys as one exactly-once maintenance epoch "
+        "(tombstone delta per touched bucket; absent keys are no-ops; "
+        "the tail cursor skips the epoch).",
+    )
+    de.add_argument("--lake", required=True)
+    de.add_argument("--key", action="append", required=True,
+                    help="key value to delete (repeatable)")
 
     vc = sub.add_parser("vacuum")
     vc.add_argument("--lake", required=True)
@@ -297,6 +308,19 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         for row in hit.to_pylist():
             print(json.dumps(row, default=str))
+        return 0
+
+    if args.cmd == "delete":
+        _ray_session(args.num_cpus)
+        from geomesa_nifi_ray.engine import CDCEngine
+
+        eng = CDCEngine(args.lake)
+        r = eng.delete_keys(args.key)
+        print(json.dumps({
+            "epoch": None if r is None else r.epoch,
+            "rows_deleted": 0 if r is None else r.rows_deleted,
+            "table_rows": 0 if r is None else r.table_rows,
+        }))
         return 0
 
     if args.cmd == "vacuum":

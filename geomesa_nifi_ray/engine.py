@@ -1460,6 +1460,102 @@ class CDCEngine:
             buckets_carried=0, table_rows=0, manifest=manifest,
         )
 
+    def _delete_events(self, winners: pa.Table) -> pa.Table:
+        """Synthesize payload-less delete events for the given winner rows.
+
+        Each event carries the winner's EXACT ``(key, order…)`` values —
+        the LWW rules make a delete at the winner's own order win the tie
+        on both merge paths (delta: ties go to the change row; compaction:
+        the delete's later input position wins) — with every other stored
+        column null and ``_op='delete'``. Events re-enter through the
+        normal converter, so tombstone hashing / digests / accounting stay
+        byte-identical to stream-borne deletes."""
+        stored = self.table.schema
+        key, order = self.table.key, self.table.order
+        n = winners.num_rows
+        cols = {}
+        for f in stored:
+            if f.name == "content_hash":
+                continue
+            if f.name == key or f.name in order:
+                cols[f.name] = winners[f.name].combine_chunks().cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        t = pa.table(cols)
+        return t.append_column(
+            OP_COLUMN, pa.nulls(n, pa.string()).fill_null("delete"))
+
+    def delete_keys(self, keys, epoch: int | None = None) -> EpochResult | None:
+        """Delete the given keys as one exactly-once maintenance epoch —
+        the reference's ``removeFeatures(ids)`` (modify-writer delete path,
+        ``FeatureWriters.scala:115-160``) as an engine API.
+
+        O(probe): the current winners come from :meth:`LakeTable.
+        lookup_keys` (bucket-hash + row-group key-skipping), so only the
+        probed buckets are read AND only those with a live key are touched
+        by the merge. Absent keys are no-ops (removeFeatures-on-missing-id
+        semantics). The committed manifest advances no offsets (-1): the
+        tail cursor skips maintenance epochs."""
+        import ray.data
+
+        committed = self.table.committed_epoch()
+        if committed is None:
+            raise SchemaError("cannot delete from an empty table")
+        if epoch is None:
+            epoch = committed + 1
+        key, order = self.table.key, self.table.order
+        winners = self.table.lookup_keys(keys, columns=[key, *order])
+        ev = self._delete_events(winners)
+        return self.apply_epoch(ray.data.from_arrow(ev), epoch,
+                                offset_range=(-1, -1))
+
+    def delete_where(self, predicate, columns: list[str] | None = None,
+                     epoch: int | None = None) -> EpochResult | None:
+        """Predicate-based bulk delete as one exactly-once epoch — the
+        reference's filter-based feature removal (``removeFeatures(
+        filter)``) re-expressed as a streaming scan-delete.
+
+        ``predicate(batch: pa.Table) -> pa.BooleanArray`` marks rows to
+        DELETE (nulls count as keep). ``columns`` lists the columns the
+        predicate reads so the snapshot scan prunes to ``key + order +
+        columns`` — the scan is O(lake) in those columns by semantics (a
+        predicate must look at every live row), but the write side stays
+        O(matches): only buckets with matched rows get a tombstone delta;
+        the rest are carried untouched. The matched events flow through
+        the normal keyed exchange, so a skew-heavy match set behaves like
+        any hot epoch."""
+        import ray.data
+
+        committed = self.table.committed_epoch()
+        if committed is None:
+            raise SchemaError("cannot delete from an empty table")
+        if epoch is None:
+            epoch = committed + 1
+        key, order = self.table.key, self.table.order
+        need = list(dict.fromkeys([key, *order, *(columns or [])]))
+        stored = self.table.schema
+        op_col = OP_COLUMN
+
+        def to_events(batch: pa.Table) -> pa.Table:
+            mask = pc.fill_null(predicate(batch), False)
+            hits = batch.filter(mask)
+            n = hits.num_rows
+            cols = {}
+            for f in stored:
+                if f.name == "content_hash":
+                    continue
+                if f.name == key or f.name in order:
+                    cols[f.name] = hits[f.name].combine_chunks().cast(f.type)
+                else:
+                    cols[f.name] = pa.nulls(n, f.type)
+            t = pa.table(cols)
+            return t.append_column(
+                op_col, pa.nulls(n, pa.string()).fill_null("delete"))
+
+        ev = self.table.snapshot_dataset(columns=need).map_batches(
+            to_events, batch_format="pyarrow")
+        return self.apply_epoch(ev, epoch, offset_range=(-1, -1))
+
     def rewrite_epoch(self, fn, epoch: int | None = None) -> EpochResult:
         """Lake-wide rewrite as a new epoch: apply a batch function to every
         live bucket and commit the result atomically (the UPDATE-WHERE /

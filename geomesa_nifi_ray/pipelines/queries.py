@@ -173,8 +173,29 @@ def q_cdc_point_lookup(sf_dir: str):
     return eng.table.lookup_keys(probe, columns=SNAPSHOT_COLS)
 
 
+def q_cdc_delete_where(sf_dir: str):
+    """Predicate bulk delete (`CDCEngine.delete_where`) over the replayed
+    lake: all lang='de' winners tombstoned in one maintenance epoch, then
+    the snapshot. The scan reads only (key, order, lang); the write side
+    is O(matches) — only buckets with a matched row get a tombstone
+    delta. Reference analog: filter-based ``removeFeatures``. Idempotent
+    across calls: the delete commits at a fixed epoch number, so a replay
+    skips it once committed."""
+    meta = get_binlog(sf_dir)
+    lake_root = os.path.join(CDC_ROOT, _sf_name(sf_dir),
+                             f"lake_delw-{_lake_key(meta)}")
+    eng = CDCEngine(lake_root, num_buckets=16)
+    for e in meta["epochs"]:
+        eng.apply_epoch(e["path"], e["epoch"],
+                        (e["offset_min"], e["offset_max"]))
+    eng.delete_where(lambda b: pc.equal(b["lang"], "de"), columns=["lang"],
+                     epoch=len(meta["epochs"]))
+    return eng.table.snapshot_table().select(SNAPSHOT_COLS)
+
+
 _CDC_SNAPSHOT_SQL = _CDC_SNAPSHOT_SQL_T.replace("OFFSET_EXPR", '"offset"')
 _CDC_POINT_LOOKUP_SQL = _CDC_SNAPSHOT_SQL + " AND url LIKE '%7'"
+_CDC_DELETE_WHERE_SQL = _CDC_SNAPSHOT_SQL + " AND (lang IS DISTINCT FROM 'de')"
 _CDC_BUS_SNAPSHOT_SQL = _CDC_SNAPSHOT_SQL_T.replace(
     "OFFSET_EXPR", '("offset" + 1)')
 
@@ -2375,6 +2396,7 @@ QUERIES = {
     # CDC core (synth binlog, BASELINE.json input_hint shape)
     "cdc_replay_snapshot": q_cdc_replay_snapshot,
     "cdc_point_lookup": q_cdc_point_lookup,
+    "cdc_delete_where": q_cdc_delete_where,
     "cdc_bus_tail": q_cdc_bus_tail,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_update_partial": q_cdc_update_partial,
@@ -2487,6 +2509,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     return _golden_oracles(sf_dir) | {
         "cdc_replay_snapshot": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_point_lookup": _CDC_POINT_LOOKUP_SQL.format(
+            glob=f"{bdir}/epoch-*/*.parquet"),
+        "cdc_delete_where": _CDC_DELETE_WHERE_SQL.format(
             glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_lww_dedup": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         # bus offsets are 1-based append order == binlog offset + 1 (the

@@ -9,6 +9,7 @@ import subprocess
 import sys
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 from geomesa_nifi_ray.engine import CDCEngine
@@ -107,3 +108,56 @@ def test_lookup_cli(lake):
         env={**os.environ, "RAY_ADDRESS": "local"},
     )
     assert bad.returncode == 2 and "lookup-able epochs" in bad.stderr
+
+
+# -- bulk deletes built on the same keyed machinery --------------------------
+
+def test_delete_keys_epoch(lake):
+    """delete_keys: O(probe) keyed delete as an exactly-once maintenance
+    epoch — tombstones only for live keys, absent keys no-op, time-travel
+    and the tail cursor untouched."""
+    before = lake.table.snapshot_table().num_rows
+    r = lake.delete_keys(["https://p/5", "https://p/3",   # live, tombstoned
+                          "https://nope"])                # absent
+    assert r.rows_deleted == 1                            # only p/5 was live
+    snap = lake.table.snapshot_table()
+    assert snap.num_rows == before - 1
+    assert "https://p/5" not in snap["url"].to_pylist()
+    # maintenance epochs advance no offsets: the tail cursor is unchanged
+    assert lake.committed_offset() == 104
+    # pre-delete state is still time-travel readable
+    assert lake.table.lookup_keys(["https://p/5"], epoch=1).num_rows == 1
+    # replaying the same epoch is a no-op (exactly-once)
+    assert lake.delete_keys(["https://p/0"], epoch=r.epoch) is None
+    assert lake.table.snapshot_table().num_rows == before - 1
+
+
+def test_delete_where_predicate(lake):
+    """delete_where: predicate scan-delete — write side O(matches), null
+    predicate values keep their rows, snapshot matches a manual filter."""
+    snap0 = lake.table.snapshot_table()
+    keep = snap0.filter(pc.fill_null(
+        pc.not_equal(snap0["lang"], "de"), True))
+    r = lake.delete_where(lambda b: pc.equal(b["lang"], "de"),
+                          columns=["lang"])
+    assert r.rows_deleted == snap0.num_rows - keep.num_rows > 0
+    snap1 = lake.table.snapshot_table()
+    assert sorted(snap1["url"].to_pylist()) == sorted(keep["url"].to_pylist())
+    # deleting again finds nothing: commits a zero-delete epoch
+    r2 = lake.delete_where(lambda b: pc.equal(b["lang"], "de"),
+                           columns=["lang"])
+    assert r2.rows_deleted == 0
+    assert lake.table.snapshot_table().num_rows == snap1.num_rows
+
+
+def test_delete_cli(lake):
+    out = subprocess.run(
+        [sys.executable, "-m", "geomesa_nifi_ray", "--num-cpus", "2",
+         "delete", "--lake", lake.lake_root, "--key", "https://p/8"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    assert r["rows_deleted"] == 1
+    assert lake.table.lookup_keys(["https://p/8"]).num_rows == 0
