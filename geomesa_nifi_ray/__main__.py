@@ -95,6 +95,9 @@ def main(argv: list[str] | None = None) -> int:
     sn.add_argument("--lake", required=True)
     sn.add_argument("--out", required=True)
     sn.add_argument("--format", default="parquet")
+    sn.add_argument("--epoch", type=int, default=None,
+                    help="time-travel: export the state at this committed "
+                    "epoch instead of the latest")
 
     eg = sub.add_parser("egress")
     eg.add_argument("--lake", required=True)
@@ -267,7 +270,12 @@ def main(argv: list[str] | None = None) -> int:
         from geomesa_nifi_ray.lake import LakeTable
 
         t = LakeTable.load(args.lake, "pages")
-        out = export_dataset(t.snapshot_dataset(), args.out, format=args.format)
+        if args.epoch is not None and args.epoch not in t.manifest_epochs():
+            print(f"error: no manifest for epoch {args.epoch}; committed "
+                  f"epochs are {t.manifest_epochs()}", file=sys.stderr)
+            return 2
+        out = export_dataset(t.snapshot_dataset(epoch=args.epoch), args.out,
+                             format=args.format)
         _print_export_summary(out, args.out, args.format)
         return 0
 

@@ -52,6 +52,18 @@ import pyarrow.compute as pc
 from geomesa_nifi_ray.lake import LakeTable, _atomic_write_json
 
 
+def _offsetless_epoch(m: dict) -> bool:
+    """True for out-of-band maintenance epochs whose manifest advances no
+    offsets (``offset_min/max = -1``): ``rewrite_epoch`` (mode 'rewrite')
+    and the ``delete_keys`` / ``delete_where`` tombstone epochs (mode
+    'upsert', synthesized events). Their written rows carry ORIGINAL
+    offsets, so the offset-windowed epoch delta is empty by construction
+    and incremental consumers must recompute at the epoch instead.
+    ``mode='clear'`` is handled separately (view truncate)."""
+    return (m.get("mode") == "rewrite"
+            or int(m.get("offset_min", 0)) < 0)
+
+
 class GroupCountView:
     """Exact ``COUNT(*) GROUP BY group_col`` over the lake's live winners,
     maintained incrementally from epoch change sets."""
@@ -102,11 +114,14 @@ class GroupCountView:
                 _atomic_write_json(self._path, state)
                 applied += 1
                 continue
-            if m.get("mode") == "rewrite":
-                # out-of-band rewrite: offsets do not advance
-                # (offset_min/max = -1) so the epoch delta is empty by
-                # construction — recompute from the snapshot AT this epoch
-                # instead of silently advancing the cursor past a change
+            if _offsetless_epoch(m):
+                # out-of-band maintenance epoch (rewrite_epoch,
+                # delete_keys/delete_where): offsets do not advance
+                # (offset_min/max = -1) while the written rows carry their
+                # ORIGINAL offsets, so the offset-windowed epoch delta is
+                # empty by construction — recompute from the snapshot AT
+                # this epoch instead of silently advancing the cursor past
+                # a change
                 state = {"last_epoch": int(e),
                          "counts": self._recompute_counts(epoch=e)}
                 _atomic_write_json(self._path, state)
@@ -450,14 +465,16 @@ class KeyedGroupCountView:
             # numbering stays 1:1 with the source numbering it tracks
             vc = self.engine.table.committed_epoch()
             expected = 0 if vc is None else vc + 1
-            if m.get("mode") == "rewrite":
-                # out-of-band rewrite: offsets do not advance
-                # (offset_min/max = -1) so the epoch delta is empty by
-                # construction. Recompute from the source snapshot AT this
-                # epoch and commit it as this view epoch — advancing the
-                # cursor with an empty delta would leave the view
-                # permanently stale (rebuild()'s cursor guard would then
-                # see nothing to do)
+            if _offsetless_epoch(m):
+                # out-of-band maintenance epoch (rewrite_epoch,
+                # delete_keys/delete_where): offsets do not advance
+                # (offset_min/max = -1) while the written rows carry their
+                # ORIGINAL offsets, so the offset-windowed epoch delta is
+                # empty by construction. Recompute from the source snapshot
+                # AT this epoch and commit it as this view epoch —
+                # advancing the cursor with an empty delta would leave the
+                # view permanently stale (rebuild()'s cursor guard would
+                # then see nothing to do)
                 self._rebuild_at(e, epochs_covered=(expected, e))
                 applied += 1
                 continue

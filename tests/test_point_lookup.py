@@ -161,3 +161,58 @@ def test_delete_cli(lake):
     r = json.loads(out.stdout.strip().splitlines()[-1])
     assert r["rows_deleted"] == 1
     assert lake.table.lookup_keys(["https://p/8"]).num_rows == 0
+
+
+def test_snapshot_cli_time_travel(lake):
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        out = subprocess.run(
+            [sys.executable, "-m", "geomesa_nifi_ray", "--num-cpus", "2",
+             "snapshot", "--lake", lake.lake_root, "--out",
+             os.path.join(td, "s"), "--format", "jsonl", "--epoch", "0"],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**os.environ, "RAY_ADDRESS": "local"},
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        assert r["rows"] == 20                    # the pre-update epoch-0 state
+    bad = subprocess.run(
+        [sys.executable, "-m", "geomesa_nifi_ray", "snapshot", "--lake",
+         lake.lake_root, "--out", "/tmp/x", "--format", "jsonl",
+         "--epoch", "9"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert bad.returncode == 2 and "committed epochs" in bad.stderr
+
+
+def test_views_see_delete_maintenance_epochs(lake, tmp_path):
+    """Incremental views must not advance past a delete maintenance epoch
+    (offset_min/max = -1) with an empty delta: the offset-windowed delta
+    misses tombstones carrying original offsets, so refresh recomputes at
+    the epoch (the rewrite-epoch rule generalized to all offset-less
+    epochs)."""
+    from geomesa_nifi_ray.derived import GroupCountView, KeyedGroupCountView
+
+    def lang_counts(t):
+        from collections import Counter
+        return {k: v for k, v in
+                Counter(t["lang"].to_pylist()).items() if k is not None}
+
+    view = GroupCountView(lake.table, str(tmp_path / "v"), group_col="lang")
+    view.refresh()
+    kview = KeyedGroupCountView(lake.table, str(tmp_path / "kv"),
+                                group_col="lang")
+    kview.refresh()
+    assert view.counts() == lang_counts(lake.table.snapshot_table())
+
+    lake.delete_where(lambda b: pc.equal(b["lang"], "de"), columns=["lang"])
+    expect = lang_counts(lake.table.snapshot_table())
+    assert "de" not in expect
+    view.refresh()
+    assert view.counts() == expect
+    kview.refresh()
+    assert kview.counts() == expect
+    # the documented post-maintenance repair also converges (no-op here)
+    view.rebuild()
+    assert view.counts() == expect
