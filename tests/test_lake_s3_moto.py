@@ -234,6 +234,57 @@ def test_s3_sharded_shard_files_are_content_addressed(s3_server, monkeypatch):
     assert all(e["rows"] == 7 for e in t3.manifest(0)["buckets"].values())
 
 
+def test_s3_lookup_and_bulk_delete(ray_session, s3_server, binlog, tmp_path):
+    """Round-5 additions over a REAL S3 lake: ``lookup_keys`` point probes
+    must resolve LWW/tombstones through the boto handler's pruned reads
+    (row-group skipping over HTTP range-less GETs), and ``delete_keys`` /
+    ``delete_where`` maintenance epochs must leave the S3 lake bit-equal
+    to a local lake applying the same operations."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    fs = _s3_lakefs(s3_server)
+    eng = CDCEngine("lake/t5", num_buckets=8, lake_fs=fs)
+    eng.replay_binlog(binlog)
+    ref = CDCEngine(str(tmp_path / "lake_ref5"), num_buckets=8)
+    ref.replay_binlog(binlog)
+
+    snap = ref.table.snapshot_table()
+    urls = sorted(snap["url"].to_pylist())
+    probe = urls[:5] + ["https://never/absent"]
+    hit = eng.table.lookup_keys(probe)
+    want = snap.filter(pc.is_in(snap["url"], value_set=pa.array(probe)))
+    assert sorted(hit["url"].to_pylist()) == sorted(want["url"].to_pylist())
+    key_of = {r["url"]: r for r in want.to_pylist()}
+    for row in hit.to_pylist():
+        assert row == key_of[row["url"]]
+
+    # keyed bulk delete: S3 lake == local lake after the same epoch
+    victims = urls[:3] + ["https://never/absent"]  # absent key is a no-op
+    r_s3 = eng.delete_keys(victims)
+    r_loc = ref.delete_keys(victims)
+    assert r_s3.epoch == r_loc.epoch
+    assert eng.table.snapshot_table().equals(ref.table.snapshot_table())
+    assert eng.table.lookup_keys(victims).num_rows == 0
+    # maintenance epoch advances no offsets: the tail cursor skips it
+    assert int(eng.table.manifest(r_s3.epoch)["offset_min"]) == -1
+
+    # predicate scan-delete: same equivalence
+    def pred(batch: pa.Table) -> pa.ChunkedArray:
+        return pc.equal(batch["lang"], "de")
+
+    eng.delete_where(pred, columns=["lang"])
+    ref.delete_where(pred, columns=["lang"])
+    final_s3 = eng.table.snapshot_table()
+    assert final_s3.equals(ref.table.snapshot_table())
+    assert final_s3.filter(
+        pc.fill_null(pc.equal(final_s3["lang"], "de"), False)).num_rows == 0
+    # time-travel lookup still sees a pre-delete victim at the old epoch
+    old = eng.table.lookup_keys(victims[:1], epoch=2)
+    assert old.num_rows == want.filter(
+        pc.equal(want["url"], victims[0])).num_rows
+
+
 def test_s3_delete_dir_paginates_past_1000_objects(s3_server):
     """Round-5 review finding: delete_dir must paginate list_objects_v2 —
     an unpaginated pass silently leaves everything past the first 1000
