@@ -30,7 +30,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 def _warm_floor() -> float | None:
     """The recorded warm-floor wall for the STANDARD headline config
-    (BASELINE.md round-5 calm-host readings: catch-up best 3.30 s at
+    (BASELINE.md round-5 calm-host readings: catch-up best 3.22 s at
     sf0.1 / 32 CPUs / default exchange). The interference gate only
     engages for that config — other sf/cpu/exchange combinations have no
     recorded floor unless GRAFT_WARM_FLOOR_SEC supplies one."""
@@ -39,7 +39,7 @@ def _warm_floor() -> float | None:
         return float(env)
     if (NUM_CPUS == 32 and SF_DIR.rstrip("/").endswith("sf0.1")
             and not os.environ.get("GRAFT_EXCHANGE")):
-        return 3.30
+        return 3.22
     return None
 
 
@@ -227,7 +227,7 @@ def run_bench() -> dict:
 
         sequential_walls = _until_stable(_sequential_once, reps)
         # same interference gate as the headline, against the SEQUENTIAL
-        # recorded floor (BASELINE.md round-5 calm-host 3.11 s) — not a
+        # recorded floor (BASELINE.md round-5 calm-host 2.52 s) — not a
         # scaled copy of the catch-up floor, which would open a false
         # interference window between the two thresholds. An explicit
         # GRAFT_SEQ_WARM_FLOOR_SEC engages the gate even when no headline
@@ -240,7 +240,7 @@ def run_bench() -> dict:
         elif os.environ.get("GRAFT_WARM_FLOOR_SEC"):
             seq_floor = warm_floor  # custom config: one floor for both
         else:
-            seq_floor = 3.11
+            seq_floor = 2.52
         # same reps=1 contract as the headline gate: an explicit single
         # timed run is honored, never extended
         if seq_floor is not None and len(sequential_walls) > 1:
