@@ -931,7 +931,9 @@ class LakeTable:
                                   if read_cols is None or f.name in read_cols])
                 merged = merge_chain_tables(tabs, base, key, order)
                 out.append(project_to_schema(merged, schema))
-            return pa.concat_tables(out)
+            # an empty control batch is possible after repartition; mirror
+            # the empty guard the sibling chain readers carry
+            return pa.concat_tables(out) if out else schema.empty_table()
 
         import ray.data
 
