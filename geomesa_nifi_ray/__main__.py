@@ -311,6 +311,10 @@ def main(argv: list[str] | None = None) -> int:
         cols = args.columns.split(",") if args.columns else None
         try:
             hit = t.lookup_keys(args.key, columns=cols, epoch=args.epoch)
+        except KeyError as e:
+            # schema.field on an unknown --columns name raises KeyError
+            print(f"error: unknown column {e.args[0]!r}", file=sys.stderr)
+            return 2
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
@@ -323,7 +327,11 @@ def main(argv: list[str] | None = None) -> int:
         from geomesa_nifi_ray.engine import CDCEngine
 
         eng = CDCEngine(args.lake)
-        r = eng.delete_keys(args.key)
+        try:
+            r = eng.delete_keys(args.key)
+        except ValueError as e:  # SchemaError: empty table
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         print(json.dumps({
             "epoch": None if r is None else r.epoch,
             "rows_deleted": 0 if r is None else r.rows_deleted,

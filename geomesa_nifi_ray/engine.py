@@ -111,6 +111,30 @@ MODE_COLUMN = "_mode"
 OP_COLUMN = "_op"
 DIRECTIVE_COLUMNS = (MODE_COLUMN, OP_COLUMN)
 
+
+def synth_tombstone_events(stored: pa.Schema, key: str, order: list[str],
+                           rows: pa.Table) -> pa.Table:
+    """Synthesize payload-less ``_op='delete'`` events for winner rows.
+
+    Each event carries the winner's EXACT ``(key, order…)`` values — the
+    LWW rules make a delete at the winner's own order win the tie on both
+    merge paths (delta: ties go to the change row; compaction: the
+    delete's later input position wins) — with every other stored column
+    null. The ONE synthesis used by ``delete_keys`` and ``delete_where``
+    so stream-borne and maintenance tombstones hash identically."""
+    n = rows.num_rows
+    cols = {}
+    for f in stored:
+        if f.name == "content_hash":
+            continue
+        if f.name == key or f.name in order:
+            cols[f.name] = rows[f.name].combine_chunks().cast(f.type)
+        else:
+            cols[f.name] = pa.nulls(n, f.type)
+    t = pa.table(cols)
+    return t.append_column(
+        OP_COLUMN, pa.nulls(n, pa.string()).fill_null("delete"))
+
 PAGE_SCHEMA = pa.schema(
     [
         pa.field("url", pa.string()),
@@ -1470,20 +1494,8 @@ class CDCEngine:
         column null and ``_op='delete'``. Events re-enter through the
         normal converter, so tombstone hashing / digests / accounting stay
         byte-identical to stream-borne deletes."""
-        stored = self.table.schema
-        key, order = self.table.key, self.table.order
-        n = winners.num_rows
-        cols = {}
-        for f in stored:
-            if f.name == "content_hash":
-                continue
-            if f.name == key or f.name in order:
-                cols[f.name] = winners[f.name].combine_chunks().cast(f.type)
-            else:
-                cols[f.name] = pa.nulls(n, f.type)
-        t = pa.table(cols)
-        return t.append_column(
-            OP_COLUMN, pa.nulls(n, pa.string()).fill_null("delete"))
+        return synth_tombstone_events(self.table.schema, self.table.key,
+                                      list(self.table.order), winners)
 
     def delete_keys(self, keys, epoch: int | None = None) -> EpochResult | None:
         """Delete the given keys as one exactly-once maintenance epoch —
@@ -1534,26 +1546,19 @@ class CDCEngine:
         key, order = self.table.key, self.table.order
         need = list(dict.fromkeys([key, *order, *(columns or [])]))
         stored = self.table.schema
-        op_col = OP_COLUMN
+        order_list = list(order)
 
         def to_events(batch: pa.Table) -> pa.Table:
             mask = pc.fill_null(predicate(batch), False)
-            hits = batch.filter(mask)
-            n = hits.num_rows
-            cols = {}
-            for f in stored:
-                if f.name == "content_hash":
-                    continue
-                if f.name == key or f.name in order:
-                    cols[f.name] = hits[f.name].combine_chunks().cast(f.type)
-                else:
-                    cols[f.name] = pa.nulls(n, f.type)
-            t = pa.table(cols)
-            return t.append_column(
-                op_col, pa.nulls(n, pa.string()).fill_null("delete"))
+            return synth_tombstone_events(stored, key, order_list,
+                                          batch.filter(mask))
 
+        # materialize the (small: matches-only, null payloads) event set so
+        # apply_epoch's rows_in count and the exchange both read the cached
+        # blocks — unmaterialized, the O(lake) scan+predicate would execute
+        # TWICE (once for count(), once for the merge)
         ev = self.table.snapshot_dataset(columns=need).map_batches(
-            to_events, batch_format="pyarrow")
+            to_events, batch_format="pyarrow").materialize()
         return self.apply_epoch(ev, epoch, offset_range=(-1, -1))
 
     def rewrite_epoch(self, fn, epoch: int | None = None) -> EpochResult:

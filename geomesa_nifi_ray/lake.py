@@ -995,13 +995,13 @@ class LakeTable:
             ks_sorted = sorted(ks)
             tabs = []
             for f in LakeTable.chain_files(e):
-                path = self.abs_path(f)
-                names = set(self.fs.read_parquet_schema(path).names)
-                cols = [c for c in need if c in names]
-                if TOMB_COLUMN in names:
-                    cols.append(TOMB_COLUMN)
+                # read_parquet_pruned projects leniently (missing names are
+                # dropped), so no separate schema fetch — that extra footer
+                # GET would double the object-store round trips on the
+                # point-lookup hot path
                 t, _, _ = self.fs.read_parquet_pruned(
-                    path, cols, self.key, ks_sorted)
+                    self.abs_path(f), [*need, TOMB_COLUMN],
+                    self.key, ks_sorted)
                 tabs.append(t)
             merged = merge_chain_tables(tabs, proj_schema, self.key,
                                         list(self.order))
@@ -1029,6 +1029,15 @@ class LakeTable:
 
         m = self.manifest(epoch)
         lo, hi = int(m["offset_min"]), int(m["offset_max"])
+        # maintenance epochs (delete_keys / delete_where / rewrite_epoch)
+        # advance no offsets (-1) while their written rows carry ORIGINAL
+        # offsets — an offset window would match nothing and a change-
+        # stream mirror would silently miss the bulk deletes (or a
+        # kernel-migration rewrite). For those epochs the epoch files ARE
+        # the change set: a delete epoch's deltas hold exactly the
+        # tombstone winners; a rewrite holds every (possibly re-derived)
+        # live row, re-emitted as upserts like a backfill re-broadcast.
+        no_window = lo < 0 or m.get("mode") == "rewrite"
         # the files this epoch wrote: a delta holds exactly the epoch's
         # winners; a base (epoch 0 / compaction / update / rewrite) holds
         # older rows too — the offset filter prunes both to the epoch's net
@@ -1061,7 +1070,8 @@ class LakeTable:
             for i in batch["i"].to_pylist():
                 t = lake_fs.read_parquet(
                     files[i],
-                    filters=[("offset", ">=", lo), ("offset", "<=", hi)],
+                    filters=None if no_window else
+                    [("offset", ">=", lo), ("offset", "<=", hi)],
                 )
                 tomb = (pc.fill_null(t[TOMB_COLUMN], 0)
                         if TOMB_COLUMN in t.column_names else None)

@@ -216,3 +216,46 @@ def test_views_see_delete_maintenance_epochs(lake, tmp_path):
     # the documented post-maintenance repair also converges (no-op here)
     view.rebuild()
     assert view.counts() == expect
+
+
+def test_delete_epoch_egress_changes(lake):
+    """A delete maintenance epoch must surface in the change stream: its
+    egress is exactly the tombstone winners with _op='delete' (round-5
+    review fix — the [-1,-1] offset window used to match nothing, so a
+    change-stream mirror silently missed bulk deletes)."""
+    r = lake.delete_keys(["https://p/5", "https://p/11"])
+    assert r.rows_deleted == 2
+    ch = lake.table.epoch_changes_dataset(r.epoch, include_ops=True)
+    rows = ch.to_pandas()
+    assert sorted(rows["url"]) == ["https://p/11", "https://p/5"]
+    assert set(rows["_op"]) == {"delete"}
+    # delete_where epochs egress the same way
+    r2 = lake.delete_where(lambda b: pc.equal(b["lang"], "de"),
+                           columns=["lang"])
+    assert r2.rows_deleted > 0
+    rows2 = lake.table.epoch_changes_dataset(
+        r2.epoch, include_ops=True).to_pandas()
+    assert len(rows2) == r2.rows_deleted
+    assert set(rows2["_op"]) == {"delete"}
+
+
+def test_rewrite_epoch_egress_reemits_live_rows(lake):
+    """A rewrite (kernel-migration / backfill) epoch egresses every live
+    row as an upsert — the full re-broadcast a downstream mirror needs,
+    since the rewrite may have re-derived any value column."""
+    live = lake.table.snapshot_table()
+    r = lake.rewrite_epoch(lambda b: b)
+    rows = lake.table.epoch_changes_dataset(
+        r.epoch, include_ops=True).to_pandas()
+    assert sorted(rows["url"]) == sorted(live["url"].to_pylist())
+    assert set(rows["_op"]) == {"upsert"}
+
+
+def test_lookup_cli_unknown_column(lake):
+    out = subprocess.run(
+        [sys.executable, "-m", "geomesa_nifi_ray", "lookup", "--lake",
+         lake.lake_root, "--key", "https://p/0", "--columns", "url,bogus"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert out.returncode == 2 and "unknown column" in out.stderr
