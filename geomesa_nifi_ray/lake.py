@@ -1024,7 +1024,12 @@ class LakeTable:
         so downstream consumers see deletions explicitly (tombstone rows
         otherwise surface as null-payload rows) — the full GeoMessage
         Change/Delete stream, not the Change-only subset the reference's
-        processor emits."""
+        processor emits.
+
+        Offset-less maintenance epochs egress too: a delete epoch yields
+        exactly its tombstone winners, a rewrite epoch re-emits every live
+        row as an upsert (full re-broadcast — the rewrite may have
+        re-derived any value column)."""
         import ray.data
 
         m = self.manifest(epoch)
