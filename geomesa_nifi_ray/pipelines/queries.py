@@ -181,6 +181,15 @@ def q_cdc_delete_where(sf_dir: str):
     delta. Reference analog: filter-based ``removeFeatures``. Idempotent
     across calls: the delete commits at a fixed epoch number, so a replay
     skips it once committed."""
+    eng, _ = _delete_where_lake(sf_dir)
+    return eng.table.snapshot_table().select(SNAPSHOT_COLS)
+
+
+def _delete_where_lake(sf_dir: str):
+    """Replay the sf binlog and commit one lang='de' delete_where
+    maintenance epoch (idempotent: fixed lake root + fixed epoch number).
+    Returns ``(engine, delete_epoch)``; shared by the delete-where
+    snapshot and delete-egress queries."""
     meta = get_binlog(sf_dir)
     lake_root = os.path.join(CDC_ROOT, _sf_name(sf_dir),
                              f"lake_delw-{_lake_key(meta)}")
@@ -188,14 +197,35 @@ def q_cdc_delete_where(sf_dir: str):
     for e in meta["epochs"]:
         eng.apply_epoch(e["path"], e["epoch"],
                         (e["offset_min"], e["offset_max"]))
+    delete_epoch = len(meta["epochs"])
     eng.delete_where(lambda b: pc.equal(b["lang"], "de"), columns=["lang"],
-                     epoch=len(meta["epochs"]))
-    return eng.table.snapshot_table().select(SNAPSHOT_COLS)
+                     epoch=delete_epoch)
+    return eng, delete_epoch
+
+
+def q_cdc_delete_egress(sf_dir: str):
+    """Change-stream egress of a bulk-delete maintenance epoch
+    (`epoch_changes_dataset` on an offset-less epoch): exactly the
+    tombstone winners — the keys that were live with lang='de' at delete
+    time — each carrying its winner's (warc_ts, offset) and
+    ``_op='delete'`` with every payload column null. This is what a
+    downstream mirror consumes to stay in sync across bulk deletes;
+    before round 5 the offset-windowed read silently returned nothing
+    for these epochs."""
+    eng, delete_epoch = _delete_where_lake(sf_dir)
+    ch = eng.table.epoch_changes_dataset(delete_epoch, include_ops=True)
+    return ch.select_columns(["url", "warc_ts", "offset", "_op"])
 
 
 _CDC_SNAPSHOT_SQL = _CDC_SNAPSHOT_SQL_T.replace("OFFSET_EXPR", '"offset"')
 _CDC_POINT_LOOKUP_SQL = _CDC_SNAPSHOT_SQL + " AND url LIKE '%7'"
 _CDC_DELETE_WHERE_SQL = _CDC_SNAPSHOT_SQL + " AND (lang IS DISTINCT FROM 'de')"
+# the delete epoch's change stream = the winners the predicate matched,
+# re-emitted as payload-less tombstones at the winner's exact (order) values
+_CDC_DELETE_EGRESS_SQL = (
+    "SELECT url, warc_ts, \"offset\", 'delete' AS _op FROM ("
+    + _CDC_SNAPSHOT_SQL + ") WHERE lang = 'de'"
+)
 _CDC_BUS_SNAPSHOT_SQL = _CDC_SNAPSHOT_SQL_T.replace(
     "OFFSET_EXPR", '("offset" + 1)')
 
@@ -2397,6 +2427,7 @@ QUERIES = {
     "cdc_replay_snapshot": q_cdc_replay_snapshot,
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_delete_where": q_cdc_delete_where,
+    "cdc_delete_egress": q_cdc_delete_egress,
     "cdc_bus_tail": q_cdc_bus_tail,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_update_partial": q_cdc_update_partial,
@@ -2511,6 +2542,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "cdc_point_lookup": _CDC_POINT_LOOKUP_SQL.format(
             glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_delete_where": _CDC_DELETE_WHERE_SQL.format(
+            glob=f"{bdir}/epoch-*/*.parquet"),
+        "cdc_delete_egress": _CDC_DELETE_EGRESS_SQL.format(
             glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_lww_dedup": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         # bus offsets are 1-based append order == binlog offset + 1 (the

@@ -259,3 +259,32 @@ def test_lookup_cli_unknown_column(lake):
         env={**os.environ, "RAY_ADDRESS": "local"},
     )
     assert out.returncode == 2 and "unknown column" in out.stderr
+
+
+def test_change_stream_mirror_including_maintenance(lake, ray_session,
+                                                    tmp_path):
+    """The change stream is a COMPLETE replication feed: a mirror lake
+    built only from epoch_changes_dataset(include_ops=True) — across
+    normal epochs, a bulk-delete maintenance epoch and a value-rewriting
+    rewrite epoch — converges to the source's exact snapshot (including
+    content hashes), at a different bucket count."""
+    lake.delete_keys(["https://p/5", "https://p/11"])
+
+    def relang(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        i = b.schema.get_field_index("lang")
+        return b.set_column(i, "lang", _pc.utf8_upper(b["lang"]))
+
+    lake.rewrite_epoch(relang)
+
+    mirror = CDCEngine(str(tmp_path / "mirror"), num_buckets=3)
+    for e in range(lake.table.committed_epoch() + 1):
+        ch = lake.table.epoch_changes_dataset(e, include_ops=True)
+        ch = ch.drop_columns(["content_hash"])  # recomputed at ingest
+        m = lake.table.manifest(e)
+        mirror.apply_epoch(ch, epoch=e,
+                           offset_range=(m["offset_min"], m["offset_max"]))
+
+    src = lake.table.snapshot_table().sort_by("url")
+    dst = mirror.table.snapshot_table().sort_by("url")
+    assert src.equals(dst)
