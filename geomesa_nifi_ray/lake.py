@@ -1029,10 +1029,14 @@ class LakeTable:
         Offset-less maintenance epochs egress too: a delete epoch yields
         exactly its tombstone winners, a rewrite epoch re-emits every live
         row as an upsert (full re-broadcast — the rewrite may have
-        re-derived any value column)."""
+        re-derived any value column), and a clear (truncate) epoch yields
+        a tombstone per previously-live key — the row-level rendering of
+        GeoMessage.Clear, so a mirror consuming only rows still empties."""
         import ray.data
 
         m = self.manifest(epoch)
+        if m.get("mode") == "clear":
+            return self._clear_epoch_changes(epoch, include_ops)
         lo, hi = int(m["offset_min"]), int(m["offset_max"])
         # maintenance epochs (delete_keys / delete_where / rewrite_epoch)
         # advance no offsets (-1) while their written rows carry ORIGINAL
@@ -1107,6 +1111,43 @@ class LakeTable:
             pa.table({"i": pa.array(range(len(files)), type=pa.int64())})
         ).repartition(len(files))
         return control.map_batches(read_changes, batch_format="pyarrow")
+
+    def _clear_epoch_changes(self, epoch: int, include_ops: bool):
+        """Change-stream rendering of a clear (truncate) epoch: one
+        ``_op='delete'`` tombstone per key live at the previous committed
+        epoch, with the winner's (key, order…) values and null payloads —
+        O(previous lake) by semantics (a clear IS a table-wide event)."""
+        import ray.data
+
+        schema = self.schema
+        prev = [e for e in self.manifest_epochs() if e < epoch]
+
+        def empty():
+            t = schema.empty_table()
+            if include_ops:
+                t = t.append_column("_op", pa.array([], pa.string()))
+            return ray.data.from_arrow(t)
+
+        if not prev:
+            return empty()  # clear of an already-empty table
+        need = list(dict.fromkeys([self.key, *self.order]))
+        ds = self.snapshot_dataset(columns=need, epoch=prev[-1])
+
+        def to_tombstones(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {}
+            for f in schema:
+                if f.name in batch.column_names:
+                    cols[f.name] = batch[f.name].combine_chunks().cast(f.type)
+                else:
+                    cols[f.name] = pa.nulls(n, f.type)
+            t = pa.table(cols)
+            if include_ops:
+                t = t.append_column(
+                    "_op", pa.nulls(n, pa.string()).fill_null("delete"))
+            return t
+
+        return ds.map_batches(to_tombstones, batch_format="pyarrow")
 
     def epoch_diff_dataset(self, epoch_a: int, epoch_b: int):
         """Row-level diff between the table states at two committed

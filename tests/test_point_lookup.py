@@ -265,9 +265,10 @@ def test_change_stream_mirror_including_maintenance(lake, ray_session,
                                                     tmp_path):
     """The change stream is a COMPLETE replication feed: a mirror lake
     built only from epoch_changes_dataset(include_ops=True) — across
-    normal epochs, a bulk-delete maintenance epoch and a value-rewriting
-    rewrite epoch — converges to the source's exact snapshot (including
-    content hashes), at a different bucket count."""
+    normal epochs, a bulk-delete maintenance epoch, a value-rewriting
+    rewrite epoch, a whole-table clear, and a post-clear reload —
+    converges to the source's exact snapshot (including content hashes),
+    at a different bucket count."""
     lake.delete_keys(["https://p/5", "https://p/11"])
 
     def relang(b: pa.Table) -> pa.Table:
@@ -276,6 +277,10 @@ def test_change_stream_mirror_including_maintenance(lake, ray_session,
         return b.set_column(i, "lang", _pc.utf8_upper(b["lang"]))
 
     lake.rewrite_epoch(relang)
+    lake.truncate()
+    _epoch(lake, lake.table.committed_epoch() + 1,
+           {"url": [f"https://q/{i}" for i in range(6)],
+            "ts": [9_000_000 + i for i in range(6)]}, 200)
 
     mirror = CDCEngine(str(tmp_path / "mirror"), num_buckets=3)
     for e in range(lake.table.committed_epoch() + 1):
@@ -287,4 +292,5 @@ def test_change_stream_mirror_including_maintenance(lake, ray_session,
 
     src = lake.table.snapshot_table().sort_by("url")
     dst = mirror.table.snapshot_table().sort_by("url")
+    assert src.num_rows == 6  # only the post-clear reload survives
     assert src.equals(dst)
