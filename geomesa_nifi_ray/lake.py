@@ -1116,7 +1116,9 @@ class LakeTable:
         """Change-stream rendering of a clear (truncate) epoch: one
         ``_op='delete'`` tombstone per key live at the previous committed
         epoch, with the winner's (key, order…) values and null payloads —
-        O(previous lake) by semantics (a clear IS a table-wide event)."""
+        O(previous lake) by semantics (a clear IS a table-wide event).
+        Requires the pre-clear epoch to be within vacuum retention, like
+        any time-travel read."""
         import ray.data
 
         schema = self.schema
