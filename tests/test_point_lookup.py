@@ -294,3 +294,33 @@ def test_change_stream_mirror_including_maintenance(lake, ray_session,
     dst = mirror.table.snapshot_table().sort_by("url")
     assert src.num_rows == 6  # only the post-clear reload survives
     assert src.equals(dst)
+
+
+def test_change_stream_mirror_across_schema_evolution(ray_session,
+                                                      tmp_path):
+    """Egress + mirror compose with additive schema evolution: the source
+    widens mid-stream, old-epoch egress projects to the CURRENT schema
+    (null-filled), and a mirror in UPDATE mode converges to the exact
+    evolved snapshot."""
+    from geomesa_nifi_ray.schema import CompatibilityMode
+    from geomesa_nifi_ray.synth import BinlogSpec, write_binlog
+
+    spec = BinlogSpec(num_events=400, num_urls=80, num_epochs=3, seed=11,
+                      extra_column_from_epoch=1)
+    binlog = write_binlog(str(tmp_path / "evo"), spec)
+    src = CDCEngine(str(tmp_path / "src"), num_buckets=8,
+                    compatibility=CompatibilityMode.UPDATE)
+    src.replay_binlog(binlog, catchup=False)   # one epoch per commit
+    assert src.table.meta["schema_version"] == 1
+
+    mirror = CDCEngine(str(tmp_path / "mirror"), num_buckets=4,
+                       compatibility=CompatibilityMode.UPDATE)
+    for e in range(src.table.committed_epoch() + 1):
+        ch = src.table.epoch_changes_dataset(e, include_ops=True)
+        ch = ch.drop_columns(["content_hash"])
+        m = src.table.manifest(e)
+        mirror.apply_epoch(ch, epoch=e,
+                           offset_range=(m["offset_min"], m["offset_max"]))
+
+    assert src.table.snapshot_table().sort_by("url").equals(
+        mirror.table.snapshot_table().sort_by("url"))
