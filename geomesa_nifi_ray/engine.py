@@ -1515,6 +1515,8 @@ class CDCEngine:
             raise SchemaError("cannot delete from an empty table")
         if epoch is None:
             epoch = committed + 1
+        elif epoch <= committed:
+            return None  # exactly-once: already committed, skip the probe
         key, order = self.table.key, self.table.order
         winners = self.table.lookup_keys(keys, columns=[key, *order])
         ev = self._delete_events(winners)
@@ -1543,6 +1545,8 @@ class CDCEngine:
             raise SchemaError("cannot delete from an empty table")
         if epoch is None:
             epoch = committed + 1
+        elif epoch <= committed:
+            return None  # exactly-once: already committed, skip the scan
         key, order = self.table.key, self.table.order
         need = list(dict.fromkeys([key, *order, *(columns or [])]))
         stored = self.table.schema

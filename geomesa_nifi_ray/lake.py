@@ -1134,19 +1134,26 @@ class LakeTable:
             return empty()  # clear of an already-empty table
         need = list(dict.fromkeys([self.key, *self.order]))
         ds = self.snapshot_dataset(columns=need, epoch=prev[-1])
+        pre_hash = pa.schema([f for f in schema if f.name != "content_hash"])
+        key_name, kernel = self.key, self.content_hash_kernel
+        num_buckets = self.num_buckets
 
         def to_tombstones(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            cols = {}
-            for f in schema:
-                if f.name in batch.column_names:
-                    cols[f.name] = batch[f.name].combine_chunks().cast(f.type)
-                else:
-                    cols[f.name] = pa.nulls(n, f.type)
-            t = pa.table(cols)
+            from geomesa_nifi_ray.hashing import add_hash_and_bucket
+
+            # null-fill to the stored schema, then compute content_hash
+            # with the table's kernel over the null payloads — the EXACT
+            # hash a delete-epoch tombstone carries (the converter hashes
+            # null text/lang the same way), so clear- and delete-epoch
+            # tombstones render identically on the change stream
+            t = project_to_schema(batch, pre_hash)
+            t = add_hash_and_bucket(t, num_buckets, url_col=key_name,
+                                    kernel=kernel)
+            t = t.drop_columns(["bucket"]).select([f.name for f in schema])
             if include_ops:
                 t = t.append_column(
-                    "_op", pa.nulls(n, pa.string()).fill_null("delete"))
+                    "_op",
+                    pa.nulls(t.num_rows, pa.string()).fill_null("delete"))
             return t
 
         return ds.map_batches(to_tombstones, batch_format="pyarrow")

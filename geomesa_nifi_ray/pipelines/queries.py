@@ -198,8 +198,13 @@ def _delete_where_lake(sf_dir: str):
         eng.apply_epoch(e["path"], e["epoch"],
                         (e["offset_min"], e["offset_max"]))
     delete_epoch = len(meta["epochs"])
-    eng.delete_where(lambda b: pc.equal(b["lang"], "de"), columns=["lang"],
-                     epoch=delete_epoch)
+    committed = eng.table.committed_epoch()
+    if committed is None or committed < delete_epoch:
+        # skip the O(lake) predicate scan when the delete epoch is already
+        # committed (apply_epoch's exactly-once guard would discard it,
+        # but only after the scan ran)
+        eng.delete_where(lambda b: pc.equal(b["lang"], "de"),
+                         columns=["lang"], epoch=delete_epoch)
     return eng, delete_epoch
 
 

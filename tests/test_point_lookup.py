@@ -324,3 +324,29 @@ def test_change_stream_mirror_across_schema_evolution(ray_session,
 
     assert src.table.snapshot_table().sort_by("url").equals(
         mirror.table.snapshot_table().sort_by("url"))
+
+
+def test_clear_and_delete_tombstones_hash_identically(ray_session,
+                                                      tmp_path):
+    """Clear-epoch tombstones carry the SAME converter-computed
+    content_hash as a delete-epoch tombstone for the same winner (both
+    hash null payloads with the table's kernel) — a change-stream
+    consumer that dedupes or digest-checks sees one rendering of
+    'this key died', regardless of which maintenance op killed it."""
+    rows = {"url": [f"https://h/{i}" for i in range(4)],
+            "ts": [1_000_000 + i for i in range(4)]}
+    a = CDCEngine(str(tmp_path / "a"), num_buckets=2)
+    _epoch(a, 0, rows, 0)
+    a.delete_keys(["https://h/1"])
+    del_rows = a.table.epoch_changes_dataset(1, include_ops=True).to_pandas()
+    h_del = del_rows.set_index("url")["content_hash"]["https://h/1"]
+    assert h_del  # delete tombstones carry a hash, not null
+
+    b = CDCEngine(str(tmp_path / "b"), num_buckets=2)
+    _epoch(b, 0, rows, 0)
+    b.truncate()
+    clr_rows = b.table.epoch_changes_dataset(1, include_ops=True).to_pandas()
+    assert set(clr_rows["_op"]) == {"delete"}
+    assert sorted(clr_rows["url"]) == sorted(rows["url"])
+    h_clear = clr_rows.set_index("url")["content_hash"]["https://h/1"]
+    assert h_clear == h_del
