@@ -1941,6 +1941,38 @@ WHERE md5(CAST(doc_id AS VARCHAR)) < '28'
 """
 
 
+def q_split_documents(sf_dir: str):
+    """Deterministic train/val/test split (90/5/5): each doc_id's label
+    comes from its md5 position in the keyspace — no shuffle, no RNG
+    state, the same assignment on any cluster size or resharding. The
+    SQL renders the identical hex-edge CASE chain."""
+    import ray.data
+
+    from geomesa_nifi_ray.sampling import hash_split
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    return hash_split(ds, "doc_id",
+                      {"train": 0.90, "val": 0.05, "test": 0.05},
+                      seed="split0")
+
+
+def _split_docs_sql() -> str:
+    from geomesa_nifi_ray.sampling import split_edges_hex
+
+    e_train, e_val = split_edges_hex(
+        {"train": 0.90, "val": 0.05, "test": 0.05})
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN substr(md5('split0' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 < '{e_train}' THEN 'train'
+            WHEN substr(md5('split0' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 < '{e_val}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_shuffle_documents(sf_dir: str):
     """Seeded deterministic global shuffle: the permutation is
     md5('s0' || doc_id) — identical on any cluster size (ds.random_shuffle
@@ -2463,6 +2495,7 @@ QUERIES = {
     "embedding_clusters": q_embedding_clusters,
     "multimodal_video_frames": q_multimodal_video_frames,
     "sample_documents": q_sample_documents,
+    "split_documents": q_split_documents,
     "shuffle_documents": q_shuffle_documents,
     "stratified_cap_documents": q_stratified_cap_documents,
     "pii_scrub_documents": q_pii_scrub_documents,
@@ -2612,6 +2645,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "embedding_clusters": _EMBEDDING_CLUSTERS_SQL,
         "sample_documents": _SAMPLE_DOCS_SQL,
+        "split_documents": _split_docs_sql(),
         "shuffle_documents": _SHUFFLE_DOCS_SQL,
         "stratified_cap_documents": _STRATIFIED_CAP_SQL,
         "pii_scrub_documents": _PII_SCRUB_SQL.format(

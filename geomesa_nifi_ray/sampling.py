@@ -216,6 +216,63 @@ def deterministic_shuffle(ds, col: str, seed: str = "s0",
     return out
 
 
+def hash_split(ds, col: str, fractions: dict[str, float],
+               seed: str = "split0", kernel: str = "md5",
+               split_col: str = "split"):
+    """Deterministic dataset split (train/val/test): append ``split_col``
+    with the label whose cumulative-fraction interval contains the row's
+    hash position ``int(hash(seed || col)[:4], 16) / 65536``.
+
+    Pure per-batch map — no shuffle, no RNG state, independent of
+    cluster size and block boundaries: the same ``(seed, kernel)``
+    reproduces the identical assignment on any cluster, and a key lands
+    in the same split across reruns and resharding (the property random
+    splits lose). Interval edges quantize to 1/65536 of the keyspace
+    (4 hex nibbles), so each fraction is honored to ±0.002%; the md5
+    kernel is SQL-reproducible
+    (``substr(md5(seed || col), 1, 4) < '<hex edge>'``)."""
+    _check_kernel(kernel)
+    if not fractions or any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative and non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    labels = list(fractions)
+    cum = np.cumsum([fractions[l] for l in labels])
+    # interior edges only; the last label takes the remainder (ELSE arm)
+    edges = np.round(cum[:-1] * 65536).astype(np.uint64)
+    label_arr = pa.array(labels, type=pa.string())
+
+    def stage(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(split_col, pa.array([], pa.string()))
+        h = _hash_col(t, col, seed, kernel)
+        prefix = pc.utf8_slice_codeunits(h, 0, 4)
+        if isinstance(prefix, pa.ChunkedArray):
+            prefix = prefix.combine_chunks()
+        b = prefix.cast(pa.binary())
+        data = np.frombuffer(b.buffers()[2], dtype=np.uint8)
+        offs = np.frombuffer(b.buffers()[1], dtype=np.int32)[
+            b.offset: b.offset + len(b) + 1]
+        raw = data[offs[:-1, None] + np.arange(4)]
+        nib = _UNHEX[raw]
+        val = ((nib[:, 0] << 12) | (nib[:, 1] << 8)
+               | (nib[:, 2] << 4) | nib[:, 3]).astype(np.uint64)
+        idx = np.searchsorted(edges, val, side="right")
+        return t.append_column(
+            split_col, pc.take(label_arr, pa.array(idx, pa.int64())))
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def split_edges_hex(fractions: dict[str, float]) -> list[str]:
+    """The interior split edges as 4-hex-digit strings, for rendering the
+    equivalent SQL ``CASE WHEN substr(md5(seed || col), 1, 4) < '<edge>'``
+    chain (same quantization as :func:`hash_split`)."""
+    cum = np.cumsum(list(fractions.values()))
+    return [format(int(round(c * 65536)), "04x") for c in cum[:-1]]
+
+
 def stratified_cap(ds, group_col: str, col: str, cap: int, seed: str = "s0",
                    kernel: str = "md5"):
     """At most ``cap`` rows per group, selected by the seeded hash order

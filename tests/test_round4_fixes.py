@@ -518,3 +518,38 @@ def test_pipelined_replay_honors_explicit_lookahead(tmp_path, ray_session,
     monkeypatch.setattr(eng_mod.CDCEngine, "_replay_raw_tasks", spy)
     eng.replay_binlog(meta, catchup=False, lookahead=1)
     assert seen.get("window") == 1
+
+
+# ----------------- round-5: deterministic train/val/test split --------------
+
+def test_hash_split_deterministic_and_partition_invariant(ray_session):
+    """hash_split: labels are a pure function of (seed, kernel, key) —
+    identical across repartitioning, fractions honored within the 4-hex
+    quantization tolerance, every row labeled."""
+    from geomesa_nifi_ray.sampling import hash_split
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(_doc_ds(2000), "doc_id", fr).to_pandas()
+    b = hash_split(_doc_ds(2000).repartition(17), "doc_id", fr).to_pandas()
+    am = a.set_index("doc_id")["split"].sort_index()
+    bm = b.set_index("doc_id")["split"].sort_index()
+    assert am.equals(bm)
+    counts = a["split"].value_counts(normalize=True)
+    assert abs(counts["train"] - 0.8) < 0.05
+    assert set(a["split"]) == {"train", "val", "test"}
+    # xx64 kernel path is deterministic too (different assignment, same
+    # reproducibility)
+    x1 = hash_split(_doc_ds(500), "doc_id", fr, kernel="xx64").to_pandas()
+    x2 = hash_split(_doc_ds(500).repartition(7), "doc_id", fr,
+                    kernel="xx64").to_pandas()
+    assert x1.set_index("doc_id")["split"].sort_index().equals(
+        x2.set_index("doc_id")["split"].sort_index())
+
+
+def test_hash_split_validates_fractions(ray_session):
+    from geomesa_nifi_ray.sampling import hash_split
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(_doc_ds(10), "doc_id", {"a": 0.5, "b": 0.4}).take_all()
+    with pytest.raises(ValueError, match="non-negative"):
+        hash_split(_doc_ds(10), "doc_id", {"a": 1.5, "b": -0.5}).take_all()
