@@ -96,6 +96,31 @@ def q_cdc_replay_snapshot(sf_dir: str):
     return eng.table.snapshot_table().select(SNAPSHOT_COLS)
 
 
+def q_cdc_domain_stats(sf_dir: str):
+    """Per-host page counts over the lake's LWW winners — the hot-host
+    skew monitor for the salted exchange (the synth binlog concentrates
+    traffic on a Zipf-hot ``host000``). Vectorized host extraction
+    (one RE2 ``extract_regex`` per batch), per-batch partial counts, then
+    one small groupby over hosts — the shuffle carries (host, n) pairs,
+    never urls."""
+    from ray.data.aggregate import Sum
+
+    eng = run_cdc_replay(sf_dir)
+    ds = eng.table.snapshot_dataset(columns=["url"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        host = pc.extract_regex(t["url"], r"^https?://(?P<host>[^/]+)")
+        host = pc.struct_field(host, "host")
+        gb = pa.table({"host": host}).group_by("host").aggregate(
+            [("host", "count")])
+        return pa.table({"host": gb["host"],
+                         "n": pc.cast(gb["host_count"], pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("host").aggregate(Sum("n", alias_name="n_pages")))
+    return out
+
+
 def q_cdc_lww_dedup(sf_dir: str):
     """One-shot LWW dedup over the whole binlog (no lake): the standalone
     dedup operator path — combiner per batch + per-bucket final reduce."""
@@ -223,6 +248,9 @@ def q_cdc_delete_egress(sf_dir: str):
 
 
 _CDC_SNAPSHOT_SQL = _CDC_SNAPSHOT_SQL_T.replace("OFFSET_EXPR", '"offset"')
+_CDC_DOMAIN_SQL = ("SELECT regexp_extract(url, '^https?://([^/]+)', 1) "
+                   "AS host, count(*) AS n_pages FROM ("
+                   + _CDC_SNAPSHOT_SQL + ") GROUP BY host")
 _CDC_POINT_LOOKUP_SQL = _CDC_SNAPSHOT_SQL + " AND url LIKE '%7'"
 _CDC_DELETE_WHERE_SQL = _CDC_SNAPSHOT_SQL + " AND (lang IS DISTINCT FROM 'de')"
 # the delete epoch's change stream = the winners the predicate matched,
@@ -2465,6 +2493,7 @@ QUERIES = {
     "cdc_point_lookup": q_cdc_point_lookup,
     "cdc_delete_where": q_cdc_delete_where,
     "cdc_delete_egress": q_cdc_delete_egress,
+    "cdc_domain_stats": q_cdc_domain_stats,
     "cdc_bus_tail": q_cdc_bus_tail,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_update_partial": q_cdc_update_partial,
@@ -2582,6 +2611,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "cdc_delete_where": _CDC_DELETE_WHERE_SQL.format(
             glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_delete_egress": _CDC_DELETE_EGRESS_SQL.format(
+            glob=f"{bdir}/epoch-*/*.parquet"),
+        "cdc_domain_stats": _CDC_DOMAIN_SQL.format(
             glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_lww_dedup": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         # bus offsets are 1-based append order == binlog offset + 1 (the
