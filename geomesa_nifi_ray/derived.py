@@ -278,11 +278,18 @@ def epoch_group_delta_dataset(table: LakeTable, col: str, epoch: int,
         for i in batch["i"].to_pylist():
             spec = touched[i]
             names = set(lake_fs.read_parquet_schema(spec["new_file"]).names)
-            cols_n = [key, col, "offset"] + (
+            has_col = col in names
+            cols_n = [key, "offset"] + ([col] if has_col else []) + (
                 [value_col] if value_col is not None and value_col in names
                 and value_col not in (key, col, "offset") else []) + (
                 [TOMB_COLUMN] if TOMB_COLUMN in names else [])
             new = lake_fs.read_parquet(spec["new_file"], columns=cols_n)
+            if not has_col:
+                # pre-evolution epoch file without the GROUP column: rows
+                # get a null group, which the partials skip — same rule as
+                # the rebuild path's null-filled projection
+                new = new.append_column(
+                    col, pa.nulls(new.num_rows, full_schema.field(col).type))
             off = new["offset"]
             mask = pc.and_(pc.greater_equal(off, pa.scalar(lo)),
                            pc.less_equal(off, pa.scalar(hi)))

@@ -428,3 +428,55 @@ def test_manifest_bucket_filtered_shard_reads(ray_session, tmp_path,
     # live_entries passthrough
     le = t.live_entries(0, buckets=[5])
     assert le[5] == full["5"]
+
+
+# -- 7: views whose GROUP column was added by schema evolution ---------------
+
+def test_views_over_group_col_added_by_evolution(ray_session, tmp_path):
+    """A count view can group by a column that pre-evolution epoch files
+    lack: the delta reader null-fills the missing GROUP column (null
+    groups are skipped, same rule as the rebuild path) instead of
+    raising on the projected read. Incremental == rebuild across the
+    evolution boundary, and an update that GIVES a key a group value
+    increments exactly once (its prev row had a null group)."""
+    import ray.data
+
+    from geomesa_nifi_ray.derived import GroupCountView, KeyedGroupCountView
+    from geomesa_nifi_ray.schema import CompatibilityMode
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2,
+                    compatibility=CompatibilityMode.UPDATE)
+
+    def ep(e, urls, off, host=None):
+        n = len(urls)
+        cols = {
+            "url": pa.array(urls),
+            "warc_ts": pa.array([1_000_000 + off + i for i in range(n)],
+                                pa.int64()).cast(pa.timestamp("us")),
+            "html": pa.array([b"<p>x</p>"] * n, pa.large_binary()),
+            "lang": pa.array(["en"] * n),
+            "offset": pa.array(list(range(off, off + n)), pa.int64()),
+        }
+        if host is not None:
+            cols["host"] = pa.array(host)
+        eng.apply_epoch(ray.data.from_arrow(pa.table(cols)), epoch=e,
+                        offset_range=(off, off + n - 1))
+
+    ep(0, ["https://a/1", "https://b/2"], 0)                    # no host col
+    ep(1, ["https://a/3", "https://c/4"], 10, host=["a", "c"])  # +host
+
+    v = GroupCountView(eng.table, str(tmp_path / "v"), group_col="host")
+    v.refresh()
+    assert v.counts() == {"a": 1, "c": 1}
+    kv = KeyedGroupCountView(eng.table, str(tmp_path / "kv"),
+                             group_col="host")
+    kv.refresh()
+    assert kv.counts() == {"a": 1, "c": 1}
+    v.rebuild()
+    assert v.counts() == {"a": 1, "c": 1}       # incremental == recompute
+
+    ep(2, ["https://a/1"], 20, host=["a"])      # null-group key gains one
+    v.refresh()
+    kv.refresh()
+    assert v.counts() == {"a": 2, "c": 1}
+    assert kv.counts() == {"a": 2, "c": 1}
