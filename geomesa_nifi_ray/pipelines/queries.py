@@ -107,18 +107,22 @@ def q_cdc_domain_stats(sf_dir: str):
 
     eng = run_cdc_replay(sf_dir)
     ds = eng.table.snapshot_dataset(columns=["url"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        host = pc.extract_regex(t["url"], r"^https?://(?P<host>[^/]+)")
-        host = pc.struct_field(host, "host")
-        gb = pa.table({"host": host}).group_by("host").aggregate(
-            [("host", "count")])
-        return pa.table({"host": gb["host"],
-                         "n": pc.cast(gb["host_count"], pa.int64())})
-
-    out = (ds.map_batches(partial, batch_format="pyarrow")
+    out = (ds.map_batches(_host_count_partial, batch_format="pyarrow")
              .groupby("host").aggregate(Sum("n", alias_name="n_pages")))
     return out
+
+
+def _host_count_partial(t: pa.Table) -> pa.Table:
+    """Per-batch partial (host, n) counts with vectorized host extraction.
+    Unmatched urls count under '' (DuckDB's ``regexp_extract`` returns ''
+    for no match; a null group would silently DROP those rows from the
+    monitor)."""
+    host = pc.extract_regex(t["url"], r"^https?://(?P<host>[^/]+)")
+    host = pc.fill_null(pc.struct_field(host, "host"), "")
+    gb = pa.table({"host": host}).group_by("host").aggregate(
+        [("host", "count")])
+    return pa.table({"host": gb["host"],
+                     "n": pc.cast(gb["host_count"], pa.int64())})
 
 
 def q_cdc_lww_dedup(sf_dir: str):

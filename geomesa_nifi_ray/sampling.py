@@ -77,11 +77,9 @@ def _hash_col(batch: pa.Table, col: str, seed: str = "",
     )
 
 
-def _bucket_from_hex(keys: pa.Array, num_buckets: int) -> pa.Array:
-    """Range bucket from the first 4 hex nibbles of each key:
-    ``floor(int(key[:4], 16) * B / 65536)``. Static boundaries (keys are
-    uniform hashes), so bucket i's keys all sort before bucket i+1's —
-    bucket order == key order. Fully vectorized via a numpy nibble LUT."""
+def _hex4_to_uint(keys: pa.Array) -> np.ndarray:
+    """First 4 hex nibbles of each key as a uint64 array in [0, 65535].
+    Fully vectorized via a numpy nibble LUT over the raw string buffers."""
     prefix = pc.utf8_slice_codeunits(keys, 0, 4)
     if isinstance(prefix, pa.ChunkedArray):
         prefix = prefix.combine_chunks()
@@ -91,9 +89,17 @@ def _bucket_from_hex(keys: pa.Array, num_buckets: int) -> pa.Array:
         b.offset: b.offset + len(b) + 1]
     raw = data[offs[:-1, None] + np.arange(4)]
     nib = _UNHEX[raw]
-    val = (nib[:, 0] << 12) | (nib[:, 1] << 8) | (nib[:, 2] << 4) | nib[:, 3]
-    return pa.array((val.astype(np.uint64) * num_buckets // 65536)
-                    .astype(np.int32))
+    return ((nib[:, 0] << 12) | (nib[:, 1] << 8)
+            | (nib[:, 2] << 4) | nib[:, 3]).astype(np.uint64)
+
+
+def _bucket_from_hex(keys: pa.Array, num_buckets: int) -> pa.Array:
+    """Range bucket from the first 4 hex nibbles of each key:
+    ``floor(int(key[:4], 16) * B / 65536)``. Static boundaries (keys are
+    uniform hashes), so bucket i's keys all sort before bucket i+1's —
+    bucket order == key order."""
+    val = _hex4_to_uint(keys)
+    return pa.array((val * num_buckets // 65536).astype(np.int32))
 
 
 def _check_kernel(kernel: str) -> None:
@@ -232,45 +238,54 @@ def hash_split(ds, col: str, fractions: dict[str, float],
     kernel is SQL-reproducible
     (``substr(md5(seed || col), 1, 4) < '<hex edge>'``)."""
     _check_kernel(kernel)
-    if not fractions or any(f < 0 for f in fractions.values()):
-        raise ValueError("fractions must be non-negative and non-empty")
-    total = sum(fractions.values())
-    if abs(total - 1.0) > 1e-9:
-        raise ValueError(f"fractions must sum to 1, got {total}")
     labels = list(fractions)
-    cum = np.cumsum([fractions[l] for l in labels])
-    # interior edges only; the last label takes the remainder (ELSE arm)
-    edges = np.round(cum[:-1] * 65536).astype(np.uint64)
+    edges = _split_edges_int(fractions)  # shared with split_edges_hex
     label_arr = pa.array(labels, type=pa.string())
+    last = len(labels) - 1
 
     def stage(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column(split_col, pa.array([], pa.string()))
         h = _hash_col(t, col, seed, kernel)
-        prefix = pc.utf8_slice_codeunits(h, 0, 4)
-        if isinstance(prefix, pa.ChunkedArray):
-            prefix = prefix.combine_chunks()
-        b = prefix.cast(pa.binary())
-        data = np.frombuffer(b.buffers()[2], dtype=np.uint8)
-        offs = np.frombuffer(b.buffers()[1], dtype=np.int32)[
-            b.offset: b.offset + len(b) + 1]
-        raw = data[offs[:-1, None] + np.arange(4)]
-        nib = _UNHEX[raw]
-        val = ((nib[:, 0] << 12) | (nib[:, 1] << 8)
-               | (nib[:, 2] << 4) | nib[:, 3]).astype(np.uint64)
+        val = _hex4_to_uint(h)
         idx = np.searchsorted(edges, val, side="right")
+        kcol = t[col]
+        if kcol.null_count:
+            # null keys take the LAST label — the SQL CASE chain's NULL
+            # comparisons fall through to the ELSE arm, and the Python
+            # side must agree for the oracle contract to hold
+            nulls = pc.is_null(kcol).to_numpy(zero_copy_only=False)
+            idx[nulls] = last
         return t.append_column(
             split_col, pc.take(label_arr, pa.array(idx, pa.int64())))
 
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
-def split_edges_hex(fractions: dict[str, float]) -> list[str]:
-    """The interior split edges as 4-hex-digit strings, for rendering the
-    equivalent SQL ``CASE WHEN substr(md5(seed || col), 1, 4) < '<edge>'``
-    chain (same quantization as :func:`hash_split`)."""
+def _split_edges_int(fractions: dict[str, float]) -> np.ndarray:
+    """Interior split edges as uint64 in [0, 65536] — the ONE quantization
+    both :func:`hash_split` and :func:`split_edges_hex` derive from (two
+    independent roundings could disagree at a boundary and silently break
+    the SQL oracle)."""
+    if not fractions or any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative and non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
     cum = np.cumsum(list(fractions.values()))
-    return [format(int(round(c * 65536)), "04x") for c in cum[:-1]]
+    return np.round(cum[:-1] * 65536).astype(np.uint64)
+
+
+def split_edges_hex(fractions: dict[str, float]) -> list[str]:
+    """The interior split edges as hex strings for rendering the
+    equivalent SQL ``CASE WHEN substr(md5(seed || col), 1, 4) < '<edge>'``
+    chain. An edge that quantizes to the full keyspace (65536) renders as
+    ``'g000'`` — lexicographically above every 4-hex-digit prefix, so the
+    comparison is always true, matching ``val < 65536`` on the Python
+    side (a naive '10000' would string-compare BELOW most prefixes and
+    invert the split)."""
+    return [format(int(e), "04x") if e < 65536 else "g000"
+            for e in _split_edges_int(fractions)]
 
 
 def stratified_cap(ds, group_col: str, col: str, cap: int, seed: str = "s0",

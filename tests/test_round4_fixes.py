@@ -553,3 +553,38 @@ def test_hash_split_validates_fractions(ray_session):
         hash_split(_doc_ds(10), "doc_id", {"a": 0.5, "b": 0.4}).take_all()
     with pytest.raises(ValueError, match="non-negative"):
         hash_split(_doc_ds(10), "doc_id", {"a": 1.5, "b": -0.5}).take_all()
+
+
+def test_hash_split_edge_and_null_semantics(ray_session):
+    """Review-fix edges: (1) an interior edge that quantizes to the full
+    keyspace renders as SQL 'g000' (above every 4-hex prefix — a naive
+    '10000' string-compares BELOW most prefixes and inverts the split)
+    while hash_split labels every row with the first label; (2) null keys
+    take the LAST label on both sides (the SQL CASE chain's NULL
+    comparisons fall through to ELSE)."""
+    import ray.data
+
+    from geomesa_nifi_ray.sampling import hash_split, split_edges_hex
+
+    fr = {"a": 0.999995, "b": 0.000005}
+    assert split_edges_hex(fr) == ["g000"]
+    out = hash_split(_doc_ds(300), "doc_id", fr).to_pandas()
+    assert set(out["split"]) == {"a"}
+    # every 4-hex md5 prefix string-compares below 'g000' (the SQL arm)
+    assert "ffff" < "g000" and "0000" < "g000"
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, None, 2], pa.int64())}))
+    out = hash_split(ds, "doc_id", {"train": 0.5, "test": 0.5}).to_pandas()
+    assert out.loc[out["doc_id"].isna(), "split"].tolist() == ["test"]
+
+
+def test_host_count_partial_unmatched_urls(ray_session):
+    """Unmatched urls land in the '' host group with their true count
+    (not a dropped null group) — matching DuckDB's regexp_extract."""
+    from geomesa_nifi_ray.pipelines.queries import _host_count_partial
+
+    t = pa.table({"url": pa.array(
+        ["https://h1/x", "ftp://weird/y", "not-a-url", "http://h1/z"])})
+    out = _host_count_partial(t).to_pandas().set_index("host")["n"]
+    assert out[""] == 2 and out["h1"] == 2
