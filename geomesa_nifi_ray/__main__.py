@@ -141,6 +141,18 @@ def main(argv: list[str] | None = None) -> int:
     de.add_argument("--key", action="append", required=True,
                     help="key value to delete (repeatable)")
 
+    mi = sub.add_parser(
+        "mirror",
+        description="Replicate a source lake's committed epochs into "
+        "--lake via its change stream (resumable: the mirror's committed "
+        "epoch is the cursor; deletes/rewrites/clears replicate too).",
+    )
+    mi.add_argument("--src-lake", required=True)
+    mi.add_argument("--lake", required=True)
+    mi.add_argument("--buckets", type=int, default=64,
+                    help="bucket count for a NEW mirror lake (a mirror may "
+                    "use a different partitioning than its source)")
+
     vc = sub.add_parser("vacuum")
     vc.add_argument("--lake", required=True)
     vc.add_argument("--retain", type=int, default=2)
@@ -320,6 +332,21 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         for row in hit.to_pylist():
             print(json.dumps(row, default=str))
+        return 0
+
+    if args.cmd == "mirror":
+        _ray_session(args.num_cpus)
+        from geomesa_nifi_ray.engine import CDCEngine
+        from geomesa_nifi_ray.lake import LakeTable
+
+        src = LakeTable.load(args.src_lake, "pages")
+        eng = CDCEngine(args.lake, num_buckets=args.buckets)
+        applied = eng.mirror_from(src)
+        print(json.dumps({
+            "epochs_applied": len(applied),
+            "committed_epoch": eng.table.committed_epoch(),
+            "table_rows": applied[-1].table_rows if applied else None,
+        }))
         return 0
 
     if args.cmd == "delete":

@@ -1497,6 +1497,37 @@ class CDCEngine:
         return synth_tombstone_events(self.table.schema, self.table.key,
                                       list(self.table.order), winners)
 
+    def mirror_from(self, src_table: LakeTable) -> list[EpochResult]:
+        """Replicate another lake's committed epochs into this engine via
+        its change stream — cross-lake replication / bucket-count
+        migration, the consumer side of ``epoch_changes_dataset``.
+
+        Resumable and idempotent: this lake's committed epoch is the
+        cursor, so a crashed mirror re-run continues where it stopped.
+        ``include_ops=True`` carries deletes explicitly, and maintenance
+        epochs replicate too (delete epochs as their tombstone winners,
+        rewrites as full re-broadcasts, clears as per-key tombstones), so
+        the mirror converges to the source's exact snapshot — including
+        content hashes, which are recomputed at ingest from the same null
+        payloads (tested across delete + rewrite + clear + reload and
+        across additive schema evolution, at differing bucket counts)."""
+        out = []
+        mine = self.table.committed_epoch()
+        for e in src_table.manifest_epochs():
+            if mine is not None and e <= mine:
+                continue
+            ch = src_table.epoch_changes_dataset(e, include_ops=True)
+            if "content_hash" in ch.schema().names:
+                ch = ch.drop_columns(["content_hash"])
+            m = src_table.manifest(e)
+            r = self.apply_epoch(
+                ch, epoch=e,
+                offset_range=(int(m["offset_min"]), int(m["offset_max"])))
+            if r is not None:
+                out.append(r)
+            mine = e
+        return out
+
     def delete_keys(self, keys, epoch: int | None = None) -> EpochResult | None:
         """Delete the given keys as one exactly-once maintenance epoch —
         the reference's ``removeFeatures(ids)`` (modify-writer delete path,

@@ -277,18 +277,22 @@ def test_change_stream_mirror_including_maintenance(lake, ray_session,
         return b.set_column(i, "lang", _pc.utf8_upper(b["lang"]))
 
     lake.rewrite_epoch(relang)
+
+    mirror = CDCEngine(str(tmp_path / "mirror"), num_buckets=3)
+    applied1 = mirror.mirror_from(lake.table)
+    assert len(applied1) == 4          # 2 normal + delete + rewrite
+    assert mirror.table.snapshot_table().sort_by("url").equals(
+        lake.table.snapshot_table().sort_by("url"))
+
     lake.truncate()
     _epoch(lake, lake.table.committed_epoch() + 1,
            {"url": [f"https://q/{i}" for i in range(6)],
             "ts": [9_000_000 + i for i in range(6)]}, 200)
 
-    mirror = CDCEngine(str(tmp_path / "mirror"), num_buckets=3)
-    for e in range(lake.table.committed_epoch() + 1):
-        ch = lake.table.epoch_changes_dataset(e, include_ops=True)
-        ch = ch.drop_columns(["content_hash"])  # recomputed at ingest
-        m = lake.table.manifest(e)
-        mirror.apply_epoch(ch, epoch=e,
-                           offset_range=(m["offset_min"], m["offset_max"]))
+    # resumable: the second call applies ONLY the new epochs
+    applied2 = mirror.mirror_from(lake.table)
+    assert len(applied2) == 2          # clear + reload
+    assert mirror.mirror_from(lake.table) == []   # idempotent
 
     src = lake.table.snapshot_table().sort_by("url")
     dst = mirror.table.snapshot_table().sort_by("url")
@@ -350,3 +354,21 @@ def test_clear_and_delete_tombstones_hash_identically(ray_session,
     assert sorted(clr_rows["url"]) == sorted(rows["url"])
     h_clear = clr_rows.set_index("url")["content_hash"]["https://h/1"]
     assert h_clear == h_del
+
+
+def test_mirror_cli(lake, tmp_path):
+    dst = str(tmp_path / "mcli")
+    out = subprocess.run(
+        [sys.executable, "-m", "geomesa_nifi_ray", "--num-cpus", "2",
+         "mirror", "--src-lake", lake.lake_root, "--lake", dst,
+         "--buckets", "3"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    assert r["epochs_applied"] == 2 and r["committed_epoch"] == 1
+    from geomesa_nifi_ray.lake import LakeTable
+    m = LakeTable.load(dst, "pages")
+    assert m.snapshot_table().sort_by("url").equals(
+        lake.table.snapshot_table().sort_by("url"))
