@@ -1516,13 +1516,20 @@ class CDCEngine:
         for e in src_table.manifest_epochs():
             if mine is not None and e <= mine:
                 continue
-            ch = src_table.epoch_changes_dataset(e, include_ops=True)
-            if "content_hash" in ch.schema().names:
-                ch = ch.drop_columns(["content_hash"])
             m = src_table.manifest(e)
-            r = self.apply_epoch(
-                ch, epoch=e,
-                offset_range=(int(m["offset_min"]), int(m["offset_max"])))
+            if m.get("mode") == "clear":
+                # replicate a clear natively: O(1) instead of applying the
+                # O(prev lake) tombstone re-broadcast the row-level egress
+                # renders for stream-only consumers
+                r = self.truncate(epoch=e)
+            else:
+                ch = src_table.epoch_changes_dataset(e, include_ops=True)
+                if "content_hash" in ch.schema().names:
+                    ch = ch.drop_columns(["content_hash"])
+                r = self.apply_epoch(
+                    ch, epoch=e,
+                    offset_range=(int(m["offset_min"]),
+                                  int(m["offset_max"])))
             if r is not None:
                 out.append(r)
             mine = e
