@@ -96,6 +96,22 @@ def q_cdc_replay_snapshot(sf_dir: str):
     return eng.table.snapshot_table().select(SNAPSHOT_COLS)
 
 
+def q_cdc_mirror_snapshot(sf_dir: str):
+    """Cross-lake replication end-to-end: mirror the replayed lake into a
+    SECOND lake (different bucket count) purely through its change stream
+    (`CDCEngine.mirror_from`), then snapshot the MIRROR. The oracle is the
+    same LWW-winners SQL as `cdc_replay_snapshot` — so source, mirror and
+    SQL are value-checked three ways. Idempotent: the mirror's committed
+    epoch is the cursor (a re-run applies nothing)."""
+    eng = run_cdc_replay(sf_dir)
+    meta = get_binlog(sf_dir)
+    mroot = os.path.join(CDC_ROOT, _sf_name(sf_dir),
+                         f"lake_mirror-{_lake_key(meta)}")
+    mirror = CDCEngine(mroot, num_buckets=8)
+    mirror.mirror_from(eng.table)
+    return mirror.table.snapshot_table().select(SNAPSHOT_COLS)
+
+
 def q_cdc_domain_stats(sf_dir: str):
     """Per-host page counts over the lake's LWW winners — the hot-host
     skew monitor for the salted exchange (the synth binlog concentrates
@@ -2498,6 +2514,7 @@ QUERIES = {
     "cdc_delete_where": q_cdc_delete_where,
     "cdc_delete_egress": q_cdc_delete_egress,
     "cdc_domain_stats": q_cdc_domain_stats,
+    "cdc_mirror_snapshot": q_cdc_mirror_snapshot,
     "cdc_bus_tail": q_cdc_bus_tail,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_update_partial": q_cdc_update_partial,
@@ -2617,6 +2634,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "cdc_delete_egress": _CDC_DELETE_EGRESS_SQL.format(
             glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_domain_stats": _CDC_DOMAIN_SQL.format(
+            glob=f"{bdir}/epoch-*/*.parquet"),
+        "cdc_mirror_snapshot": _CDC_SNAPSHOT_SQL.format(
             glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_lww_dedup": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         # bus offsets are 1-based append order == binlog offset + 1 (the
