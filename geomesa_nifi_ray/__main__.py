@@ -339,9 +339,17 @@ def main(argv: list[str] | None = None) -> int:
         from geomesa_nifi_ray.engine import CDCEngine
         from geomesa_nifi_ray.lake import LakeTable
 
+        from geomesa_nifi_ray.schema import CompatibilityMode
+
         src = LakeTable.load(args.src_lake, "pages")
-        eng = CDCEngine(args.lake, num_buckets=args.buckets)
-        applied = eng.mirror_from(src)
+        # a mirror follows its source, including additive evolution
+        eng = CDCEngine(args.lake, num_buckets=args.buckets,
+                        compatibility=CompatibilityMode.UPDATE)
+        try:
+            applied = eng.mirror_from(src)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         print(json.dumps({
             "epochs_applied": len(applied),
             "committed_epoch": eng.table.committed_epoch(),

@@ -1504,19 +1504,59 @@ class CDCEngine:
 
         Resumable and idempotent: this lake's committed epoch is the
         cursor, so a crashed mirror re-run continues where it stopped.
-        ``include_ops=True`` carries deletes explicitly, and maintenance
-        epochs replicate too (delete epochs as their tombstone winners,
-        rewrites as full re-broadcasts, clears as per-key tombstones), so
-        the mirror converges to the source's exact snapshot — including
-        content hashes, which are recomputed at ingest from the same null
-        payloads (tested across delete + rewrite + clear + reload and
-        across additive schema evolution, at differing bucket counts)."""
-        out = []
+        The source identity is stamped into the mirror's ``_table.json``
+        on first use and validated on every resume — resuming into a lake
+        that tracks a DIFFERENT source (or was never a mirror) raises
+        instead of silently interleaving two histories, and a source that
+        fell BEHIND its mirror (rebuilt from scratch) raises instead of
+        silently no-oping. ``include_ops=True`` carries deletes
+        explicitly, and maintenance epochs replicate too (delete epochs
+        as their tombstone winners, rewrites as full re-broadcasts,
+        clears as native truncates), so the mirror converges to the
+        source's exact snapshot — including content hashes, which are
+        recomputed at ingest from the same null payloads (tested across
+        delete + rewrite + clear + reload and across additive schema
+        evolution, at differing bucket counts). Catch-up-built sources
+        (one manifest covering an epoch span) mirror via the manifest's
+        ``epochs_covered``. A schema-evolved source requires this engine
+        in UPDATE compatibility; EXISTING/EXACT would silently project
+        the evolved columns away, so that combination raises."""
+        src_id = f"{os.path.abspath(src_table.root)}::{src_table.name}"
         mine = self.table.committed_epoch()
+        stamped = self.table.meta.get("mirror_source")
+        if stamped is None:
+            if mine is not None:
+                raise ValueError(
+                    "mirror target already has epochs not produced by "
+                    f"mirroring (no mirror_source stamp); refusing to "
+                    f"interleave {src_id!r} into it — use a fresh lake")
+            self.table.stamp_meta("mirror_source", src_id)
+        elif stamped != src_id:
+            raise ValueError(
+                f"mirror target tracks {stamped!r}; refusing epochs from "
+                f"{src_id!r}")
+        src_committed = src_table.committed_epoch()
+        if mine is not None and (src_committed is None
+                                 or src_committed < mine):
+            raise ValueError(
+                f"source {src_id!r} is at epoch {src_committed} but this "
+                f"mirror is at {mine} — source rebuilt? A stale mirror "
+                "must be recreated, not resumed")
+        extra = [c for c in src_table.schema.names
+                 if c not in self.table.schema.names]
+        if extra and self.compatibility != CompatibilityMode.UPDATE:
+            raise SchemaError(
+                f"source carries evolved columns {extra} but this mirror "
+                f"engine is {self.compatibility.value!r}, which would "
+                "silently project them away — construct the mirror with "
+                "CompatibilityMode.UPDATE")
+        drop_hash = "content_hash" in src_table.schema.names
+        out = []
         for e in src_table.manifest_epochs():
             if mine is not None and e <= mine:
                 continue
-            m = src_table.manifest(e)
+            m = src_table.manifest_head(e)
+            covered = tuple(m.get("epochs_covered", (e, e)))
             if m.get("mode") == "clear":
                 # replicate a clear natively: O(1) instead of applying the
                 # O(prev lake) tombstone re-broadcast the row-level egress
@@ -1524,12 +1564,13 @@ class CDCEngine:
                 r = self.truncate(epoch=e)
             else:
                 ch = src_table.epoch_changes_dataset(e, include_ops=True)
-                if "content_hash" in ch.schema().names:
+                if drop_hash:
                     ch = ch.drop_columns(["content_hash"])
                 r = self.apply_epoch(
                     ch, epoch=e,
                     offset_range=(int(m["offset_min"]),
-                                  int(m["offset_max"])))
+                                  int(m["offset_max"])),
+                    epochs_covered=covered)
             if r is not None:
                 out.append(r)
             mine = e

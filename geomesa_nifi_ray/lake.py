@@ -486,6 +486,15 @@ class LakeTable:
         vectorized scale path, see hashing.py). Older metas default md5."""
         return self.meta.get("content_hash_kernel", "md5")
 
+    def stamp_meta(self, key: str, value) -> None:
+        """Persist one auxiliary key into ``_table.json`` (e.g. a mirror's
+        source identity). Same publish path as schema evolution; not for
+        schema/layout fields, which have dedicated setters."""
+        meta = dict(self.meta)
+        meta[key] = value
+        self.fs.publish_json(os.path.join(self.table_dir, TABLE_META), meta)
+        self._meta = meta
+
     def set_schema(self, new_schema: pa.Schema) -> None:
         """Widen the stored schema (Update compatibility mode). Epoch
         boundaries are the only safe evolution point (SURVEY.md §7.5); old

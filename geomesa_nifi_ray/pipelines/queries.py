@@ -105,8 +105,10 @@ def q_cdc_mirror_snapshot(sf_dir: str):
     epoch is the cursor (a re-run applies nothing)."""
     eng = run_cdc_replay(sf_dir)
     meta = get_binlog(sf_dir)
+    # 'mirror2': abandons pre-identity-stamp cached mirrors (mirror_from
+    # now refuses to resume into an unstamped lake)
     mroot = os.path.join(CDC_ROOT, _sf_name(sf_dir),
-                         f"lake_mirror-{_lake_key(meta)}")
+                         f"lake_mirror2-{_lake_key(meta)}")
     mirror = CDCEngine(mroot, num_buckets=8)
     mirror.mirror_from(eng.table)
     return mirror.table.snapshot_table().select(SNAPSHOT_COLS)

@@ -317,17 +317,55 @@ def test_change_stream_mirror_across_schema_evolution(ray_session,
     src.replay_binlog(binlog, catchup=False)   # one epoch per commit
     assert src.table.meta["schema_version"] == 1
 
+    # an EXISTING-mode mirror would silently drop the evolved column:
+    # mirror_from refuses instead
+    bad = CDCEngine(str(tmp_path / "bad"), num_buckets=4)
+    with pytest.raises(ValueError, match="evolved columns"):
+        bad.mirror_from(src.table)
+
     mirror = CDCEngine(str(tmp_path / "mirror"), num_buckets=4,
                        compatibility=CompatibilityMode.UPDATE)
-    for e in range(src.table.committed_epoch() + 1):
-        ch = src.table.epoch_changes_dataset(e, include_ops=True)
-        ch = ch.drop_columns(["content_hash"])
-        m = src.table.manifest(e)
-        mirror.apply_epoch(ch, epoch=e,
-                           offset_range=(m["offset_min"], m["offset_max"]))
-
+    mirror.mirror_from(src.table)
     assert src.table.snapshot_table().sort_by("url").equals(
         mirror.table.snapshot_table().sort_by("url"))
+
+
+def test_mirror_from_catchup_source_and_identity_guards(ray_session,
+                                                        tmp_path):
+    """mirror_from forwards epochs_covered (a catch-up source commits ONE
+    manifest spanning several epochs), refuses to resume into a lake that
+    tracks a different source or was never a mirror, and refuses a source
+    that fell behind its mirror (rebuilt from scratch)."""
+    from geomesa_nifi_ray.synth import BinlogSpec, write_binlog
+
+    spec = BinlogSpec(num_events=300, num_urls=60, num_epochs=3, seed=5)
+    binlog = write_binlog(str(tmp_path / "b"), spec)
+    src = CDCEngine(str(tmp_path / "src"), num_buckets=4)
+    src.replay_binlog(binlog, catchup=True)   # one spanning manifest
+
+    mirror = CDCEngine(str(tmp_path / "m"), num_buckets=2)
+    applied = mirror.mirror_from(src.table)
+    assert len(applied) == 1                  # one manifest covers the span
+    assert mirror.table.snapshot_table().sort_by("url").equals(
+        src.table.snapshot_table().sort_by("url"))
+    assert mirror.table.meta["mirror_source"].endswith("::pages")
+
+    # unrelated source -> identity mismatch
+    other = CDCEngine(str(tmp_path / "other"), num_buckets=2)
+    _epoch(other, 0, {"url": ["https://o/1"], "ts": [1]}, 0)
+    with pytest.raises(ValueError, match="tracks"):
+        mirror.mirror_from(other.table)
+    # non-mirror target with its own epochs -> refuse to interleave
+    with pytest.raises(ValueError, match="fresh lake"):
+        other.mirror_from(src.table)
+    # source behind the mirror (rebuilt from scratch at the same path)
+    # -> loud, not a silent no-op
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "src"))
+    rebuilt = CDCEngine(str(tmp_path / "src"), num_buckets=4)
+    with pytest.raises(ValueError, match="rebuilt"):
+        mirror.mirror_from(rebuilt.table)
 
 
 def test_clear_and_delete_tombstones_hash_identically(ray_session,
