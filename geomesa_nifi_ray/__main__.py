@@ -98,6 +98,10 @@ def main(argv: list[str] | None = None) -> int:
     sn.add_argument("--epoch", type=int, default=None,
                     help="time-travel: export the state at this committed "
                     "epoch instead of the latest")
+    sn.add_argument("--partition-by", default=None,
+                    help="parquet only: comma-separated columns for a "
+                    "hive-partitioned layout (one directory per value, "
+                    "e.g. --partition-by lang)")
 
     eg = sub.add_parser("egress")
     eg.add_argument("--lake", required=True)
@@ -286,8 +290,15 @@ def main(argv: list[str] | None = None) -> int:
             print(f"error: no manifest for epoch {args.epoch}; committed "
                   f"epochs are {t.manifest_epochs()}", file=sys.stderr)
             return 2
-        out = export_dataset(t.snapshot_dataset(epoch=args.epoch), args.out,
-                             format=args.format)
+        try:
+            out = export_dataset(
+                t.snapshot_dataset(epoch=args.epoch), args.out,
+                format=args.format,
+                partition_cols=(args.partition_by.split(",")
+                                if args.partition_by else None))
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         _print_export_summary(out, args.out, args.format)
         return 0
 

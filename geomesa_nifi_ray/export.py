@@ -241,20 +241,26 @@ def egress_epoch(table, epoch: int, out_dir: str, format: str = "jsonl",
     return export_dataset(ds, out_dir, format=format, gzip=gzip)
 
 
-def export_dataset(ds, out_dir: str, format: str = "parquet", gzip: bool = False):
+def export_dataset(ds, out_dir: str, format: str = "parquet", gzip: bool = False,
+                   partition_cols: list[str] | None = None):
     """Write a Dataset to ``out_dir`` in the requested format; returns a
     small lineage table (shard path, rows, bytes) for non-parquet formats
-    or the output dir for parquet."""
+    or the output dir for parquet. ``partition_cols`` (parquet only)
+    writes a hive-partitioned directory per value combination — the
+    resumable per-key-range layout a training pipeline hands off (e.g.
+    one directory per ``lang`` or per train/val/test ``split``)."""
     if format == "avro-native":   # reference surface alias: our avro IS the
         format = "avro"           # plain (non-Geo) container
     if format not in FORMATS:
         raise ValueError(f"unknown export format {format!r}; supported: {FORMATS}")
+    if partition_cols and format != "parquet":
+        raise ValueError("partition_cols is parquet-only")
     os.makedirs(out_dir, exist_ok=True)
     if format == "parquet":
         if gzip:
             raise ValueError("parquet has internal compression; gzip unsupported "
                              "(reference also exempts avro, ConvertToGeoFile.scala:134-154)")
-        ds.write_parquet(out_dir)
+        ds.write_parquet(out_dir, partition_cols=partition_cols or None)
         return out_dir
 
     ext = {"csv": "csv", "tsv": "tsv", "jsonl": "jsonl",

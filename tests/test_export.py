@@ -198,3 +198,32 @@ def test_bin_export_fixed_records(ray_session, tmp_path):
     assert r0[0] == (zlib.crc32(b"u1") & 0x7FFFFFFF)
     assert r0[1] == 1_700_000_000
     assert r0[2] == 10.0 and r0[3] == 20.0
+
+
+def test_parquet_partitioned_export(ray_session, tmp_path, small_ds=None):
+    """--partition-by writes a hive-partitioned parquet layout (one
+    directory per value) that reads back whole; non-parquet formats
+    reject partition_cols."""
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from geomesa_nifi_ray.export import export_dataset
+
+    t = pa.table({
+        "url": pa.array([f"u{i}" for i in range(10)]),
+        "lang": pa.array(["en", "de"] * 5),
+        "n": pa.array(range(10), type=pa.int64()),
+    })
+    out = str(tmp_path / "part")
+    export_dataset(ray.data.from_arrow(t), out, format="parquet",
+                   partition_cols=["lang"])
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert dirs == ["lang=de", "lang=en"]
+    back = pads.dataset(out, partitioning="hive").to_table()
+    assert back.num_rows == 10
+    assert sorted(back["url"].to_pylist()) == sorted(t["url"].to_pylist())
+    with pytest.raises(ValueError, match="parquet-only"):
+        export_dataset(ray.data.from_arrow(t), str(tmp_path / "x"),
+                       format="jsonl", partition_cols=["lang"])
