@@ -290,12 +290,12 @@ def main(argv: list[str] | None = None) -> int:
             print(f"error: no manifest for epoch {args.epoch}; committed "
                   f"epochs are {t.manifest_epochs()}", file=sys.stderr)
             return 2
+        pcols = ([c.strip() for c in args.partition_by.split(",") if c.strip()]
+                 if args.partition_by else None)
         try:
             out = export_dataset(
                 t.snapshot_dataset(epoch=args.epoch), args.out,
-                format=args.format,
-                partition_cols=(args.partition_by.split(",")
-                                if args.partition_by else None))
+                format=args.format, partition_cols=pcols)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
@@ -308,7 +308,11 @@ def main(argv: list[str] | None = None) -> int:
         from geomesa_nifi_ray.lake import LakeTable
 
         t = LakeTable.load(args.lake, "pages")
-        out = egress_epoch(t, args.epoch, args.out, format=args.format)
+        try:
+            out = egress_epoch(t, args.epoch, args.out, format=args.format)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         _print_export_summary(out, args.out, args.format)
         return 0
 
@@ -320,10 +324,10 @@ def main(argv: list[str] | None = None) -> int:
         t = LakeTable.load(args.lake, "pages")
         try:
             ds = t.epoch_diff_dataset(args.epoch_a, args.epoch_b)
+            out = export_dataset(ds, args.out, format=args.format)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
-        out = export_dataset(ds, args.out, format=args.format)
         _print_export_summary(out, args.out, args.format)
         return 0
 

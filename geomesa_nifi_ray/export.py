@@ -246,9 +246,12 @@ def export_dataset(ds, out_dir: str, format: str = "parquet", gzip: bool = False
     """Write a Dataset to ``out_dir`` in the requested format; returns a
     small lineage table (shard path, rows, bytes) for non-parquet formats
     or the output dir for parquet. ``partition_cols`` (parquet only)
-    writes a hive-partitioned directory per value combination — the
-    resumable per-key-range layout a training pipeline hands off (e.g.
-    one directory per ``lang`` or per train/val/test ``split``)."""
+    writes a hive-partitioned directory per value combination (e.g. one
+    directory per ``lang`` or per train/val/test ``split``) for
+    training-data handoff. Parquet exports APPEND on re-run (Ray writes
+    uuid-named files), so a non-empty ``out_dir`` is rejected — unlike
+    the shard formats, whose content-hash filenames make re-runs
+    idempotent."""
     if format == "avro-native":   # reference surface alias: our avro IS the
         format = "avro"           # plain (non-Geo) container
     if format not in FORMATS:
@@ -260,6 +263,16 @@ def export_dataset(ds, out_dir: str, format: str = "parquet", gzip: bool = False
         if gzip:
             raise ValueError("parquet has internal compression; gzip unsupported "
                              "(reference also exempts avro, ConvertToGeoFile.scala:134-154)")
+        if os.listdir(out_dir):
+            raise ValueError(
+                f"parquet export appends on re-run (duplicating rows); "
+                f"refusing non-empty out_dir {out_dir!r}")
+        if partition_cols:
+            names = set(ds.schema().names)
+            bad = [c for c in partition_cols if c not in names]
+            if bad:
+                raise ValueError(f"unknown partition column(s) {bad}; "
+                                 f"dataset columns: {sorted(names)}")
         ds.write_parquet(out_dir, partition_cols=partition_cols or None)
         return out_dir
 

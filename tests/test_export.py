@@ -200,7 +200,7 @@ def test_bin_export_fixed_records(ray_session, tmp_path):
     assert r0[2] == 10.0 and r0[3] == 20.0
 
 
-def test_parquet_partitioned_export(ray_session, tmp_path, small_ds=None):
+def test_parquet_partitioned_export(ray_session, tmp_path):
     """--partition-by writes a hive-partitioned parquet layout (one
     directory per value) that reads back whole; non-parquet formats
     reject partition_cols."""
@@ -227,3 +227,9 @@ def test_parquet_partitioned_export(ray_session, tmp_path, small_ds=None):
     with pytest.raises(ValueError, match="parquet-only"):
         export_dataset(ray.data.from_arrow(t), str(tmp_path / "x"),
                        format="jsonl", partition_cols=["lang"])
+    with pytest.raises(ValueError, match="unknown partition column"):
+        export_dataset(ray.data.from_arrow(t), str(tmp_path / "y"),
+                       format="parquet", partition_cols=["lang", " split"])
+    # parquet appends on re-run (uuid filenames): refuse non-empty out dir
+    with pytest.raises(ValueError, match="non-empty"):
+        export_dataset(ray.data.from_arrow(t), out, format="parquet")
