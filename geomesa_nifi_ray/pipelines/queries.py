@@ -96,6 +96,37 @@ def q_cdc_replay_snapshot(sf_dir: str):
     return eng.table.snapshot_table().select(SNAPSHOT_COLS)
 
 
+def q_cdc_url_normalized(sf_dir: str):
+    """URL normalization over the lake winners (`text.normalize_urls`):
+    fragment strip, bare-``?`` strip, lowercased scheme+authority — the
+    canonical-key step before url-level dedup of a crawl. Vectorized
+    RE2 passes per batch; returns (url, url_norm) so the SQL oracle
+    value-checks the full normalization rule."""
+    from geomesa_nifi_ray.text import normalize_urls
+
+    eng = run_cdc_replay(sf_dir)
+    ds = eng.table.snapshot_dataset(columns=["url"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        return t.append_column("url_norm", normalize_urls(t["url"]))
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+_CDC_URL_NORM_SQL = """
+SELECT url,
+  CASE WHEN regexp_matches(u2, '^[A-Za-z][A-Za-z0-9+.\\-]*://')
+       THEN lower(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*'))
+            || regexp_replace(u2, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', '')
+       ELSE u2 END AS url_norm
+FROM (
+  SELECT url,
+         regexp_replace(regexp_replace(url, '#.*$', ''), '\\?$', '') AS u2
+  FROM (SNAPSHOT_SQL)
+)
+"""
+
+
 def q_cdc_mirror_snapshot(sf_dir: str):
     """Cross-lake replication end-to-end: mirror the replayed lake into a
     SECOND lake (different bucket count) purely through its change stream
@@ -2517,6 +2548,7 @@ QUERIES = {
     "cdc_delete_egress": q_cdc_delete_egress,
     "cdc_domain_stats": q_cdc_domain_stats,
     "cdc_mirror_snapshot": q_cdc_mirror_snapshot,
+    "cdc_url_normalized": q_cdc_url_normalized,
     "cdc_bus_tail": q_cdc_bus_tail,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_update_partial": q_cdc_update_partial,
@@ -2639,6 +2671,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_mirror_snapshot": _CDC_SNAPSHOT_SQL.format(
             glob=f"{bdir}/epoch-*/*.parquet"),
+        "cdc_url_normalized": _CDC_URL_NORM_SQL.replace(
+            "SNAPSHOT_SQL", _CDC_SNAPSHOT_SQL.format(
+                glob=f"{bdir}/epoch-*/*.parquet")),
         "cdc_lww_dedup": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         # bus offsets are 1-based append order == binlog offset + 1 (the
         # synth binlog's offsets are contiguous from 0); the +1 shift is

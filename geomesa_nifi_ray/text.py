@@ -177,6 +177,32 @@ def extract_text_batch(html_col: pa.Array | pa.ChunkedArray,
 # --- tokenization / fingerprint helpers shared by the text-analysis ops ----
 
 _TOKEN_RE = re.compile(r"\S+")
+_URL_PREFIX_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*"
+
+
+def normalize_urls(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """Vectorized URL normalization for dedup keys (one RE2 pass per
+    rule, no per-row Python). The rule, applied in order:
+
+    1. strip the fragment (``#…``),
+    2. strip a trailing bare ``?`` (empty query),
+    3. lowercase the scheme and authority (host[:port]) — the
+       case-insensitive parts per RFC 3986 — leaving path/query intact.
+
+    Rows without a ``scheme://`` prefix pass through rules 1-2 only.
+    SQL-reproducible (DuckDB RE2 regexp fns; see the
+    ``cdc_url_normalized`` oracle); nulls propagate."""
+    import pyarrow.compute as pc
+
+    a = pc.replace_substring_regex(arr, r"#.*$", "")
+    a = pc.replace_substring_regex(a, r"\?$", "")
+    pre = pc.struct_field(
+        pc.extract_regex(a, f"(?P<p>{_URL_PREFIX_RE})"), "p")
+    rest = pc.replace_substring_regex(a, _URL_PREFIX_RE, "")
+    norm = pc.binary_join_element_wise(pc.utf8_lower(pre), rest, "")
+    return pc.if_else(pc.is_valid(pre), norm, a)
+
+
 # BPE-ish word/number/punct splitter for token counting
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
 

@@ -112,3 +112,44 @@ def test_token_counts_and_fingerprint():
     f2 = rolling_fingerprint("some document text here")
     assert f1 == f2 and isinstance(f1, int)
     assert rolling_fingerprint("x") == rolling_fingerprint("x")
+
+
+def test_normalize_urls_rule_and_sql_parity():
+    """normalize_urls: fragment strip, bare-? strip, lowercased
+    scheme+authority only (path/query case preserved); schemeless rows
+    get rules 1-2; nulls propagate. Value-parity with the DuckDB RE2
+    rendering the cdc_url_normalized oracle uses."""
+    import duckdb
+
+    from geomesa_nifi_ray.text import normalize_urls
+
+    urls = [
+        "https://Host.Example.COM/Path/Page?q=1#frag",
+        "HTTP://EXAMPLE.com:8080/A?",
+        "https://h/x#a#b",
+        "ftp://Mixed.Case/Z?keep=Case",
+        "no-scheme/Path?#f",
+        "relative#only-frag",
+        None,
+        "https://h/",
+        "https://H?",
+        "a+b-c.d://HOST/Q",
+    ]
+    got = normalize_urls(pa.array(urls, pa.string())).to_pylist()
+    assert got[0] == "https://host.example.com/Path/Page?q=1"
+    assert got[3] == "ftp://mixed.case/Z?keep=Case"   # path case kept
+    assert got[4] == "no-scheme/Path" and got[6] is None
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " + ",".join(
+        "(NULL)" if u is None else f"('{u}')" for u in urls) + ") v(u)")
+    want = [r[0] for r in con.execute("""
+        SELECT CASE WHEN regexp_matches(u2, '^[A-Za-z][A-Za-z0-9+.\\-]*://')
+               THEN lower(regexp_extract(u2,
+                          '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*'))
+                    || regexp_replace(u2,
+                          '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', '')
+               ELSE u2 END
+        FROM (SELECT regexp_replace(regexp_replace(u, '#.*$', ''),
+                                    '\\?$', '') AS u2 FROM t)
+    """).fetchall()]
+    assert got == want
