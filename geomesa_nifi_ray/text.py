@@ -186,12 +186,17 @@ def normalize_urls(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArra
 
     1. strip the fragment (``#…``),
     2. strip a trailing bare ``?`` (empty query),
-    3. lowercase the scheme and authority (host[:port]) — the
-       case-insensitive parts per RFC 3986 — leaving path/query intact.
+    3. lowercase the scheme and the whole authority component
+       (``[userinfo@]host[:port]``, everything up to the first ``/?#``)
+       — leaving path/query intact. Note this is slightly broader than
+       RFC 3986 (which keeps userinfo case-sensitive); crawl dedup keys
+       want the coarser rule, and the SQL oracle applies the same one.
 
     Rows without a ``scheme://`` prefix pass through rules 1-2 only.
     SQL-reproducible (DuckDB RE2 regexp fns; see the
-    ``cdc_url_normalized`` oracle); nulls propagate."""
+    ``cdc_url_normalized`` oracle); nulls propagate. Handles both
+    ``string`` and ``large_string`` inputs (Ray Data promotes blocks
+    near the 2 GiB offset limit to large_string)."""
     import pyarrow.compute as pc
 
     a = pc.replace_substring_regex(arr, r"#.*$", "")
@@ -199,7 +204,10 @@ def normalize_urls(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArra
     pre = pc.struct_field(
         pc.extract_regex(a, f"(?P<p>{_URL_PREFIX_RE})"), "p")
     rest = pc.replace_substring_regex(a, _URL_PREFIX_RE, "")
-    norm = pc.binary_join_element_wise(pc.utf8_lower(pre), rest, "")
+    # separator scalar must match the data's string width: the
+    # (large_string, large_string, string) kernel does not exist
+    sep = pa.scalar("", type=pre.type)
+    norm = pc.binary_join_element_wise(pc.utf8_lower(pre), rest, sep)
     return pc.if_else(pc.is_valid(pre), norm, a)
 
 

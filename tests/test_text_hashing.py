@@ -117,10 +117,13 @@ def test_token_counts_and_fingerprint():
 def test_normalize_urls_rule_and_sql_parity():
     """normalize_urls: fragment strip, bare-? strip, lowercased
     scheme+authority only (path/query case preserved); schemeless rows
-    get rules 1-2; nulls propagate. Value-parity with the DuckDB RE2
-    rendering the cdc_url_normalized oracle uses."""
+    get rules 1-2; nulls propagate. Value-parity with the ACTUAL
+    ``_CDC_URL_NORM_SQL`` the ``cdc_url_normalized`` oracle renders
+    (imported, not hand-copied, so the test cannot de-sync from the
+    production SQL), on both string and large_string inputs."""
     import duckdb
 
+    from geomesa_nifi_ray.pipelines.queries import _CDC_URL_NORM_SQL
     from geomesa_nifi_ray.text import normalize_urls
 
     urls = [
@@ -134,22 +137,19 @@ def test_normalize_urls_rule_and_sql_parity():
         "https://h/",
         "https://H?",
         "a+b-c.d://HOST/Q",
+        "https://TOKEN@Api.Example.COM/x",  # userinfo lowered too (documented)
     ]
     got = normalize_urls(pa.array(urls, pa.string())).to_pylist()
     assert got[0] == "https://host.example.com/Path/Page?q=1"
     assert got[3] == "ftp://mixed.case/Z?keep=Case"   # path case kept
     assert got[4] == "no-scheme/Path" and got[6] is None
+    assert got[10] == "https://token@api.example.com/x"
+    # large_string input (Ray Data promotes big blocks): same values
+    got_large = normalize_urls(pa.array(urls, pa.large_string())).to_pylist()
+    assert got_large == got
     con = duckdb.connect()
     con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " + ",".join(
         "(NULL)" if u is None else f"('{u}')" for u in urls) + ") v(u)")
-    want = [r[0] for r in con.execute("""
-        SELECT CASE WHEN regexp_matches(u2, '^[A-Za-z][A-Za-z0-9+.\\-]*://')
-               THEN lower(regexp_extract(u2,
-                          '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*'))
-                    || regexp_replace(u2,
-                          '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', '')
-               ELSE u2 END
-        FROM (SELECT regexp_replace(regexp_replace(u, '#.*$', ''),
-                                    '\\?$', '') AS u2 FROM t)
-    """).fetchall()]
+    sql = _CDC_URL_NORM_SQL.replace("SNAPSHOT_SQL", "SELECT u AS url FROM t")
+    want = [r[1] for r in con.execute(sql).fetchall()]
     assert got == want
