@@ -177,12 +177,18 @@ class EpochResult:
 
 
 def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
-                    order: list[str], hash_kernel: str = "md5"):
+                    order: list[str], hash_kernel: str = "md5",
+                    key_transform: str | None = None):
     """Build the vectorized convert kernel for one epoch.
 
     Re-expresses the reference's converter chain + schema adapter
     (``ConvertInputProcessor.scala:81-129``, ``AvroToPutGeoMesa.scala:201-222``)
     as a single Arrow batch transform:
+      0. canonicalize the key column with the table's stamped
+         ``key_transform`` (the converter id-field expression analog,
+         ``SimpleFeatureRecordConverter.scala:79-116``) — BEFORE
+         validity/LWW/bucketing so every downstream step keys on the
+         canonical value,
       1. dead-letter rows with null url/warc_ts/html (bad-record skip,
          ``PutGeoMesaRecord.scala:93-103``),
       2. recompute ``text`` from ``html`` with the versioned pure kernel,
@@ -192,8 +198,18 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
     """
     pre_hash_schema = pa.schema([f for f in stored_schema if f.name != "content_hash"])
     out_cols = [f.name for f in stored_schema] + ["bucket", "_dead"]
+    if key_transform is not None:
+        from geomesa_nifi_ray.text import resolve_key_transform
+
+        key_tfn = resolve_key_transform(key_transform)  # once, not per batch
+    else:
+        key_tfn = None
 
     def convert(batch: pa.Table) -> pa.Table:
+        if key_tfn is not None:
+            kcol = key_tfn(batch[key])
+            batch = batch.set_column(batch.column_names.index(key),
+                                     pa.field(key, kcol.type), kcol)
         has_mode = MODE_COLUMN in batch.column_names
         has_op = OP_COLUMN in batch.column_names
         cols = list(out_cols)
@@ -288,7 +304,8 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
 
 def make_generic_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
                             order: list[str], hash_cols: list[str] | None = None,
-                            hash_kernel: str = "md5"):
+                            hash_kernel: str = "md5",
+                            key_transform: str | None = None):
     """Payload-agnostic convert kernel for NON-page tables: dead-letter rows
     with null key/order columns, project to the stored schema, content
     hash over ``hash_cols`` (default: key + order; md5 or vectorized xx64
@@ -303,8 +320,18 @@ def make_generic_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str
     hash_cols = list(hash_cols or [key] + order)
     pre_hash_schema = pa.schema([f for f in stored_schema if f.name != "content_hash"])
     out_cols = [f.name for f in stored_schema] + ["bucket", "_dead"]
+    if key_transform is not None:
+        from geomesa_nifi_ray.text import resolve_key_transform
+
+        key_tfn = resolve_key_transform(key_transform)
+    else:
+        key_tfn = None
 
     def convert(batch: pa.Table) -> pa.Table:
+        if key_tfn is not None:
+            kcol = key_tfn(batch[key])
+            batch = batch.set_column(batch.column_names.index(key),
+                                     pa.field(key, kcol.type), kcol)
         has_mode = MODE_COLUMN in batch.column_names
         has_op = OP_COLUMN in batch.column_names
         cols = list(out_cols)
@@ -1044,6 +1071,7 @@ class CDCEngine:
         content_hash_kernel: str = "md5",
         lake_fs=None,
         row_group_rows: int | None = None,
+        key_transform: str | None = None,
     ):
         """``sink_factory(table: LakeTable) -> Sink`` plugs an alternate
         data-plane backend (the DataStoreService SPI analog); default is the
@@ -1061,12 +1089,22 @@ class CDCEngine:
             # writer context: upgrade a legacy utf8-only xx64 fingerprint
             # stamp to the two-part probe (load() itself is read-only)
             self.table.upgrade_fingerprint_if_legacy()
+            if (key_transform is not None
+                    and key_transform != self.table.key_transform):
+                # the stamp is table identity: keys already in the lake were
+                # canonicalized (or not) with it — a different transform
+                # would silently split/merge key groups
+                raise ValueError(
+                    f"table {table_name!r} was created with key_transform="
+                    f"{self.table.key_transform!r}; cannot open it with "
+                    f"{key_transform!r}")
         else:
             self.table = LakeTable.create(lake_root, table_name, schema, num_buckets,
                                           key=key, order=order,
                                           content_hash_kernel=content_hash_kernel,
                                           fs=lake_fs,
-                                          row_group_rows=row_group_rows)
+                                          row_group_rows=row_group_rows,
+                                          key_transform=key_transform)
         if sink_factory is None:
             from geomesa_nifi_ray.sinks import ParquetLakeSink
 
@@ -1104,19 +1142,30 @@ class CDCEngine:
 
         try:
             params = inspect.signature(self.convert_fn_factory).parameters
-            accepts_kernel = "hash_kernel" in params or any(
+            has_kwargs = any(
                 p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
             )
+            accepts_kernel = "hash_kernel" in params or has_kwargs
+            accepts_transform = "key_transform" in params or has_kwargs
         except (TypeError, ValueError):  # builtins / odd callables
-            accepts_kernel = False
+            accepts_kernel = accepts_transform = False
+        kw = {}
         if accepts_kernel:
-            return self.convert_fn_factory(
-                stored_schema, self.table.num_buckets, self.table.key,
-                self.table.order, hash_kernel=self.table.content_hash_kernel,
-            )
+            kw["hash_kernel"] = self.table.content_hash_kernel
+        if accepts_transform:
+            kw["key_transform"] = self.table.key_transform
+        elif self.table.key_transform is not None:
+            # a lake stamped with a transform MUST canonicalize at convert;
+            # a custom factory that can't take it would silently ingest raw
+            # keys and split LWW groups
+            raise ValueError(
+                "table has key_transform="
+                f"{self.table.key_transform!r} but convert_fn_factory "
+                f"{self.convert_fn_factory!r} does not accept a "
+                "key_transform argument")
         return self.convert_fn_factory(
             stored_schema, self.table.num_buckets, self.table.key,
-            self.table.order,
+            self.table.order, **kw,
         )
 
     # -- epoch application --------------------------------------------------

@@ -389,6 +389,7 @@ class LakeTable:
         content_hash_kernel: str = "md5",
         fs: LakeFS | None = None,
         row_group_rows: int | None = None,
+        key_transform: str | None = None,
     ) -> "LakeTable":
         t = cls(root, name, fs=fs)
         if t.fs.exists(os.path.join(t.table_dir, TABLE_META)):
@@ -411,6 +412,16 @@ class LakeTable:
             # pruning-granularity override (default BUCKET_ROW_GROUP_ROWS);
             # stored in meta so every writer task agrees
             meta["row_group_rows"] = int(row_group_rows)
+        if key_transform is not None:
+            # canonical-key ingest (converter id-field analog): the named
+            # transform is applied to the CDC key column at convert time
+            # and to probe keys (lookup/delete). Stamped with a behavior
+            # fingerprint so a library change fails loudly on load.
+            from geomesa_nifi_ray.text import key_transform_fingerprint
+
+            meta["key_transform"] = key_transform  # resolve_ raises if unknown
+            meta["key_transform_fingerprint"] = (
+                key_transform_fingerprint(key_transform))
         from geomesa_nifi_ray.hashing import kernel_fingerprint
 
         fp = kernel_fingerprint(content_hash_kernel)
@@ -450,6 +461,21 @@ class LakeTable:
                     "library changed behavior (e.g. a polars upgrade). "
                     "Re-hash the lake or pin the library version."
                 )
+        kt = t.meta.get("key_transform")
+        if kt is not None:
+            from geomesa_nifi_ray.text import key_transform_fingerprint
+
+            cur = key_transform_fingerprint(kt)  # KeyError if unknown name
+            kt_stamped = t.meta.get("key_transform_fingerprint")
+            if kt_stamped is not None and cur != kt_stamped:
+                raise RuntimeError(
+                    f"key_transform {kt!r} of table {name!r} no longer "
+                    f"reproduces the fingerprint stamped at create time "
+                    f"({kt_stamped!r} -> {cur!r}); the transform kernel "
+                    "changed behavior — keys already in the lake would no "
+                    "longer match newly transformed ones. Rewrite the lake "
+                    "or restore the old kernel."
+                )
         return t
 
     @classmethod
@@ -485,6 +511,24 @@ class LakeTable:
         """Table-fixed content-hash kernel ('md5' default; 'xx64' = the
         vectorized scale path, see hashing.py). Older metas default md5."""
         return self.meta.get("content_hash_kernel", "md5")
+
+    @property
+    def key_transform(self) -> str | None:
+        """Table-fixed canonical-key transform name (None = identity).
+        Stamped at create; every ingest convert and probe path applies it."""
+        return self.meta.get("key_transform")
+
+    def canonicalize_keys(self, keys) -> list:
+        """Apply the table's stamped key transform to raw probe keys
+        (lookup / delete callers may pass un-normalized crawl URLs).
+        Identity when no transform is stamped; None keys pass through."""
+        kt = self.key_transform
+        if kt is None:
+            return list(keys)
+        from geomesa_nifi_ray.text import resolve_key_transform
+
+        fn = resolve_key_transform(kt)
+        return fn(pa.array(list(keys), pa.string())).to_pylist()
 
     def stamp_meta(self, key: str, value) -> None:
         """Persist one auxiliary key into ``_table.json`` (e.g. a mirror's
@@ -983,7 +1027,10 @@ class LakeTable:
             raise ValueError(
                 f"no manifest for epoch {epoch}; lookup-able epochs are "
                 f"{self.manifest_epochs() or '[] (empty table)'}")
-        uniq = list(dict.fromkeys(k for k in keys if k is not None))
+        # probe keys canonicalize with the table's stamped transform, so a
+        # caller may pass raw crawl URLs against a normalized-key lake
+        uniq = list(dict.fromkeys(
+            self.canonicalize_keys([k for k in keys if k is not None])))
         if not uniq:
             return out_schema.empty_table()
         # merge needs key + order columns even when the caller projects

@@ -113,6 +113,51 @@ def q_cdc_url_normalized(sf_dir: str):
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+def q_cdc_replay_norm_keys(sf_dir: str):
+    """Canonical-key ingest end to end: the sf binlog replayed into a
+    lake created with ``key_transform="normalize_url"`` — the converter
+    id-field expression analog (``SimpleFeatureRecordConverter.scala:
+    79-116``): the key column is canonicalized by a table-stamped,
+    fingerprint-verified vectorized kernel BEFORE LWW/bucketing, so
+    distinct spellings of one page (fragment, bare ``?``, host case)
+    dedupe to one lake row, and probe paths (point lookup, delete_keys)
+    accept raw un-normalized URLs. The SQL oracle applies the identical
+    normalization chain to the raw change stream before its LWW window,
+    value-checking key transformation + dedup + content hashing in one
+    query. (The sf binlog's URLs are already canonical, so this checks
+    the transform is a faithful no-op there; the collapse behavior on
+    messy URLs is covered by tests/test_key_transform.py.)"""
+    meta = get_binlog(sf_dir)
+    lake_root = os.path.join(CDC_ROOT, _sf_name(sf_dir),
+                             f"lake_norm-{_lake_key(meta)}")
+    eng = CDCEngine(lake_root, num_buckets=16, key_transform="normalize_url")
+    eng.replay_binlog(meta)
+    return eng.table.snapshot_table().select(SNAPSHOT_COLS)
+
+
+_CDC_NORM_KEYS_SQL_T = """
+WITH src AS (
+  SELECT CASE WHEN regexp_matches(u2, '^[A-Za-z][A-Za-z0-9+.\\-]*://')
+         THEN lower(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*'))
+              || regexp_replace(u2, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', '')
+         ELSE u2 END AS url,
+         warc_ts, text, lang, "offset"
+  FROM (
+    SELECT *, regexp_replace(regexp_replace(url, '#.*$', ''), '\\?$', '') AS u2
+    FROM read_parquet('{glob}')
+    WHERE html IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
+  )
+), ranked AS (
+  SELECT url, warc_ts, text, lang, "offset",
+         md5(url || chr(31) || CAST(epoch_us(warc_ts) AS VARCHAR)
+                 || chr(31) || text || chr(31) || lang) AS content_hash,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC, "offset" DESC) AS rn
+  FROM src
+)
+SELECT url, warc_ts, text, lang, content_hash, "offset" FROM ranked WHERE rn = 1
+"""
+
+
 _CDC_URL_NORM_SQL = """
 SELECT url,
   CASE WHEN regexp_matches(u2, '^[A-Za-z][A-Za-z0-9+.\\-]*://')
@@ -2549,6 +2594,7 @@ QUERIES = {
     "cdc_domain_stats": q_cdc_domain_stats,
     "cdc_mirror_snapshot": q_cdc_mirror_snapshot,
     "cdc_url_normalized": q_cdc_url_normalized,
+    "cdc_replay_norm_keys": q_cdc_replay_norm_keys,
     "cdc_bus_tail": q_cdc_bus_tail,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_update_partial": q_cdc_update_partial,
@@ -2674,6 +2720,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "cdc_url_normalized": _CDC_URL_NORM_SQL.replace(
             "SNAPSHOT_SQL", _CDC_SNAPSHOT_SQL.format(
                 glob=f"{bdir}/epoch-*/*.parquet")),
+        "cdc_replay_norm_keys": _CDC_NORM_KEYS_SQL_T.format(
+            glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_lww_dedup": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         # bus offsets are 1-based append order == binlog offset + 1 (the
         # synth binlog's offsets are contiguous from 0); the +1 shift is

@@ -211,6 +211,60 @@ def normalize_urls(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArra
     return pc.if_else(pc.is_valid(pre), norm, a)
 
 
+# --- ingest key transforms --------------------------------------------------
+# Named, table-stamped canonical-key functions (the reference's converter
+# id-field expressions: GeoMesa converters compute the feature ID from a
+# transform expression, e.g. md5(string2bytes($url)) — here the analog is
+# a vectorized Arrow kernel applied to the CDC key column at convert time;
+# see SimpleFeatureRecordConverter.scala:79-116 for the id-field seam).
+# A transform MUST be pure, deterministic, and idempotent (f(f(x)) ==
+# f(x)): replays, delete probes and point lookups re-apply it freely.
+KEY_TRANSFORMS: dict[str, object] = {
+    "normalize_url": normalize_urls,
+}
+
+# fixed probe vector: fingerprints a transform's BEHAVIOR at table-create
+# time so a future library change that alters outputs fails loudly on
+# load (the content_hash_fingerprint pattern, hashing.py)
+_KEY_TRANSFORM_PROBE = [
+    "https://Host.Example.COM/Path/Page?q=1#frag",
+    "HTTP://EXAMPLE.com:8080/A?",
+    "ftp://Mixed.Case/Z?keep=Case",
+    "no-scheme/Path?#f",
+    "https://TOKEN@Api.Example.COM/x",
+    "relative#only-frag",
+    "https://h/",
+    "a+b-c.d://HOST/Q",
+    "",
+]
+
+
+def resolve_key_transform(name: str):
+    """Return the vectorized key-transform kernel for ``name`` (raises
+    ``KeyError`` with the known names when unknown — e.g. a lake stamped
+    by a newer library version)."""
+    try:
+        return KEY_TRANSFORMS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown key_transform {name!r}; known: "
+            f"{sorted(KEY_TRANSFORMS)} (lake written by a newer version?)"
+        ) from None
+
+
+def key_transform_fingerprint(name: str) -> str:
+    """md5 over the transform's outputs on a fixed probe vector — stamped
+    into ``_table.json`` at create, re-verified on every load."""
+    import hashlib
+
+    fn = resolve_key_transform(name)
+    out = fn(pa.array(_KEY_TRANSFORM_PROBE, pa.string())).to_pylist()
+    h = hashlib.md5()
+    for v in out:
+        h.update(b"\x1f" if v is None else v.encode("utf-8") + b"\x1e")
+    return h.hexdigest()
+
+
 # BPE-ish word/number/punct splitter for token counting
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
 

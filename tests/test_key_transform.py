@@ -1,0 +1,168 @@
+"""Canonical-key ingest (``key_transform="normalize_url"``): messy URL
+spellings collapse to one LWW row, probe paths accept raw URLs, and the
+table stamp guards against mixed-transform writers — the converter
+id-field expression analog (SimpleFeatureRecordConverter.scala:79-116)
+exercised on inputs the sf binlog (already-canonical URLs) cannot."""
+
+import json
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from geomesa_nifi_ray.engine import CDCEngine
+from geomesa_nifi_ray.lake import LakeTable
+from geomesa_nifi_ray.text import extract_text_batch, normalize_urls
+
+SNAP_COLS = ["url", "warc_ts", "text", "lang", "content_hash", "offset"]
+
+
+def _events(rows):
+    """rows: list of (url, ts_us, html_bytes, lang, offset)."""
+    html = pa.array([r[2] for r in rows], pa.large_binary())
+    return pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "html": html,
+        "text": extract_text_batch(html).cast(pa.large_string()),
+        "lang": pa.array([r[3] for r in rows], pa.string()),
+        "offset": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+MESSY = [
+    # one page, four spellings: fragment, bare ?, host case, userinfo case
+    ("https://Host.A/page", 1_000_000, b"<html><body>v1</body></html>", "en", 0),
+    ("https://host.a/page#frag", 2_000_000, b"<html><body>v2</body></html>", "en", 1),
+    ("HTTPS://HOST.A/page?", 3_000_000, b"<html><body>v3</body></html>", "en", 2),
+    # a second page, case differs only in the PATH -> stays distinct
+    ("https://host.b/P", 1_000_000, b"<html><body>bP</body></html>", "de", 3),
+    ("https://host.b/p", 1_000_000, b"<html><body>bp</body></html>", "de", 4),
+]
+MESSY2 = [
+    # late epoch: an older-ts update under yet another spelling (loses LWW)
+    ("https://HOST.a/page", 1_500_000, b"<html><body>old</body></html>", "en", 5),
+    ("https://host.b/p#x", 9_000_000, b"<html><body>bp2</body></html>", "de", 6),
+]
+
+
+def _replay(tmp_path, name="pages"):
+    import ray.data
+
+    eng = CDCEngine(str(tmp_path / "lake"), table_name=name, num_buckets=4,
+                    key_transform="normalize_url")
+    eng.apply_epoch(ray.data.from_arrow(_events(MESSY)), 0, (0, 4))
+    eng.apply_epoch(ray.data.from_arrow(_events(MESSY2)), 1, (5, 6))
+    return eng
+
+
+def test_messy_urls_collapse_and_lww(tmp_path, ray_session):
+    eng = _replay(tmp_path)
+    snap = eng.table.snapshot_table().select(SNAP_COLS)
+    urls = sorted(snap["url"].to_pylist())
+    # 3 canonical keys: host.a/page (4 spellings), host.b/P, host.b/p
+    assert urls == ["https://host.a/page", "https://host.b/P",
+                    "https://host.b/p"]
+    d = {u: (t, o) for u, t, o in zip(snap["url"].to_pylist(),
+                                      snap["text"].to_pylist(),
+                                      snap["offset"].to_pylist())}
+    # LWW across spellings: ts=3s (offset 2) wins; the later-epoch
+    # older-ts spelling (offset 5) loses
+    assert d["https://host.a/page"] == ("v3", 2)
+    assert d["https://host.b/p"] == ("bp2", 6)  # fragment-stripped update wins
+    assert d["https://host.b/P"] == ("bP", 3)   # path case preserved
+
+    # SQL parity on the SAME messy stream: the production oracle template
+    # (normalization chain + LWW window) over the raw events
+    from geomesa_nifi_ray.pipelines.queries import _CDC_NORM_KEYS_SQL_T
+
+    raw = tmp_path / "raw.parquet"
+    pq.write_table(pa.concat_tables([_events(MESSY), _events(MESSY2)]), raw)
+    want = duckdb.execute(
+        _CDC_NORM_KEYS_SQL_T.format(glob=str(raw)) + " ORDER BY url"
+    ).arrow()
+    got = snap.sort_by("url")
+    assert got.to_pydict() == {c: want[c].to_pylist() for c in SNAP_COLS}
+
+
+def test_probe_paths_accept_raw_urls(tmp_path, ray_session):
+    eng = _replay(tmp_path)
+    # point lookup with a spelling never stored verbatim
+    hit = eng.table.lookup_keys(["HTTPS://Host.A/page#other-frag"],
+                                columns=["url", "text"])
+    assert hit.num_rows == 1 and hit["text"][0].as_py() == "v3"
+    # delete by raw spelling removes the canonical row
+    eng.delete_keys(["https://HOST.A/page?"])
+    snap = eng.table.snapshot_table()
+    assert "https://host.a/page" not in snap["url"].to_pylist()
+    assert snap.num_rows == 2
+
+
+def test_exactly_once_resume_bit_identity(tmp_path, ray_session):
+    import ray.data
+
+    eng = _replay(tmp_path)
+    digest = eng.table.snapshot_table().select(SNAP_COLS).sort_by("url")
+    # re-open + re-apply both epochs: exactly-once skips, state identical
+    eng2 = CDCEngine(str(tmp_path / "lake"), num_buckets=4,
+                     key_transform="normalize_url")
+    eng2.apply_epoch(ray.data.from_arrow(_events(MESSY)), 0, (0, 4))
+    eng2.apply_epoch(ray.data.from_arrow(_events(MESSY2)), 1, (5, 6))
+    again = eng2.table.snapshot_table().select(SNAP_COLS).sort_by("url")
+    assert digest.to_pydict() == again.to_pydict()
+
+
+def test_mixed_transform_guards(tmp_path, ray_session):
+    eng = _replay(tmp_path)
+    del eng
+    # different transform on an existing lake -> refused
+    with pytest.raises(ValueError, match="key_transform"):
+        CDCEngine(str(tmp_path / "lake"), num_buckets=4,
+                  key_transform="other")
+    # omitting the arg is fine (the stamp wins)...
+    eng2 = CDCEngine(str(tmp_path / "lake"), num_buckets=4)
+    assert eng2.table.key_transform == "normalize_url"
+    # ...and the converter it builds still canonicalizes (stamp-driven)
+    conv = eng2._make_convert(eng2.table.schema)
+    out = conv(_events([("https://X.Y/z#f", 1, b"<html><body>q</body></html>",
+                         "en", 9)]))
+    assert out.filter(pc.equal(out["_dead"], 0))["url"].to_pylist() == [
+        "https://x.y/z"]
+    # a 4-arg custom factory cannot honor the stamp -> loud error
+    def four_arg_factory(schema, p, key, order):  # pragma: no cover - sig only
+        raise AssertionError("should not be called")
+
+    eng3 = CDCEngine(str(tmp_path / "lake"), num_buckets=4,
+                     convert_fn_factory=four_arg_factory)
+    with pytest.raises(ValueError, match="does not accept a"):
+        eng3._make_convert(eng3.table.schema)
+
+
+def test_fingerprint_and_unknown_name_guards(tmp_path, ray_session):
+    from geomesa_nifi_ray.text import resolve_key_transform
+
+    with pytest.raises(KeyError, match="unknown key_transform"):
+        resolve_key_transform("nope")
+    # unknown name at create -> refused before any layout is written
+    with pytest.raises(KeyError, match="unknown key_transform"):
+        CDCEngine(str(tmp_path / "lake_bad"), num_buckets=4,
+                  key_transform="nope")
+    eng = _replay(tmp_path)
+    meta_path = os.path.join(eng.table.table_dir, "_table.json")
+    meta = json.load(open(meta_path))
+    assert meta["key_transform"] == "normalize_url"
+    meta["key_transform_fingerprint"] = "0" * 32  # simulate a kernel change
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(RuntimeError, match="no longer reproduces"):
+        LakeTable.load(str(tmp_path / "lake"), "pages")
+
+
+def test_transform_idempotent_on_canonical_keys():
+    # the contract replay/probe paths rely on: f(f(x)) == f(x)
+    raw = pa.array(["https://A.B/c#d?", "HTTP://X@Y.Z:8080/Q?q=1#f",
+                    "plain/path#f", ""])
+    once = normalize_urls(raw)
+    assert normalize_urls(once).to_pylist() == once.to_pylist()
