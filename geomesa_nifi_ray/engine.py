@@ -1146,7 +1146,10 @@ class CDCEngine:
                 p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
             )
             accepts_kernel = "hash_kernel" in params or has_kwargs
-            accepts_transform = "key_transform" in params or has_kwargs
+            # transform acceptance must be EXPLICIT (named parameter): a
+            # **kwargs factory could swallow the argument while ignoring
+            # it, silently ingesting raw keys into a canonical-key lake
+            accepts_transform = "key_transform" in params
         except (TypeError, ValueError):  # builtins / odd callables
             accepts_kernel = accepts_transform = False
         kw = {}
@@ -1161,8 +1164,10 @@ class CDCEngine:
             raise ValueError(
                 "table has key_transform="
                 f"{self.table.key_transform!r} but convert_fn_factory "
-                f"{self.convert_fn_factory!r} does not accept a "
-                "key_transform argument")
+                f"{self.convert_fn_factory!r} does not declare a "
+                "key_transform parameter (a NAMED parameter is required; "
+                "**kwargs does not count — the factory must provably "
+                "canonicalize keys)")
         return self.convert_fn_factory(
             stored_schema, self.table.num_buckets, self.table.key,
             self.table.order, **kw,

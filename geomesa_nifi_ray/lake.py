@@ -396,6 +396,12 @@ class LakeTable:
             if exist_ok:
                 return cls.load(root, name, fs=fs)
             raise FileExistsError(f"table {name} already exists under {root}")
+        if key_transform is not None:
+            # validate (and fingerprint) BEFORE any layout is written, so
+            # an unknown transform name leaves no half-created directories
+            from geomesa_nifi_ray.text import key_transform_fingerprint
+
+            kt_fingerprint = key_transform_fingerprint(key_transform)
         t.fs.makedirs(os.path.join(t.table_dir, LOG_DIR))
         t.fs.makedirs(os.path.join(t.table_dir, DATA_DIR))
         meta = {
@@ -415,13 +421,11 @@ class LakeTable:
         if key_transform is not None:
             # canonical-key ingest (converter id-field analog): the named
             # transform is applied to the CDC key column at convert time
-            # and to probe keys (lookup/delete). Stamped with a behavior
-            # fingerprint so a library change fails loudly on load.
-            from geomesa_nifi_ray.text import key_transform_fingerprint
-
-            meta["key_transform"] = key_transform  # resolve_ raises if unknown
-            meta["key_transform_fingerprint"] = (
-                key_transform_fingerprint(key_transform))
+            # and to probe keys (lookup/delete). Stamped with the behavior
+            # fingerprint computed above so a library change fails loudly
+            # on load.
+            meta["key_transform"] = key_transform
+            meta["key_transform_fingerprint"] = kt_fingerprint
         from geomesa_nifi_ray.hashing import kernel_fingerprint
 
         fp = kernel_fingerprint(content_hash_kernel)

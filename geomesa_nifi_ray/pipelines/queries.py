@@ -127,23 +127,37 @@ def q_cdc_replay_norm_keys(sf_dir: str):
     query. (The sf binlog's URLs are already canonical, so this checks
     the transform is a faithful no-op there; the collapse behavior on
     messy URLs is covered by tests/test_key_transform.py.)"""
+    from geomesa_nifi_ray.text import key_transform_fingerprint
+
     meta = get_binlog(sf_dir)
+    # the cache key includes the transform's BEHAVIOR fingerprint: a rule
+    # change rebuilds a fresh lake instead of tripping the load-time
+    # fingerprint guard on the stale one forever
+    kt_fp = key_transform_fingerprint("normalize_url")[:8]
     lake_root = os.path.join(CDC_ROOT, _sf_name(sf_dir),
-                             f"lake_norm-{_lake_key(meta)}")
+                             f"lake_norm-{_lake_key(meta)}-{kt_fp}")
     eng = CDCEngine(lake_root, num_buckets=16, key_transform="normalize_url")
     eng.replay_binlog(meta)
     return eng.table.snapshot_table().select(SNAPSHOT_COLS)
 
 
+# the one SQL rendering of text.normalize_urls (shared by BOTH url-norm
+# oracles so the rule can never fork): U2_EXPR strips fragment + trailing
+# bare-? runs; NORM_CASE lowercases scheme+authority when a scheme exists
+_URL_NORM_U2_SQL = (
+    "regexp_replace(regexp_replace(URLCOL, '#.*$', ''), '\\?+$', '')")
+_URL_NORM_CASE_SQL = """CASE WHEN regexp_matches(u2, '^[A-Za-z][A-Za-z0-9+.\\-]*://')
+       THEN lower(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*'))
+            || regexp_replace(u2, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', '')
+       ELSE u2 END"""
+
+
 _CDC_NORM_KEYS_SQL_T = """
 WITH src AS (
-  SELECT CASE WHEN regexp_matches(u2, '^[A-Za-z][A-Za-z0-9+.\\-]*://')
-         THEN lower(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*'))
-              || regexp_replace(u2, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', '')
-         ELSE u2 END AS url,
+  SELECT NORM_CASE AS url,
          warc_ts, text, lang, "offset"
   FROM (
-    SELECT *, regexp_replace(regexp_replace(url, '#.*$', ''), '\\?$', '') AS u2
+    SELECT *, U2 AS u2
     FROM read_parquet('{glob}')
     WHERE html IS NOT NULL AND url IS NOT NULL AND warc_ts IS NOT NULL
   )
@@ -155,21 +169,18 @@ WITH src AS (
   FROM src
 )
 SELECT url, warc_ts, text, lang, content_hash, "offset" FROM ranked WHERE rn = 1
-"""
+""".replace("NORM_CASE", _URL_NORM_CASE_SQL).replace(
+    "U2", _URL_NORM_U2_SQL.replace("URLCOL", "url"))
 
 
 _CDC_URL_NORM_SQL = """
-SELECT url,
-  CASE WHEN regexp_matches(u2, '^[A-Za-z][A-Za-z0-9+.\\-]*://')
-       THEN lower(regexp_extract(u2, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*'))
-            || regexp_replace(u2, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', '')
-       ELSE u2 END AS url_norm
+SELECT url, NORM_CASE AS url_norm
 FROM (
-  SELECT url,
-         regexp_replace(regexp_replace(url, '#.*$', ''), '\\?$', '') AS u2
+  SELECT url, U2 AS u2
   FROM (SNAPSHOT_SQL)
 )
-"""
+""".replace("NORM_CASE", _URL_NORM_CASE_SQL).replace(
+    "U2", _URL_NORM_U2_SQL.replace("URLCOL", "url"))
 
 
 def q_cdc_mirror_snapshot(sf_dir: str):

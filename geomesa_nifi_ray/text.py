@@ -185,7 +185,9 @@ def normalize_urls(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArra
     rule, no per-row Python). The rule, applied in order:
 
     1. strip the fragment (``#…``),
-    2. strip a trailing bare ``?`` (empty query),
+    2. strip trailing bare ``?`` runs (empty query; ``\\?+$`` so the rule
+       reaches a fixed point in one pass — key transforms must be
+       idempotent and ``https://h/p??`` must not need two applications),
     3. lowercase the scheme and the whole authority component
        (``[userinfo@]host[:port]``, everything up to the first ``/?#``)
        — leaving path/query intact. Note this is slightly broader than
@@ -200,7 +202,7 @@ def normalize_urls(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArra
     import pyarrow.compute as pc
 
     a = pc.replace_substring_regex(arr, r"#.*$", "")
-    a = pc.replace_substring_regex(a, r"\?$", "")
+    a = pc.replace_substring_regex(a, r"\?+$", "")
     pre = pc.struct_field(
         pc.extract_regex(a, f"(?P<p>{_URL_PREFIX_RE})"), "p")
     rest = pc.replace_substring_regex(a, _URL_PREFIX_RE, "")
@@ -235,6 +237,7 @@ _KEY_TRANSFORM_PROBE = [
     "relative#only-frag",
     "https://h/",
     "a+b-c.d://HOST/Q",
+    "https://h/p??",   # pins the \\?+$ fixed-point rule
     "",
 ]
 
@@ -261,7 +264,13 @@ def key_transform_fingerprint(name: str) -> str:
     out = fn(pa.array(_KEY_TRANSFORM_PROBE, pa.string())).to_pylist()
     h = hashlib.md5()
     for v in out:
-        h.update(b"\x1f" if v is None else v.encode("utf-8") + b"\x1e")
+        # length-prefixed framing: no separator collisions, None distinct
+        # from any string value
+        if v is None:
+            h.update(b"N;")
+        else:
+            b = v.encode("utf-8")
+            h.update(f"{len(b)}:".encode() + b)
     return h.hexdigest()
 
 

@@ -137,8 +137,16 @@ def test_mixed_transform_guards(tmp_path, ray_session):
 
     eng3 = CDCEngine(str(tmp_path / "lake"), num_buckets=4,
                      convert_fn_factory=four_arg_factory)
-    with pytest.raises(ValueError, match="does not accept a"):
+    with pytest.raises(ValueError, match="key_transform parameter"):
         eng3._make_convert(eng3.table.schema)
+    # a **kwargs factory could swallow-and-ignore the argument -> also loud
+    def kwargs_factory(schema, p, key, order, **kw):  # pragma: no cover
+        raise AssertionError("should not be called")
+
+    eng4 = CDCEngine(str(tmp_path / "lake"), num_buckets=4,
+                     convert_fn_factory=kwargs_factory)
+    with pytest.raises(ValueError, match="NAMED parameter"):
+        eng4._make_convert(eng4.table.schema)
 
 
 def test_fingerprint_and_unknown_name_guards(tmp_path, ray_session):
@@ -150,6 +158,7 @@ def test_fingerprint_and_unknown_name_guards(tmp_path, ray_session):
     with pytest.raises(KeyError, match="unknown key_transform"):
         CDCEngine(str(tmp_path / "lake_bad"), num_buckets=4,
                   key_transform="nope")
+    assert not (tmp_path / "lake_bad" / "pages").exists()  # no residue
     eng = _replay(tmp_path)
     meta_path = os.path.join(eng.table.table_dir, "_table.json")
     meta = json.load(open(meta_path))
@@ -161,8 +170,16 @@ def test_fingerprint_and_unknown_name_guards(tmp_path, ray_session):
 
 
 def test_transform_idempotent_on_canonical_keys():
-    # the contract replay/probe paths rely on: f(f(x)) == f(x)
+    # the contract replay/probe paths rely on: f(f(x)) == f(x) — including
+    # trailing '?' RUNS ('https://h/p??' once stripped one '?' per pass)
     raw = pa.array(["https://A.B/c#d?", "HTTP://X@Y.Z:8080/Q?q=1#f",
-                    "plain/path#f", ""])
+                    "plain/path#f", "", "https://h/p??", "https://h/p???#f"])
     once = normalize_urls(raw)
     assert normalize_urls(once).to_pylist() == once.to_pylist()
+    assert once.to_pylist()[4] == "https://h/p"
+    # every REGISTERED transform must be idempotent on the probe vector
+    from geomesa_nifi_ray.text import _KEY_TRANSFORM_PROBE, KEY_TRANSFORMS
+
+    for name, fn in KEY_TRANSFORMS.items():
+        one = fn(pa.array(_KEY_TRANSFORM_PROBE, pa.string()))
+        assert fn(one).to_pylist() == one.to_pylist(), name

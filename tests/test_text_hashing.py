@@ -138,6 +138,7 @@ def test_normalize_urls_rule_and_sql_parity():
         "https://H?",
         "a+b-c.d://HOST/Q",
         "https://TOKEN@Api.Example.COM/x",  # userinfo lowered too (documented)
+        "https://h/p??",                    # trailing-? RUN strips in one pass
     ]
     got = normalize_urls(pa.array(urls, pa.string())).to_pylist()
     assert got[0] == "https://host.example.com/Path/Page?q=1"
