@@ -71,6 +71,12 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("--catchup", action="store_true")
     rp.add_argument("--update", action="store_true", help="partial-update mode")
     rp.add_argument("--compat", choices=["exact", "existing", "update"], default="existing")
+    rp.add_argument("--key-transform", default=None, metavar="NAME",
+                    help="canonical-key ingest: named transform (e.g. "
+                         "normalize_url) stamped into a NEW lake and "
+                         "applied to the key column before LWW/bucketing; "
+                         "on an existing lake the stamp wins (a different "
+                         "explicit value is refused)")
 
     tl = sub.add_parser(
         "tail",
@@ -237,7 +243,8 @@ def main(argv: list[str] | None = None) -> int:
         with open(f"{args.binlog}/binlog.json") as f:
             meta = json.load(f)
         eng = CDCEngine(args.lake, num_buckets=args.buckets,
-                        compatibility=CompatibilityMode(args.compat))
+                        compatibility=CompatibilityMode(args.compat),
+                        key_transform=args.key_transform)
         results = eng.replay_binlog(
             meta, mode="update" if args.update else "upsert", catchup=args.catchup
         )

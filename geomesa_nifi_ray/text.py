@@ -261,7 +261,17 @@ def key_transform_fingerprint(name: str) -> str:
     import hashlib
 
     fn = resolve_key_transform(name)
-    out = fn(pa.array(_KEY_TRANSFORM_PROBE, pa.string())).to_pylist()
+    first = fn(pa.array(_KEY_TRANSFORM_PROBE, pa.string()))
+    out = first.to_pylist()
+    # the contract every re-entrant path (delete tombstones back through
+    # the converter, raw-spelling probes) relies on; enforce it at the
+    # same chokepoint that stamps the behavior, so a non-idempotent
+    # transform can never create a lake
+    if fn(first).to_pylist() != out:
+        raise ValueError(
+            f"key_transform {name!r} is not idempotent on the probe "
+            "vector (f(f(x)) != f(x)); transforms must reach a fixed "
+            "point in one application")
     h = hashlib.md5()
     for v in out:
         # length-prefixed framing: no separator collisions, None distinct
