@@ -151,6 +151,17 @@ def main(argv: list[str] | None = None) -> int:
     de.add_argument("--key", action="append", required=True,
                     help="key value to delete (repeatable)")
 
+    ex = sub.add_parser(
+        "expire",
+        description="Retention/TTL maintenance: tombstone every live row "
+        "whose winning event time is older than --before, as one "
+        "exactly-once epoch (scan reads key+order columns only; writes "
+        "are O(matches); mirrors age off via the change stream).",
+    )
+    ex.add_argument("--lake", required=True)
+    ex.add_argument("--before", required=True, metavar="TIMESTAMP",
+                    help="ISO timestamp cutoff, e.g. 2020-06-01T00:00:00")
+
     mi = sub.add_parser(
         "mirror",
         description="Replicate a source lake's committed epochs into "
@@ -387,6 +398,23 @@ def main(argv: list[str] | None = None) -> int:
         try:
             r = eng.delete_keys(args.key)
         except ValueError as e:  # SchemaError: empty table
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        print(json.dumps({
+            "epoch": None if r is None else r.epoch,
+            "rows_deleted": 0 if r is None else r.rows_deleted,
+            "table_rows": 0 if r is None else r.table_rows,
+        }))
+        return 0
+
+    if args.cmd == "expire":
+        _ray_session(args.num_cpus)
+        from geomesa_nifi_ray.engine import CDCEngine
+
+        eng = CDCEngine(args.lake)
+        try:
+            r = eng.expire_before(args.before)
+        except ValueError as e:  # SchemaError: empty table / bad timestamp
             print(f"error: {e}", file=sys.stderr)
             return 2
         print(json.dumps({

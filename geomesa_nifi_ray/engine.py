@@ -1698,6 +1698,30 @@ class CDCEngine:
             to_events, batch_format="pyarrow").materialize()
         return self.apply_epoch(ev, epoch, offset_range=(-1, -1))
 
+    def expire_before(self, cutoff, epoch: int | None = None) -> EpochResult | None:
+        """Retention maintenance: tombstone every live row whose winning
+        event time (``order[0]``, e.g. ``warc_ts``) is older than
+        ``cutoff`` — TTL/data-retention as one exactly-once epoch (the
+        age-off analog of the reference stores' per-feature TTL; delete
+        path ``FeatureWriters.scala:115-160``).
+
+        A thin, named wrapper over :meth:`delete_where`: the scan reads
+        only ``(key, order)`` columns, the write side is O(matches), the
+        epoch egresses as tombstones so mirrors and incremental views age
+        off in lockstep, and a re-run at the same epoch number is a no-op.
+        ``cutoff`` is anything pyarrow can cast to the order column's
+        type (datetime, ISO string, int epoch-us)."""
+        ts_col = self.table.order[0]
+        ts_type = self.table.schema.field(ts_col).type
+        if isinstance(cutoff, str):
+            # ISO strings parse via Arrow's string->timestamp cast
+            # (pa.scalar(str, timestamp) does not parse)
+            lit = pc.cast(pa.scalar(cutoff), ts_type)
+        else:
+            lit = pa.scalar(cutoff, type=ts_type)
+        return self.delete_where(lambda b: pc.less(b[ts_col], lit),
+                                 columns=[], epoch=epoch)
+
     def rewrite_epoch(self, fn, epoch: int | None = None) -> EpochResult:
         """Lake-wide rewrite as a new epoch: apply a batch function to every
         live bucket and commit the result atomically (the UPDATE-WHERE /

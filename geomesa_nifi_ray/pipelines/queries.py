@@ -342,6 +342,30 @@ def _delete_where_lake(sf_dir: str):
     return eng, delete_epoch
 
 
+_RETENTION_CUTOFF = "2020-01-01 06:00:00"
+
+
+def q_cdc_retention_snapshot(sf_dir: str):
+    """TTL/retention maintenance (`CDCEngine.expire_before`): every live
+    row whose winning warc_ts is older than the cutoff is tombstoned in
+    one exactly-once epoch (scan reads only key+order columns; writes are
+    O(matches); the epoch egresses as tombstones so mirrors age off in
+    lockstep), then the snapshot. Idempotent: fixed epoch number, re-runs
+    skip. Oracle = the LWW winners with the same age filter."""
+    meta = get_binlog(sf_dir)
+    lake_root = os.path.join(CDC_ROOT, _sf_name(sf_dir),
+                             f"lake_ret-{_lake_key(meta)}")
+    eng = CDCEngine(lake_root, num_buckets=16)
+    for e in meta["epochs"]:
+        eng.apply_epoch(e["path"], e["epoch"],
+                        (e["offset_min"], e["offset_max"]))
+    retention_epoch = len(meta["epochs"])
+    committed = eng.table.committed_epoch()
+    if committed is None or committed < retention_epoch:
+        eng.expire_before(_RETENTION_CUTOFF, epoch=retention_epoch)
+    return eng.table.snapshot_table().select(SNAPSHOT_COLS)
+
+
 def q_cdc_delete_egress(sf_dir: str):
     """Change-stream egress of a bulk-delete maintenance epoch
     (`epoch_changes_dataset` on an offset-less epoch): exactly the
@@ -361,6 +385,8 @@ _CDC_DOMAIN_SQL = ("SELECT regexp_extract(url, '^https?://([^/]+)', 1) "
                    "AS host, count(*) AS n_pages FROM ("
                    + _CDC_SNAPSHOT_SQL + ") GROUP BY host")
 _CDC_POINT_LOOKUP_SQL = _CDC_SNAPSHOT_SQL + " AND url LIKE '%7'"
+_CDC_RETENTION_SQL = (_CDC_SNAPSHOT_SQL
+                      + f" AND warc_ts >= TIMESTAMP '{_RETENTION_CUTOFF}'")
 _CDC_DELETE_WHERE_SQL = _CDC_SNAPSHOT_SQL + " AND (lang IS DISTINCT FROM 'de')"
 # the delete epoch's change stream = the winners the predicate matched,
 # re-emitted as payload-less tombstones at the winner's exact (order) values
@@ -2606,6 +2632,7 @@ QUERIES = {
     "cdc_mirror_snapshot": q_cdc_mirror_snapshot,
     "cdc_url_normalized": q_cdc_url_normalized,
     "cdc_replay_norm_keys": q_cdc_replay_norm_keys,
+    "cdc_retention_snapshot": q_cdc_retention_snapshot,
     "cdc_bus_tail": q_cdc_bus_tail,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_update_partial": q_cdc_update_partial,
@@ -2732,6 +2759,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             "SNAPSHOT_SQL", _CDC_SNAPSHOT_SQL.format(
                 glob=f"{bdir}/epoch-*/*.parquet")),
         "cdc_replay_norm_keys": _CDC_NORM_KEYS_SQL_T.format(
+            glob=f"{bdir}/epoch-*/*.parquet"),
+        "cdc_retention_snapshot": _CDC_RETENTION_SQL.format(
             glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_lww_dedup": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         # bus offsets are 1-based append order == binlog offset + 1 (the

@@ -115,6 +115,27 @@ def test_exactly_once_resume_bit_identity(tmp_path, ray_session):
     assert digest.to_pydict() == again.to_pydict()
 
 
+@pytest.mark.parametrize("exchange", ["sort", "late", "split"])
+def test_transform_composes_with_every_exchange(tmp_path, ray_session,
+                                                exchange):
+    """The canonical-key collapse happens in convert, BEFORE the keyed
+    exchange — so every exchange strategy must produce the identical
+    lake from the messy stream (the transform must never depend on
+    which shuffle carried the winners)."""
+    import ray.data
+
+    ref = _replay(tmp_path)  # auto-selected strategy (tiny epochs)
+    eng = CDCEngine(str(tmp_path / f"lake_{exchange}"), num_buckets=4,
+                    key_transform="normalize_url")
+    eng.apply_epoch(ray.data.from_arrow(_events(MESSY)), 0, (0, 4),
+                    exchange=exchange)
+    eng.apply_epoch(ray.data.from_arrow(_events(MESSY2)), 1, (5, 6),
+                    exchange=exchange)
+    a = ref.table.snapshot_table().select(SNAP_COLS).sort_by("url")
+    b = eng.table.snapshot_table().select(SNAP_COLS).sort_by("url")
+    assert a.to_pydict() == b.to_pydict()
+
+
 def test_mixed_transform_guards(tmp_path, ray_session):
     eng = _replay(tmp_path)
     del eng
