@@ -253,9 +253,13 @@ def main(argv: list[str] | None = None) -> int:
 
         with open(f"{args.binlog}/binlog.json") as f:
             meta = json.load(f)
-        eng = CDCEngine(args.lake, num_buckets=args.buckets,
-                        compatibility=CompatibilityMode(args.compat),
-                        key_transform=args.key_transform)
+        try:
+            eng = CDCEngine(args.lake, num_buckets=args.buckets,
+                            compatibility=CompatibilityMode(args.compat),
+                            key_transform=args.key_transform)
+        except ValueError as e:  # e.g. key_transform mismatch with the stamp
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         results = eng.replay_binlog(
             meta, mode="update" if args.update else "upsert", catchup=args.catchup
         )
@@ -393,7 +397,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "delete":
         _ray_session(args.num_cpus)
         from geomesa_nifi_ray.engine import CDCEngine
+        from geomesa_nifi_ray.lake import LakeTable
 
+        if not LakeTable.exists(args.lake, "pages"):
+            # load-only commands must not side-effect a default-config
+            # empty lake into a typo'd path
+            print(f"error: no lake at {args.lake}", file=sys.stderr)
+            return 2
         eng = CDCEngine(args.lake)
         try:
             r = eng.delete_keys(args.key)
@@ -410,7 +420,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "expire":
         _ray_session(args.num_cpus)
         from geomesa_nifi_ray.engine import CDCEngine
+        from geomesa_nifi_ray.lake import LakeTable
 
+        if not LakeTable.exists(args.lake, "pages"):
+            print(f"error: no lake at {args.lake}", file=sys.stderr)
+            return 2
         eng = CDCEngine(args.lake)
         try:
             r = eng.expire_before(args.before)

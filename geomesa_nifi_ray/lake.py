@@ -401,7 +401,8 @@ class LakeTable:
             # an unknown transform name leaves no half-created directories
             from geomesa_nifi_ray.text import key_transform_fingerprint
 
-            kt_fingerprint = key_transform_fingerprint(key_transform)
+            kt_fingerprint = key_transform_fingerprint(
+                key_transform, check_idempotent=True)
         t.fs.makedirs(os.path.join(t.table_dir, LOG_DIR))
         t.fs.makedirs(os.path.join(t.table_dir, DATA_DIR))
         meta = {

@@ -319,27 +319,34 @@ def q_cdc_delete_where(sf_dir: str):
     return eng.table.snapshot_table().select(SNAPSHOT_COLS)
 
 
-def _delete_where_lake(sf_dir: str):
-    """Replay the sf binlog and commit one lang='de' delete_where
-    maintenance epoch (idempotent: fixed lake root + fixed epoch number).
-    Returns ``(engine, delete_epoch)``; shared by the delete-where
-    snapshot and delete-egress queries."""
+def _maintenance_lake(sf_dir: str, tag: str, maintenance_fn):
+    """Replay the sf binlog into a dedicated lake and commit ONE
+    maintenance epoch via ``maintenance_fn(engine, epoch)``. Idempotent
+    (fixed lake root + fixed epoch number); the committed-epoch guard
+    skips the maintenance call's O(lake) scan when its epoch is already
+    committed (apply_epoch's exactly-once guard would discard the commit,
+    but only after the scan ran). Returns ``(engine, epoch)``."""
     meta = get_binlog(sf_dir)
     lake_root = os.path.join(CDC_ROOT, _sf_name(sf_dir),
-                             f"lake_delw-{_lake_key(meta)}")
+                             f"lake_{tag}-{_lake_key(meta)}")
     eng = CDCEngine(lake_root, num_buckets=16)
     for e in meta["epochs"]:
         eng.apply_epoch(e["path"], e["epoch"],
                         (e["offset_min"], e["offset_max"]))
-    delete_epoch = len(meta["epochs"])
+    m_epoch = len(meta["epochs"])
     committed = eng.table.committed_epoch()
-    if committed is None or committed < delete_epoch:
-        # skip the O(lake) predicate scan when the delete epoch is already
-        # committed (apply_epoch's exactly-once guard would discard it,
-        # but only after the scan ran)
-        eng.delete_where(lambda b: pc.equal(b["lang"], "de"),
-                         columns=["lang"], epoch=delete_epoch)
-    return eng, delete_epoch
+    if committed is None or committed < m_epoch:
+        maintenance_fn(eng, m_epoch)
+    return eng, m_epoch
+
+
+def _delete_where_lake(sf_dir: str):
+    """lang='de' delete_where as the maintenance epoch; shared by the
+    delete-where snapshot and delete-egress queries."""
+    return _maintenance_lake(
+        sf_dir, "delw",
+        lambda eng, ep: eng.delete_where(
+            lambda b: pc.equal(b["lang"], "de"), columns=["lang"], epoch=ep))
 
 
 _RETENTION_CUTOFF = "2020-01-01 06:00:00"
@@ -352,17 +359,9 @@ def q_cdc_retention_snapshot(sf_dir: str):
     O(matches); the epoch egresses as tombstones so mirrors age off in
     lockstep), then the snapshot. Idempotent: fixed epoch number, re-runs
     skip. Oracle = the LWW winners with the same age filter."""
-    meta = get_binlog(sf_dir)
-    lake_root = os.path.join(CDC_ROOT, _sf_name(sf_dir),
-                             f"lake_ret-{_lake_key(meta)}")
-    eng = CDCEngine(lake_root, num_buckets=16)
-    for e in meta["epochs"]:
-        eng.apply_epoch(e["path"], e["epoch"],
-                        (e["offset_min"], e["offset_max"]))
-    retention_epoch = len(meta["epochs"])
-    committed = eng.table.committed_epoch()
-    if committed is None or committed < retention_epoch:
-        eng.expire_before(_RETENTION_CUTOFF, epoch=retention_epoch)
+    eng, _ = _maintenance_lake(
+        sf_dir, "ret",
+        lambda eng, ep: eng.expire_before(_RETENTION_CUTOFF, epoch=ep))
     return eng.table.snapshot_table().select(SNAPSHOT_COLS)
 
 

@@ -255,19 +255,22 @@ def resolve_key_transform(name: str):
         ) from None
 
 
-def key_transform_fingerprint(name: str) -> str:
+def key_transform_fingerprint(name: str, check_idempotent: bool = False) -> str:
     """md5 over the transform's outputs on a fixed probe vector — stamped
-    into ``_table.json`` at create, re-verified on every load."""
+    into ``_table.json`` at create, re-verified on every load.
+
+    ``check_idempotent=True`` (the CREATE path) additionally enforces the
+    contract every re-entrant path relies on — f(f(x)) == f(x) — so a
+    non-idempotent transform can never create a lake. Load-time callers
+    leave it False: an EXISTING lake whose kernel drifted must surface
+    the fingerprint-mismatch diagnostic (with its rewrite/pin guidance),
+    not an idempotency error."""
     import hashlib
 
     fn = resolve_key_transform(name)
     first = fn(pa.array(_KEY_TRANSFORM_PROBE, pa.string()))
     out = first.to_pylist()
-    # the contract every re-entrant path (delete tombstones back through
-    # the converter, raw-spelling probes) relies on; enforce it at the
-    # same chokepoint that stamps the behavior, so a non-idempotent
-    # transform can never create a lake
-    if fn(first).to_pylist() != out:
+    if check_idempotent and fn(first).to_pylist() != out:
         raise ValueError(
             f"key_transform {name!r} is not idempotent on the probe "
             "vector (f(f(x)) != f(x)); transforms must reach a fixed "

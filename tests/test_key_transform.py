@@ -190,6 +190,25 @@ def test_fingerprint_and_unknown_name_guards(tmp_path, ray_session):
         LakeTable.load(str(tmp_path / "lake"), "pages")
 
 
+def test_non_idempotent_transform_cannot_create_a_lake(tmp_path, monkeypatch):
+    import pyarrow.compute as _pc
+
+    from geomesa_nifi_ray import text as _text
+
+    # append-a-char is the canonical non-fixed-point counterexample
+    monkeypatch.setitem(_text.KEY_TRANSFORMS, "bad",
+                        lambda arr: _pc.binary_join_element_wise(
+                            arr, pa.scalar("x"), ""))
+    with pytest.raises(ValueError, match="not idempotent"):
+        CDCEngine(str(tmp_path / "lake_bad"), num_buckets=2,
+                  key_transform="bad")
+    assert not (tmp_path / "lake_bad" / "pages").exists()
+    # ...but load-time fingerprinting must NOT run the idempotency check:
+    # an existing lake whose kernel drifted surfaces the fingerprint
+    # diagnostic (with rewrite/pin guidance), not an idempotency error
+    assert isinstance(_text.key_transform_fingerprint("bad"), str)
+
+
 def test_transform_idempotent_on_canonical_keys():
     # the contract replay/probe paths rely on: f(f(x)) == f(x) — including
     # trailing '?' RUNS ('https://h/p??' once stripped one '?' per pass)

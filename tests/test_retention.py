@@ -79,6 +79,31 @@ def test_expire_cli(tmp_path, ray_session):
     assert out["rows_deleted"] == 6 and out["table_rows"] == 2
 
 
+def test_expire_cli_missing_lake_is_loud_and_side_effect_free(tmp_path):
+    target = tmp_path / "typo"
+    r = subprocess.run(
+        [sys.executable, "-m", "geomesa_nifi_ray", "expire",
+         "--lake", str(target), "--before", "2020-01-01"],
+        capture_output=True, text=True)
+    assert r.returncode == 2 and "no lake at" in r.stderr
+    assert not target.exists()  # must not create a default-config lake
+
+
+def test_replay_cli_transform_mismatch_is_clean_error(tmp_path, ray_session):
+    _lake(tmp_path, "f")  # created WITHOUT a transform
+    (tmp_path / "bl").mkdir()
+    (tmp_path / "bl" / "binlog.json").write_text('{"epochs": []}')
+    r = subprocess.run(
+        [sys.executable, "-m", "geomesa_nifi_ray", "replay",
+         "--binlog", str(tmp_path / "bl"), "--lake", str(tmp_path / "f"),
+         "--key-transform", "normalize_url"],
+        capture_output=True, text=True)
+    # must fail on the stamp mismatch, cleanly
+    assert r.returncode == 2, (r.returncode, r.stderr[-500:])
+    assert "error:" in r.stderr and "key_transform" in r.stderr
+    assert "Traceback" not in r.stderr
+
+
 def test_expire_empty_table_refused(tmp_path, ray_session):
     eng = CDCEngine(str(tmp_path / "e"), num_buckets=2)
     with pytest.raises(Exception, match="empty table"):
