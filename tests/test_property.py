@@ -236,3 +236,39 @@ def test_wkb_roundtrip_property(pts):
     lat = np.array([p[1] for p in pts])
     x, y = parse_wkb_point(wkb_point(lon, lat))
     assert (x.to_numpy() == lon).all() and (y.to_numpy() == lat).all()
+
+
+# URL-ish strings biased toward the normalization rule's trigger chars;
+# plus full unicode to probe Arrow-RE2 vs DuckDB-RE2 lowering parity
+_url_chars = st.sampled_from(list("aZ9+-.:/?#@%\x1f") + ["\u0130", "\u00df", "\u03a3"])
+_url_strings = st.one_of(
+    st.text(_url_chars, max_size=24),
+    st.text(max_size=16),  # arbitrary unicode
+)
+
+
+@given(st.lists(_url_strings, min_size=1, max_size=20))
+@settings(max_examples=120, deadline=None)
+@example(["https://H/p??", "HTTP://A@B.C:1/?#", "x://#", "://y", "?#"])
+def test_normalize_urls_matches_duckdb_rendering(urls):
+    """The vectorized kernel and the production oracle SQL must agree on
+    ARBITRARY strings, not just well-formed URLs — the cdc_replay_norm_keys
+    correctness gate compares them over whatever bytes a crawl emits."""
+    import duckdb
+
+    from geomesa_nifi_ray.pipelines.queries import (
+        _URL_NORM_CASE_SQL,
+        _URL_NORM_U2_SQL,
+    )
+    from geomesa_nifi_ray.text import normalize_urls
+
+    got = normalize_urls(pa.array(urls, pa.string())).to_pylist()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(urls)))
+    sql = ("SELECT " + _URL_NORM_CASE_SQL + " FROM (SELECT i, "
+           + _URL_NORM_U2_SQL.replace("URLCOL", "u")
+           + " AS u2 FROM t) ORDER BY i")
+    want = [r[0] for r in con.execute(sql).fetchall()]
+    con.close()
+    assert got == want
