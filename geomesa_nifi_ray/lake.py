@@ -112,6 +112,101 @@ def read_chain_tables(lake_fs, files: list[str],
     return tabs
 
 
+# -- predicate scans (zone-map data skipping) ---------------------------------
+#
+# A `where` spec is a CONJUNCTION of simple comparisons
+# `[(column, op, literal), ...]` with op in _WHERE_OPS. SQL semantics: a
+# null column value never satisfies a conjunct. Two layers consume one
+# normalized spec: parquet footer min/max statistics prune whole bucket
+# CHAINS (never individual chain files — see prune_chains for why), and an
+# exact vectorized mask filters the merged rows.
+
+_WHERE_OPS = ("==", "<", "<=", ">", ">=")
+
+
+def validate_where(schema: pa.Schema, where) -> list[tuple]:
+    """Normalize a `where` spec against the stored schema: check shape,
+    column existence, operator, and cast each literal to the column type
+    ONCE on the driver (ISO strings parse for timestamp columns) so task-
+    side stat comparisons and exact masks see the same python value.
+    Idempotent — re-validating a normalized spec is a no-op."""
+    import pyarrow.compute as pc
+
+    if not where or not isinstance(where, (list, tuple)):
+        raise ValueError("where must be a non-empty list of "
+                         "(column, op, literal) conjuncts")
+    out = []
+    for item in where:
+        try:
+            col, op, val = item
+        except (TypeError, ValueError):
+            raise ValueError(f"malformed where conjunct: {item!r}") from None
+        if col not in schema.names:
+            raise KeyError(f"where column {col!r} not in the stored schema")
+        if op not in _WHERE_OPS:
+            raise ValueError(f"unsupported where op {op!r}; one of {_WHERE_OPS}")
+        if val is None:
+            raise ValueError("a conjunct never matches null; filter nulls "
+                             "explicitly instead of where-ing on None")
+        typ = schema.field(col).type
+        if pa.types.is_nested(typ):
+            raise ValueError(f"where on nested column {col!r} is unsupported")
+        if isinstance(val, str) and pa.types.is_timestamp(typ):
+            # pa.scalar(str, timestamp) does not parse; Arrow's cast does
+            val = pc.cast(pa.scalar(val), typ).as_py()
+        else:
+            val = pa.scalar(val, type=typ).as_py()
+        out.append((col, op, val))
+    return out
+
+
+def predicate_mask(table: pa.Table, where: list[tuple]):
+    """Exact boolean mask for a normalized `where` over a batch: AND of
+    the conjuncts, nulls -> False (SQL filter semantics)."""
+    import pyarrow.compute as pc
+
+    fns = {"==": pc.equal, "<": pc.less, "<=": pc.less_equal,
+           ">": pc.greater, ">=": pc.greater_equal}
+    mask = None
+    for col, op, val in where:
+        arr = table[col]
+        m = fns[op](arr, pa.scalar(val, type=arr.type))
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    return pc.fill_null(mask, False)
+
+
+def _stat_range(st, typ):
+    """Decode one row group's (min, max) statistics for a column, or None
+    when the stats can't be trusted — absent, truncation-suspect (near
+    parquet's stats size cap), or bytes that don't decode for a string
+    column. Same distrust rules as LakeFS.read_parquet_pruned."""
+    if st is None or not st.has_min_max:
+        return None
+    lo, hi = st.min, st.max
+    if isinstance(lo, bytes) and (pa.types.is_string(typ)
+                                  or pa.types.is_large_string(typ)):
+        try:
+            lo, hi = lo.decode(), hi.decode()
+        except UnicodeDecodeError:
+            return None
+    if isinstance(lo, (str, bytes)) and (len(lo) >= 4000 or len(hi) >= 4000):
+        return None
+    return lo, hi
+
+
+def _range_could_match(lo, hi, op: str, val) -> bool:
+    """Could some value in [lo, hi] satisfy `x <op> val`?"""
+    if op == "==":
+        return lo <= val <= hi
+    if op == "<":
+        return lo < val
+    if op == "<=":
+        return lo <= val
+    if op == ">":
+        return hi > val
+    return hi >= val  # ">="
+
+
 def _atomic_write_json(path: str, payload: dict) -> None:
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
@@ -281,6 +376,46 @@ class LakeFS:
     def read_parquet_schema(self, path: str) -> pa.Schema:
         return pq.read_schema(path, filesystem=self.pafs)
 
+    def parquet_file_could_match(self, path: str, where: list[tuple]) -> bool:
+        """Footer-only data-skipping check: could ANY row of this file
+        satisfy a normalized `where` conjunction? True iff some row group's
+        per-column [min, max] statistics admit every conjunct (unknown /
+        distrusted stats admit — pruning is an optimization, never a
+        filter). A conjunct column ABSENT from the file's schema excludes
+        the file outright: readers project missing columns to null and a
+        conjunct never matches null. Reads the footer only, no data pages."""
+        with self.pafs.open_input_file(path) as f:
+            pf = pq.ParquetFile(f)
+            sch = pf.schema_arrow
+            names = sch.names
+            for col, _, _ in where:
+                if col not in names:
+                    return False
+            md = pf.metadata
+            # row-group column index = parquet LEAF index; map by leaf path
+            # (== the name for flat columns) rather than arrow-schema order
+            idx = {md.schema.column(j).path: j for j in range(md.num_columns)}
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                admits = True
+                for col, op, val in where:
+                    if col not in idx:
+                        continue  # non-leaf layout: stats unknown, admit
+                    rng = _stat_range(rg.column(idx[col]).statistics,
+                                      sch.field(col).type)
+                    if rng is None:
+                        continue  # unknown stats: this conjunct could match
+                    try:
+                        if not _range_could_match(rng[0], rng[1], op, val):
+                            admits = False
+                            break
+                    except TypeError:
+                        continue  # stats/literal type mismatch: never filter
+                if admits:
+                    return True
+            # every row group excluded some conjunct — or the file is empty
+            return False
+
     # -- publishes (the exactly-once primitive) ------------------------------
 
     def _move_replacing(self, tmp: str, path: str) -> None:
@@ -373,6 +508,8 @@ class LakeTable:
         self.fs = fs if fs is not None else LakeFS()
         self.table_dir = os.path.join(root, name)
         self._meta: dict | None = None
+        # skip report of the most recent where-scan (observability/tests)
+        self.last_prune_report: dict | None = None
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -918,8 +1055,78 @@ class LakeTable:
             for f in self.chain_files(e)
         ]
 
+    def prune_chains(self, where, epoch: int | None = None,
+                     include_pending: bool = False,
+                     entries: dict[int, dict] | None = None,
+                     ) -> tuple[dict[int, dict], dict]:
+        """Zone-map pruning for a predicate scan: return the subset of live
+        bucket entries whose chains COULD contain a row matching the
+        normalized `where` conjunction, plus a report dict
+        (``chains_total/kept/skipped``, ``files_checked``).
+
+        Prunes whole CHAINS only, never individual files within a kept
+        chain: every merged output row is a verbatim LWW-winner row from
+        some chain file, so if every file's footer stats exclude the
+        conjunction, the merged+filtered bucket is provably empty — but
+        dropping one file from a surviving chain would change which rows
+        win (tombstones / newer versions), so per-file skipping inside a
+        chain is unsound for predicate scans. A conjunct column absent
+        from a pre-evolution file excludes that file (readers null-fill,
+        and a conjunct never matches null).
+
+        Footer checks run distributed (one task per ~512 chains, footer
+        reads only, early-exit on the first admitting file); the driver
+        materializes just the O(P) keep flags. At 100 TB / P=32k this is
+        ~160k footer HEADs fanned across the cluster, against the full
+        data scan it replaces."""
+        import ray.data
+
+        wnorm = validate_where(self.schema, where)
+        if entries is None:
+            entries = (self.live_entries_with_pending() if include_pending
+                       else self.live_entries(epoch))
+        buckets = sorted(entries)
+        if not buckets:
+            return {}, {"chains_total": 0, "chains_kept": 0,
+                        "chains_skipped": 0, "files_checked": 0}
+        chains = [[self.abs_path(f) for f in self.chain_files(entries[b])]
+                  for b in buckets]
+        fs = self.fs
+
+        def check(batch: pa.Table) -> pa.Table:
+            idxs = batch["i"].to_pylist()
+            keeps, checked = [], []
+            for i in idxs:
+                n = 0
+                keep = False
+                for p in chains[i]:
+                    n += 1
+                    if fs.parquet_file_could_match(p, wnorm):
+                        keep = True
+                        break  # one admitting file keeps the whole chain
+                keeps.append(keep)
+                checked.append(n)
+            return pa.table({"i": pa.array(idxs, type=pa.int64()),
+                             "keep": pa.array(keeps, type=pa.bool_()),
+                             "checked": pa.array(checked, type=pa.int64())})
+
+        control = ray.data.from_arrow(
+            pa.table({"i": pa.array(range(len(chains)), type=pa.int64())})
+        ).repartition(max(1, min(len(chains), 64)))
+        flags = {r["i"]: (r["keep"], r["checked"])
+                 for r in control.map_batches(check,
+                                              batch_format="pyarrow").take_all()}
+        kept = {b: entries[b] for j, b in enumerate(buckets) if flags[j][0]}
+        report = {
+            "chains_total": len(buckets),
+            "chains_kept": len(kept),
+            "chains_skipped": len(buckets) - len(kept),
+            "files_checked": int(sum(c for _, c in flags.values())),
+        }
+        return kept, report
+
     def snapshot_dataset(self, epoch: int | None = None, columns: list[str] | None = None,
-                         include_pending: bool = False):
+                         include_pending: bool = False, where=None):
         """Lazy Ray Dataset over the live table state, projected (null-fill)
         to the current stored schema so pre-evolution files read uniformly.
 
@@ -927,6 +1134,14 @@ class LakeTable:
         compaction): a plain parallel ``read_parquet``. Delta path: one task
         per bucket reads its chain and merges (reads stay bucket-parallel;
         nothing touches the driver).
+
+        ``where=[(col, op, literal), ...]`` returns only rows satisfying
+        the conjunction (SQL null semantics), evaluated on the merged LWW
+        winners — AND first prunes every bucket chain whose parquet footer
+        statistics prove it can't match (:meth:`prune_chains`), so a
+        selective scan reads O(matching buckets), not O(lake). The skip
+        report of the most recent where-scan is left in
+        ``self.last_prune_report``.
 
         ``include_pending=True`` returns the HOT view: committed state plus
         whatever the in-flight (uncommitted) epoch has already flushed —
@@ -943,8 +1158,19 @@ class LakeTable:
         schema = self.schema
         if columns is not None:
             schema = pa.schema([schema.field(c) for c in columns])
+        wnorm = None
+        if where is not None:
+            wnorm = validate_where(self.schema, where)
+            entries, report = self.prune_chains(wnorm, entries=entries)
+            self.last_prune_report = report
         if not entries:
             return ray.data.from_arrow(schema.empty_table())
+        # the exact mask needs the predicate columns even when the caller
+        # didn't project them; read the union, filter, project down
+        scan_cols = None
+        if columns is not None:
+            pred_cols = [c for c, _, _ in (wnorm or [])]
+            scan_cols = list(dict.fromkeys([*columns, *pred_cols]))
         # Fast path: one parallel multi-file read. Only sound when every
         # base file shares one schema — a multi-file read_parquet takes its
         # schema from the FIRST fragment, silently dropping columns that
@@ -956,18 +1182,22 @@ class LakeTable:
                 and all(not e.get("deltas") for e in entries.values())):
             files = [self.abs_path(e["file"]) for e in entries.values()]
             ds = ray.data.read_parquet(
-                files, columns=list(columns) if columns else None,
+                files, columns=scan_cols,
                 filesystem=None if self.fs.is_plain_local else self.fs.pafs,
             )
-            return ds.map_batches(
-                lambda t, s=schema: project_to_schema(t, s), batch_format="pyarrow"
-            )
+
+            def finish_fast(t: pa.Table, s=schema, w=wnorm) -> pa.Table:
+                if w is not None:
+                    t = t.filter(predicate_mask(t, w))
+                return project_to_schema(t, s)
+
+            return ds.map_batches(finish_fast, batch_format="pyarrow")
 
         key, order = self.key, self.order
         read_cols = None
-        if columns is not None:
+        if scan_cols is not None:
             # the merge needs key+order; project down afterwards
-            read_cols = sorted(set(list(columns) + [key] + order))
+            read_cols = sorted(set(scan_cols + [key] + order))
         chains = [
             [self.abs_path(f) for f in self.chain_files(e)] for e in entries.values()
         ]
@@ -988,6 +1218,10 @@ class LakeTable:
                 base = pa.schema([f for f in full_schema
                                   if read_cols is None or f.name in read_cols])
                 merged = merge_chain_tables(tabs, base, key, order)
+                if wnorm is not None:
+                    # exact filter on the MERGED winners (the predicate
+                    # column may be pred-only: filter before projecting)
+                    merged = merged.filter(predicate_mask(merged, wnorm))
                 out.append(project_to_schema(merged, schema))
             # an empty control batch is possible after repartition; mirror
             # the empty guard the sibling chain readers carry

@@ -365,6 +365,31 @@ def q_cdc_retention_snapshot(sf_dir: str):
     return eng.table.snapshot_table().select(SNAPSHOT_COLS)
 
 
+_WINDOW_SCAN_LO = "2020-01-10 00:00:00"
+_WINDOW_SCAN_HI = "2020-02-01 00:00:00"
+
+
+def q_cdc_window_scan(sf_dir: str):
+    """Predicate scan with zone-map data skipping
+    (`LakeTable.snapshot_dataset(where=…)`): the LWW winners whose winning
+    warc_ts falls in a fixed window AND lang='en' — the time-window export
+    a downstream trainer runs against a 100 TB lake. Parquet footer
+    min/max stats prune every bucket chain that provably can't match
+    (whole chains only — dropping one file of a kept chain would change
+    which rows win), then an exact vectorized mask filters the merged
+    winners, so a selective scan reads O(matching buckets), not O(lake).
+    Reference analog: CQL filter push-down in the store's query planning
+    (``GeoMesaDataStore`` query path). The conjunction is evaluated on
+    the POST-merge winner rows, exactly matching the SQL oracle's filter
+    over its LWW window."""
+    eng = run_cdc_replay(sf_dir)
+    return eng.table.snapshot_dataset(where=[
+        ("warc_ts", ">=", _WINDOW_SCAN_LO),
+        ("warc_ts", "<", _WINDOW_SCAN_HI),
+        ("lang", "==", "en"),
+    ]).select_columns(SNAPSHOT_COLS)
+
+
 def q_cdc_delete_egress(sf_dir: str):
     """Change-stream egress of a bulk-delete maintenance epoch
     (`epoch_changes_dataset` on an offset-less epoch): exactly the
@@ -386,6 +411,10 @@ _CDC_DOMAIN_SQL = ("SELECT regexp_extract(url, '^https?://([^/]+)', 1) "
 _CDC_POINT_LOOKUP_SQL = _CDC_SNAPSHOT_SQL + " AND url LIKE '%7'"
 _CDC_RETENTION_SQL = (_CDC_SNAPSHOT_SQL
                       + f" AND warc_ts >= TIMESTAMP '{_RETENTION_CUTOFF}'")
+_CDC_WINDOW_SCAN_SQL = (
+    _CDC_SNAPSHOT_SQL
+    + f" AND warc_ts >= TIMESTAMP '{_WINDOW_SCAN_LO}'"
+    + f" AND warc_ts < TIMESTAMP '{_WINDOW_SCAN_HI}' AND lang = 'en'")
 _CDC_DELETE_WHERE_SQL = _CDC_SNAPSHOT_SQL + " AND (lang IS DISTINCT FROM 'de')"
 # the delete epoch's change stream = the winners the predicate matched,
 # re-emitted as payload-less tombstones at the winner's exact (order) values
@@ -2632,6 +2661,7 @@ QUERIES = {
     "cdc_url_normalized": q_cdc_url_normalized,
     "cdc_replay_norm_keys": q_cdc_replay_norm_keys,
     "cdc_retention_snapshot": q_cdc_retention_snapshot,
+    "cdc_window_scan": q_cdc_window_scan,
     "cdc_bus_tail": q_cdc_bus_tail,
     "cdc_lww_dedup": q_cdc_lww_dedup,
     "cdc_update_partial": q_cdc_update_partial,
@@ -2760,6 +2790,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "cdc_replay_norm_keys": _CDC_NORM_KEYS_SQL_T.format(
             glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_retention_snapshot": _CDC_RETENTION_SQL.format(
+            glob=f"{bdir}/epoch-*/*.parquet"),
+        "cdc_window_scan": _CDC_WINDOW_SCAN_SQL.format(
             glob=f"{bdir}/epoch-*/*.parquet"),
         "cdc_lww_dedup": _CDC_SNAPSHOT_SQL.format(glob=f"{bdir}/epoch-*/*.parquet"),
         # bus offsets are 1-based append order == binlog offset + 1 (the
