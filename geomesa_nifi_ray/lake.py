@@ -179,7 +179,11 @@ def _stat_range(st, typ):
     """Decode one row group's (min, max) statistics for a column, or None
     when the stats can't be trusted — absent, truncation-suspect (near
     parquet's stats size cap), or bytes that don't decode for a string
-    column. Same distrust rules as LakeFS.read_parquet_pruned."""
+    column (parquet reports BYTES stats for string and binary alike;
+    decoding a binary column's stats would crash on non-UTF8 and
+    mis-compare str vs bytes). The one shared distrust implementation for
+    key row-group pruning (read_parquet_pruned) and where-scan chain
+    pruning (parquet_file_could_match)."""
     if st is None or not st.has_min_max:
         return None
     lo, hi = st.min, st.max
@@ -333,29 +337,17 @@ class LakeFS:
             if key not in names or total <= 1:
                 return pf.read(columns=columns), total, total
             kidx = names.index(key)
-            # parquet returns BYTES statistics for both string and binary
-            # columns; decode only when the Arrow key type is a string so a
-            # binary-keyed table compares bytes-to-bytes (decoding would
-            # crash on non-UTF8 keys and mis-compare str vs bytes)
             ktype = pf.schema_arrow.field(key).type
-            key_is_str = pa.types.is_string(ktype) or pa.types.is_large_string(ktype)
             keep = []
             for i in range(total):
-                st = md.row_group(i).column(kidx).statistics
-                if st is None or not st.has_min_max:
+                # _stat_range owns the distrust rules (absent, truncation-
+                # suspect, undecodable bytes) shared with where-scan pruning
+                rng = _stat_range(md.row_group(i).column(kidx).statistics,
+                                  ktype)
+                if rng is None:
                     keep.append(i)
                     continue
-                lo, hi = st.min, st.max
-                if isinstance(lo, bytes) and key_is_str:
-                    try:
-                        lo, hi = lo.decode(), hi.decode()
-                    except UnicodeDecodeError:
-                        keep.append(i)  # undecodable stats: distrust
-                        continue
-                if (isinstance(lo, (str, bytes))
-                        and (len(lo) >= 4000 or len(hi) >= 4000)):
-                    keep.append(i)  # near parquet's stats size cap: distrust
-                    continue
+                lo, hi = rng
                 try:
                     j = bisect.bisect_left(keys_sorted, lo)
                     hit = j < len(keys_sorted) and keys_sorted[j] <= hi
@@ -1075,44 +1067,59 @@ class LakeTable:
         and a conjunct never matches null).
 
         Footer checks run distributed (one task per ~512 chains, footer
-        reads only, early-exit on the first admitting file); the driver
-        materializes just the O(P) keep flags. At 100 TB / P=32k this is
-        ~160k footer HEADs fanned across the cluster, against the full
-        data scan it replaces."""
-        import ray.data
-
+        reads only, early-exit on the first admitting file); each task
+        receives only its slice of chain paths via the control table, and
+        the driver materializes just the O(P) keep flags. At 100 TB /
+        P=32k this is ~160k footer HEADs fanned across the cluster,
+        against the full data scan it replaces."""
+        if include_pending and epoch is not None:
+            raise ValueError("include_pending reads the latest state; "
+                             "an explicit epoch cannot be combined with it")
+        if entries is not None and (epoch is not None or include_pending):
+            raise ValueError("pass either a precomputed entries map or "
+                             "epoch/include_pending, not both")
         wnorm = validate_where(self.schema, where)
         if entries is None:
             entries = (self.live_entries_with_pending() if include_pending
                        else self.live_entries(epoch))
+        return self._prune_chains_normalized(wnorm, entries)
+
+    def _prune_chains_normalized(self, wnorm: list[tuple],
+                                 entries: dict[int, dict],
+                                 ) -> tuple[dict[int, dict], dict]:
+        import ray.data
+
         buckets = sorted(entries)
         if not buckets:
             return {}, {"chains_total": 0, "chains_kept": 0,
                         "chains_skipped": 0, "files_checked": 0}
-        chains = [[self.abs_path(f) for f in self.chain_files(entries[b])]
-                  for b in buckets]
         fs = self.fs
 
         def check(batch: pa.Table) -> pa.Table:
-            idxs = batch["i"].to_pylist()
             keeps, checked = [], []
-            for i in idxs:
+            for files in batch["files"].to_pylist():
                 n = 0
                 keep = False
-                for p in chains[i]:
+                for p in files:
                     n += 1
                     if fs.parquet_file_could_match(p, wnorm):
                         keep = True
                         break  # one admitting file keeps the whole chain
                 keeps.append(keep)
                 checked.append(n)
-            return pa.table({"i": pa.array(idxs, type=pa.int64()),
+            return pa.table({"i": batch["i"],
                              "keep": pa.array(keeps, type=pa.bool_()),
                              "checked": pa.array(checked, type=pa.int64())})
 
-        control = ray.data.from_arrow(
-            pa.table({"i": pa.array(range(len(chains)), type=pa.int64())})
-        ).repartition(max(1, min(len(chains), 64)))
+        # chain paths travel IN the control table so each task ships only
+        # its own slice, not the full O(P x files) path list
+        control = ray.data.from_arrow(pa.table({
+            "i": pa.array(range(len(buckets)), type=pa.int64()),
+            "files": pa.array(
+                [[self.abs_path(f) for f in self.chain_files(entries[b])]
+                 for b in buckets],
+                type=pa.list_(pa.string())),
+        })).repartition(max(1, min(len(buckets), 64)))
         flags = {r["i"]: (r["keep"], r["checked"])
                  for r in control.map_batches(check,
                                               batch_format="pyarrow").take_all()}
@@ -1161,7 +1168,7 @@ class LakeTable:
         wnorm = None
         if where is not None:
             wnorm = validate_where(self.schema, where)
-            entries, report = self.prune_chains(wnorm, entries=entries)
+            entries, report = self._prune_chains_normalized(wnorm, entries)
             self.last_prune_report = report
         if not entries:
             return ray.data.from_arrow(schema.empty_table())

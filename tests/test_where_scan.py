@@ -162,6 +162,18 @@ def test_where_validation_errors(lake):
         t.snapshot_dataset(where=[("lang", "==")])
 
 
+def test_prune_chains_argument_conflicts(lake):
+    t = lake.table
+    where = [("lang", "==", "en")]
+    with pytest.raises(ValueError):
+        t.prune_chains(where, epoch=0, include_pending=True)
+    with pytest.raises(ValueError):
+        t.prune_chains(where, entries=t.live_entries(), epoch=0)
+    # the public path still normalizes raw specs itself
+    kept, rep = t.prune_chains(where)
+    assert rep["chains_total"] == 8 and set(kept) <= set(t.live_entries())
+
+
 def test_where_with_time_travel_epoch(lake):
     """where composes with epoch= time travel: at epoch 0 the recent
     updates don't exist yet, so a recency scan is empty and skips all."""
