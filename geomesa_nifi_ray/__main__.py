@@ -25,18 +25,40 @@ import json
 import sys
 
 
-def _print_export_summary(result, out_dir: str, fmt: str) -> None:
+def _print_export_summary(result, out_dir: str, fmt: str,
+                          extra: dict | None = None) -> None:
     """One JSON summary shape for every export-producing subcommand
     (snapshot / egress / diff): parquet returns the out dir; the shard
-    writers return a lineage table (path, rows, bytes)."""
+    writers return a lineage table (path, rows, bytes). ``extra`` fields
+    merge into the one JSON line (consumers parse the LAST stdout line)."""
     if isinstance(result, str):
         print(json.dumps({"out_dir": result, "format": fmt,
-                          "shards": None, "rows": None}))
+                          "shards": None, "rows": None, **(extra or {})}))
         return
     lineage = result.to_pandas()
     rows = int(lineage["rows"].sum()) if len(lineage) else 0
     print(json.dumps({"out_dir": out_dir, "format": fmt,
-                      "shards": len(lineage), "rows": rows}))
+                      "shards": len(lineage), "rows": rows,
+                      **(extra or {})}))
+
+
+def _parse_where(exprs: list[str]) -> list[tuple]:
+    """Parse repeated ``--where COL<OP>VALUE`` flags into the conjunct
+    list ``LakeTable.snapshot_dataset(where=…)`` takes. Two-char ops are
+    matched first so ``>=`` never parses as ``>``; literals stay strings —
+    ``validate_where`` casts them to the column's type."""
+    ops = (">=", "<=", "==", ">", "<")
+    out = []
+    for expr in exprs:
+        for op in ops:
+            if op in expr:
+                col, val = expr.split(op, 1)
+                out.append((col.strip(), op, val.strip()))
+                break
+        else:
+            raise ValueError(f"--where {expr!r}: expected COL<OP>VALUE "
+                             f"with OP one of {ops}")
+    return out
 
 
 def _ray_session(num_cpus: int | None):
@@ -108,6 +130,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet only: comma-separated columns for a "
                     "hive-partitioned layout (one directory per value, "
                     "e.g. --partition-by lang)")
+    sn.add_argument("--where", action="append", default=None,
+                    metavar="COL<OP>VALUE",
+                    help="predicate conjunct (repeatable, ANDed), e.g. "
+                    "--where 'warc_ts>=2020-01-10' --where 'lang==en'; "
+                    "parquet footer stats prune non-matching bucket chains "
+                    "before any data is read")
 
     eg = sub.add_parser("egress")
     eg.add_argument("--lake", required=True)
@@ -315,13 +343,17 @@ def main(argv: list[str] | None = None) -> int:
         pcols = ([c.strip() for c in args.partition_by.split(",") if c.strip()]
                  if args.partition_by else None)
         try:
+            where = _parse_where(args.where) if args.where else None
             out = export_dataset(
-                t.snapshot_dataset(epoch=args.epoch), args.out,
+                t.snapshot_dataset(epoch=args.epoch, where=where), args.out,
                 format=args.format, partition_cols=pcols)
-        except ValueError as e:
+        except (ValueError, KeyError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
-        _print_export_summary(out, args.out, args.format)
+        extra = None
+        if where is not None and t.last_prune_report:
+            extra = {"prune": t.last_prune_report}
+        _print_export_summary(out, args.out, args.format, extra=extra)
         return 0
 
     if args.cmd == "egress":

@@ -151,8 +151,10 @@ def validate_where(schema: pa.Schema, where) -> list[tuple]:
         typ = schema.field(col).type
         if pa.types.is_nested(typ):
             raise ValueError(f"where on nested column {col!r} is unsupported")
-        if isinstance(val, str) and pa.types.is_timestamp(typ):
-            # pa.scalar(str, timestamp) does not parse; Arrow's cast does
+        if isinstance(val, str) and not (pa.types.is_string(typ)
+                                         or pa.types.is_large_string(typ)):
+            # string literal against a typed column (CLI / ISO timestamps):
+            # pa.scalar(str, typ) does not parse; Arrow's cast does
             val = pc.cast(pa.scalar(val), typ).as_py()
         else:
             val = pa.scalar(val, type=typ).as_py()

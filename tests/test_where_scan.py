@@ -184,6 +184,40 @@ def test_where_with_time_travel_epoch(lake):
         lake.table.last_prune_report["chains_total"]
 
 
+def test_snapshot_cli_where(lake, tmp_path):
+    """`snapshot --where` end to end: filtered export + prune report in
+    the one-line JSON summary; a malformed conjunct exits 2."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    def run(*args, expect=0):
+        out = subprocess.run(
+            [sys.executable, "-m", "geomesa_nifi_ray", "--num-cpus", "2",
+             *args],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**os.environ, "RAY_ADDRESS": "local"},
+        )
+        assert out.returncode == expect, out.stderr[-2000:]
+        return out
+
+    lake_root = lake.lake_root
+    out_dir = str(tmp_path / "snap")
+    r = run("snapshot", "--lake", lake_root, "--out", out_dir,
+            "--where", "warc_ts>=1970-01-01T00:00:05", "--where", "lang==fr")
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["prune"]["chains_skipped"] > 0
+    got = pq.read_table(out_dir)
+    assert sorted(got["url"].to_pylist()) == ["https://p/0", "https://p/5"]
+
+    r = run("snapshot", "--lake", lake_root, "--out", str(tmp_path / "bad"),
+            "--where", "lang~en", expect=2)
+    assert "COL<OP>VALUE" in r.stderr
+
+
 def test_prune_never_loses_rows_property(lake):
     """The pruned scan equals the unpruned exact filter for a sweep of
     cutoffs crossing every epoch boundary (soundness, both directions)."""
