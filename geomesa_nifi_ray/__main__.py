@@ -44,20 +44,29 @@ def _print_export_summary(result, out_dir: str, fmt: str,
 
 def _parse_where(exprs: list[str]) -> list[tuple]:
     """Parse repeated ``--where COL<OP>VALUE`` flags into the conjunct
-    list ``LakeTable.snapshot_dataset(where=…)`` takes. Two-char ops are
-    matched first so ``>=`` never parses as ``>``; literals stay strings —
-    ``validate_where`` casts them to the column's type."""
-    ops = (">=", "<=", "==", ">", "<")
+    list ``LakeTable.snapshot_dataset(where=…)`` takes. The LEFTMOST
+    operator occurrence splits the expression (a comparison substring
+    inside the VALUE, e.g. ``url==https://a?x>=1``, must not win), with
+    the longer op preferred at a tie so ``>=`` never parses as ``>``;
+    literals stay strings — ``validate_where`` casts them to the
+    column's type. Ops come from the validator's own set, so the parser
+    can never accept or miss an op the scan layer doesn't."""
+    from geomesa_nifi_ray.lake import _WHERE_OPS
+
+    ops = sorted(_WHERE_OPS, key=len, reverse=True)
     out = []
     for expr in exprs:
+        best = None
         for op in ops:
-            if op in expr:
-                col, val = expr.split(op, 1)
-                out.append((col.strip(), op, val.strip()))
-                break
-        else:
+            i = expr.find(op)
+            if i != -1 and (best is None or i < best[0]):
+                # strict < keeps the earlier-listed (longer) op on ties
+                best = (i, op)
+        if best is None:
             raise ValueError(f"--where {expr!r}: expected COL<OP>VALUE "
-                             f"with OP one of {ops}")
+                             f"with OP one of {tuple(_WHERE_OPS)}")
+        i, op = best
+        out.append((expr[:i].strip(), op, expr[i + len(op):].strip()))
     return out
 
 
@@ -343,11 +352,21 @@ def main(argv: list[str] | None = None) -> int:
         pcols = ([c.strip() for c in args.partition_by.split(",") if c.strip()]
                  if args.partition_by else None)
         try:
+            # KeyError (unknown --where column) is a user error only in
+            # THIS step; a KeyError out of the export path below would be
+            # an internal bug and must keep its traceback
             where = _parse_where(args.where) if args.where else None
-            out = export_dataset(
-                t.snapshot_dataset(epoch=args.epoch, where=where), args.out,
-                format=args.format, partition_cols=pcols)
-        except (ValueError, KeyError) as e:
+            ds = t.snapshot_dataset(epoch=args.epoch, where=where)
+        except KeyError as e:
+            print(f"error: {e.args[0]}", file=sys.stderr)
+            return 2
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        try:
+            out = export_dataset(ds, args.out, format=args.format,
+                                 partition_cols=pcols)
+        except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
         extra = None

@@ -2,8 +2,6 @@
 
 import json
 import os
-import subprocess
-import sys
 
 import pytest
 
@@ -12,14 +10,7 @@ from geomesa_nifi_ray.lake import LakeTable
 from geomesa_nifi_ray.synth import BinlogSpec, write_binlog
 
 
-def _run_cli(*args):
-    out = subprocess.run(
-        [sys.executable, "-m", "geomesa_nifi_ray", "--num-cpus", "2", *args],
-        capture_output=True, text=True, cwd="/root/repo",
-        env={**os.environ, "RAY_ADDRESS": "local"},
-    )
-    assert out.returncode == 0, out.stderr[-2000:]
-    return json.loads(out.stdout.strip().splitlines()[-1])
+from conftest import run_cli_json as _run_cli  # noqa: E402
 
 
 def test_cli_synth_replay_status_egress_vacuum(tmp_path):

@@ -184,25 +184,29 @@ def test_where_with_time_travel_epoch(lake):
         lake.table.last_prune_report["chains_total"]
 
 
+def test_where_cli_parser_leftmost_operator():
+    """The parser splits at the LEFTMOST operator occurrence (longer op
+    winning ties), so comparison substrings inside the VALUE never split
+    the expression, and its op set is the validator's own."""
+    from geomesa_nifi_ray.__main__ import _parse_where
+
+    assert _parse_where(["url==https://a?x>=1"]) == \
+        [("url", "==", "https://a?x>=1")]
+    assert _parse_where(["title==a<=b"]) == [("title", "==", "a<=b")]
+    assert _parse_where(["warc_ts>=2020-01-10"]) == \
+        [("warc_ts", ">=", "2020-01-10")]
+    with pytest.raises(ValueError, match="COL<OP>VALUE"):
+        _parse_where(["lang~en"])
+
+
 def test_snapshot_cli_where(lake, tmp_path):
     """`snapshot --where` end to end: filtered export + prune report in
     the one-line JSON summary; a malformed conjunct exits 2."""
     import json
-    import os
-    import subprocess
-    import sys
 
     import pyarrow.parquet as pq
 
-    def run(*args, expect=0):
-        out = subprocess.run(
-            [sys.executable, "-m", "geomesa_nifi_ray", "--num-cpus", "2",
-             *args],
-            capture_output=True, text=True, cwd="/root/repo",
-            env={**os.environ, "RAY_ADDRESS": "local"},
-        )
-        assert out.returncode == expect, out.stderr[-2000:]
-        return out
+    from conftest import run_cli as run
 
     lake_root = lake.lake_root
     out_dir = str(tmp_path / "snap")
