@@ -145,12 +145,24 @@ def main(argv: list[str] | None = None) -> int:
                     "--where 'warc_ts>=2020-01-10' --where 'lang==en'; "
                     "parquet footer stats prune non-matching bucket chains "
                     "before any data is read")
+    sn.add_argument("--columns", default=None,
+                    help="comma-separated column projection — only these "
+                    "columns are read and exported (predicate columns are "
+                    "still read when --where needs them)")
 
     eg = sub.add_parser("egress")
     eg.add_argument("--lake", required=True)
     eg.add_argument("--epoch", type=int, required=True)
     eg.add_argument("--out", required=True)
     eg.add_argument("--format", default="jsonl")
+    eg.add_argument("--where", action="append", default=None,
+                    metavar="COL<OP>VALUE",
+                    help="keep only change rows matching every conjunct "
+                    "(SQL null semantics: tombstones carry only key+order "
+                    "columns, so non-key conjuncts drop them)")
+    eg.add_argument("--columns", default=None,
+                    help="comma-separated column projection for the "
+                    "exported change rows")
 
     df = sub.add_parser(
         "diff",
@@ -163,6 +175,10 @@ def main(argv: list[str] | None = None) -> int:
     df.add_argument("--to", dest="epoch_b", type=int, required=True)
     df.add_argument("--out", required=True)
     df.add_argument("--format", default="jsonl")
+    df.add_argument("--where", action="append", default=None,
+                    metavar="COL<OP>VALUE",
+                    help="keep only diff rows matching every conjunct "
+                    "(evaluated on the diff row's payload columns)")
 
     lk = sub.add_parser(
         "lookup",
@@ -351,12 +367,15 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         pcols = ([c.strip() for c in args.partition_by.split(",") if c.strip()]
                  if args.partition_by else None)
+        cols = ([c.strip() for c in args.columns.split(",") if c.strip()]
+                if args.columns else None)
         try:
-            # KeyError (unknown --where column) is a user error only in
-            # THIS step; a KeyError out of the export path below would be
-            # an internal bug and must keep its traceback
+            # KeyError (unknown --where/--columns name) is a user error
+            # only in THIS step; a KeyError out of the export path below
+            # would be an internal bug and must keep its traceback
             where = _parse_where(args.where) if args.where else None
-            ds = t.snapshot_dataset(epoch=args.epoch, where=where)
+            ds = t.snapshot_dataset(epoch=args.epoch, where=where,
+                                    columns=cols)
         except KeyError as e:
             print(f"error: {e.args[0]}", file=sys.stderr)
             return 2
@@ -381,8 +400,31 @@ def main(argv: list[str] | None = None) -> int:
         from geomesa_nifi_ray.lake import LakeTable
 
         t = LakeTable.load(args.lake, "pages")
+        cols = ([c.strip() for c in args.columns.split(",") if c.strip()]
+                if args.columns else None)
         try:
-            out = egress_epoch(t, args.epoch, args.out, format=args.format)
+            # validate user input HERE (validate_where is idempotent, so
+            # egress_epoch re-normalizing the result is a no-op); export
+            # errors below keep their tracebacks
+            where = _parse_where(args.where) if args.where else None
+            if where is not None:
+                from geomesa_nifi_ray.lake import validate_where
+
+                where = validate_where(t.schema, where)
+            if cols:
+                unknown = [c for c in cols if c not in t.schema.names]
+                if unknown:
+                    raise KeyError(f"egress column(s) {unknown} not in "
+                                   f"the stored schema")
+        except KeyError as e:
+            print(f"error: {e.args[0]}", file=sys.stderr)
+            return 2
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        try:
+            out = egress_epoch(t, args.epoch, args.out, format=args.format,
+                               columns=cols, where=where)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
@@ -396,7 +438,26 @@ def main(argv: list[str] | None = None) -> int:
 
         t = LakeTable.load(args.lake, "pages")
         try:
+            # user-input validation only; export errors below keep their
+            # tracebacks (same split as the snapshot command)
+            where = _parse_where(args.where) if args.where else None
             ds = t.epoch_diff_dataset(args.epoch_a, args.epoch_b)
+            if where is not None:
+                from geomesa_nifi_ray.lake import (predicate_mask,
+                                                   validate_where)
+
+                wnorm = validate_where(t.schema, where)
+                ds = ds.map_batches(
+                    lambda b, w=tuple(wnorm): b.filter(
+                        predicate_mask(b, list(w))),
+                    batch_format="pyarrow")
+        except KeyError as e:
+            print(f"error: {e.args[0]}", file=sys.stderr)
+            return 2
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        try:
             out = export_dataset(ds, args.out, format=args.format)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)

@@ -228,13 +228,34 @@ def _encode_bin(batch: pa.Table) -> bytes:
 
 
 def egress_epoch(table, epoch: int, out_dir: str, format: str = "jsonl",
-                 gzip: bool = False, columns: list[str] | None = None):
+                 gzip: bool = False, columns: list[str] | None = None,
+                 where=None):
     """Change-stream egress to files: the ``GetGeoMesaKafkaRecord`` ->
     record-writer path (tail change stream, batch, serialize with per-batch
     record counts) re-expressed as: epoch's net row changes (from
     manifests) -> per-block encoder shards with a lineage row (path, rows,
-    bytes) per shard."""
+    bytes) per shard.
+
+    ``where=[(col, op, literal), ...]`` keeps only change rows satisfying
+    the conjunction (same spec as ``snapshot_dataset``), evaluated BEFORE
+    any column projection so predicate columns need not be exported. SQL
+    null semantics apply: a maintenance tombstone carries only key+order
+    columns, so a conjunct on any other column drops it — filter on the
+    key column to keep a keyed consumer's deletes flowing."""
+    from geomesa_nifi_ray.lake import predicate_mask, validate_where
+
+    if columns:
+        # fail on the driver, not as a RayTaskError out of the select task
+        unknown = [c for c in columns if c not in table.schema.names]
+        if unknown:
+            raise KeyError(f"egress column(s) {unknown} not in the stored "
+                           f"schema")
     ds = table.epoch_changes_dataset(epoch)
+    if where is not None:
+        wnorm = validate_where(table.schema, where)
+        ds = ds.map_batches(
+            lambda t, w=tuple(wnorm): t.filter(predicate_mask(t, list(w))),
+            batch_format="pyarrow")
     if columns:
         ds = ds.map_batches(lambda t, c=tuple(columns): t.select(list(c)),
                             batch_format="pyarrow")

@@ -232,3 +232,89 @@ def test_prune_never_loses_rows_property(lake):
         where = [("warc_ts", "<", _ts(cut_us))]
         assert _rows(lake.table.snapshot_dataset(where=where)) == \
             _rows(_exact(lake, where)), f"cutoff {cut_us}"
+
+
+def test_snapshot_cli_columns(lake, tmp_path):
+    """`snapshot --columns` projects the export; predicate columns are
+    read for --where without being exported; unknown names exit 2."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from conftest import run_cli as run
+
+    lake_root = lake.lake_root
+    out_dir = str(tmp_path / "snapcols")
+    r = run("snapshot", "--lake", lake_root, "--out", out_dir,
+            "--columns", "url", "--where", "lang==fr")
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["prune"]["files_checked"] > 0
+    got = pq.read_table(out_dir)
+    assert got.column_names == ["url"]
+    assert sorted(got["url"].to_pylist()) == ["https://p/0", "https://p/5"]
+
+    r = run("snapshot", "--lake", lake_root, "--out", str(tmp_path / "badc"),
+            "--columns", "url,nosuch", expect=2)
+    assert "nosuch" in r.stderr
+
+
+def test_egress_cli_where_and_columns(lake, tmp_path):
+    """`egress --where/--columns`: filtered + projected change stream.
+    Tombstones carry only key+order columns, so a non-key conjunct drops
+    them (documented SQL null semantics) while a key conjunct keeps them."""
+    import glob
+    import json
+    import os
+
+    from conftest import run_cli as run
+
+    lake_root = lake.lake_root
+
+    def rows(out_dir):
+        lines = []
+        for p in glob.glob(os.path.join(out_dir, "*.jsonl")):
+            with open(p) as f:
+                lines += [json.loads(ln) for ln in f if ln.strip()]
+        return lines
+
+    out1 = str(tmp_path / "eg1")
+    run("egress", "--lake", lake_root, "--epoch", "1", "--out", out1,
+        "--where", "lang==fr", "--columns", "url,lang")
+    got = rows(out1)
+    assert sorted(r["url"] for r in got) == ["https://p/0", "https://p/5"]
+    assert all(set(r) == {"url", "lang"} for r in got)
+
+    # epoch 2 is a delete: its tombstone has a null lang, so a lang
+    # conjunct drops it...
+    out2 = str(tmp_path / "eg2")
+    run("egress", "--lake", lake_root, "--epoch", "2", "--out", out2,
+        "--where", "lang==fr")
+    assert rows(out2) == []
+    # ...while the KEY conjunct keeps the delete flowing
+    out3 = str(tmp_path / "eg3")
+    run("egress", "--lake", lake_root, "--epoch", "2", "--out", out3,
+        "--where", "url==https://p/9")
+    assert [r["url"] for r in rows(out3)] == ["https://p/9"]
+
+    r = run("egress", "--lake", lake_root, "--epoch", "1",
+            "--out", str(tmp_path / "bade"), "--where", "nosuch==1",
+            expect=2)
+    assert "nosuch" in r.stderr
+
+
+def test_diff_cli_where(lake, tmp_path):
+    """`diff --where` filters the diff rows (payload-column conjuncts)."""
+    import glob
+    import json
+    import os
+
+    from conftest import run_cli as run
+
+    out = str(tmp_path / "d1")
+    run("diff", "--lake", lake.lake_root, "--from", "0", "--to", "2",
+        "--out", out, "--where", "lang==fr")
+    lines = []
+    for p in glob.glob(os.path.join(out, "*.jsonl")):
+        with open(p) as f:
+            lines += [json.loads(ln) for ln in f if ln.strip()]
+    assert sorted(r["url"] for r in lines) == ["https://p/0", "https://p/5"]
