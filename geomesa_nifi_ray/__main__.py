@@ -70,6 +70,18 @@ def _parse_where(exprs: list[str]) -> list[tuple]:
     return out
 
 
+def _parse_columns(arg: str | None) -> list[str] | None:
+    """Parse a ``--columns a,b,c`` flag; None when absent. A flag that
+    yields NO names (``--columns ','``) is a user error, never a silent
+    empty projection (which would export a 0-column dataset with exit 0)."""
+    if arg is None:
+        return None
+    cols = [c.strip() for c in arg.split(",") if c.strip()]
+    if not cols:
+        raise ValueError(f"--columns {arg!r}: no column names given")
+    return cols
+
+
 def _ray_session(num_cpus: int | None):
     import ray
 
@@ -367,12 +379,11 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         pcols = ([c.strip() for c in args.partition_by.split(",") if c.strip()]
                  if args.partition_by else None)
-        cols = ([c.strip() for c in args.columns.split(",") if c.strip()]
-                if args.columns else None)
         try:
             # KeyError (unknown --where/--columns name) is a user error
             # only in THIS step; a KeyError out of the export path below
             # would be an internal bug and must keep its traceback
+            cols = _parse_columns(args.columns)
             where = _parse_where(args.where) if args.where else None
             ds = t.snapshot_dataset(epoch=args.epoch, where=where,
                                     columns=cols)
@@ -400,22 +411,22 @@ def main(argv: list[str] | None = None) -> int:
         from geomesa_nifi_ray.lake import LakeTable
 
         t = LakeTable.load(args.lake, "pages")
-        cols = ([c.strip() for c in args.columns.split(",") if c.strip()]
-                if args.columns else None)
+        if args.epoch not in t.manifest_epochs():
+            print(f"error: no manifest for epoch {args.epoch}; committed "
+                  f"epochs are {t.manifest_epochs()}", file=sys.stderr)
+            return 2
         try:
-            # validate user input HERE (validate_where is idempotent, so
-            # egress_epoch re-normalizing the result is a no-op); export
-            # errors below keep their tracebacks
+            # validate user input HERE with the same callables
+            # egress_epoch re-runs (both idempotent — one implementation,
+            # no drift); export errors below keep their tracebacks
+            from geomesa_nifi_ray.export import validate_egress_projection
+            from geomesa_nifi_ray.lake import validate_where
+
+            cols = _parse_columns(args.columns)
             where = _parse_where(args.where) if args.where else None
             if where is not None:
-                from geomesa_nifi_ray.lake import validate_where
-
                 where = validate_where(t.schema, where)
-            if cols:
-                unknown = [c for c in cols if c not in t.schema.names]
-                if unknown:
-                    raise KeyError(f"egress column(s) {unknown} not in "
-                                   f"the stored schema")
+            validate_egress_projection(t, cols)
         except KeyError as e:
             print(f"error: {e.args[0]}", file=sys.stderr)
             return 2
@@ -438,19 +449,14 @@ def main(argv: list[str] | None = None) -> int:
 
         t = LakeTable.load(args.lake, "pages")
         try:
-            # user-input validation only; export errors below keep their
-            # tracebacks (same split as the snapshot command)
+            # user-input validation ONLY (KeyError here = unknown --where
+            # column); the dataset build + export below keep tracebacks
+            # for internal KeyErrors (same split as snapshot/egress)
             where = _parse_where(args.where) if args.where else None
-            ds = t.epoch_diff_dataset(args.epoch_a, args.epoch_b)
             if where is not None:
-                from geomesa_nifi_ray.lake import (predicate_mask,
-                                                   validate_where)
+                from geomesa_nifi_ray.lake import validate_where
 
-                wnorm = validate_where(t.schema, where)
-                ds = ds.map_batches(
-                    lambda b, w=tuple(wnorm): b.filter(
-                        predicate_mask(b, list(w))),
-                    batch_format="pyarrow")
+                where = validate_where(t.schema, where)
         except KeyError as e:
             print(f"error: {e.args[0]}", file=sys.stderr)
             return 2
@@ -458,6 +464,11 @@ def main(argv: list[str] | None = None) -> int:
             print(f"error: {e}", file=sys.stderr)
             return 2
         try:
+            ds = t.epoch_diff_dataset(args.epoch_a, args.epoch_b)
+            if where is not None:
+                from geomesa_nifi_ray.lake import apply_where_dataset
+
+                ds = apply_where_dataset(ds, t.schema, where)
             out = export_dataset(ds, args.out, format=args.format)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
@@ -469,8 +480,8 @@ def main(argv: list[str] | None = None) -> int:
         from geomesa_nifi_ray.lake import LakeTable
 
         t = LakeTable.load(args.lake, "pages")
-        cols = args.columns.split(",") if args.columns else None
         try:
+            cols = _parse_columns(args.columns)
             hit = t.lookup_keys(args.key, columns=cols, epoch=args.epoch)
         except KeyError as e:
             # schema.field on an unknown --columns name raises KeyError

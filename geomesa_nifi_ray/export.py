@@ -242,24 +242,28 @@ def egress_epoch(table, epoch: int, out_dir: str, format: str = "jsonl",
     null semantics apply: a maintenance tombstone carries only key+order
     columns, so a conjunct on any other column drops it — filter on the
     key column to keep a keyed consumer's deletes flowing."""
-    from geomesa_nifi_ray.lake import predicate_mask, validate_where
+    from geomesa_nifi_ray.lake import apply_where_dataset
 
-    if columns:
-        # fail on the driver, not as a RayTaskError out of the select task
-        unknown = [c for c in columns if c not in table.schema.names]
-        if unknown:
-            raise KeyError(f"egress column(s) {unknown} not in the stored "
-                           f"schema")
+    validate_egress_projection(table, columns)
     ds = table.epoch_changes_dataset(epoch)
     if where is not None:
-        wnorm = validate_where(table.schema, where)
-        ds = ds.map_batches(
-            lambda t, w=tuple(wnorm): t.filter(predicate_mask(t, list(w))),
-            batch_format="pyarrow")
+        ds = apply_where_dataset(ds, table.schema, where)
     if columns:
         ds = ds.map_batches(lambda t, c=tuple(columns): t.select(list(c)),
                             batch_format="pyarrow")
     return export_dataset(ds, out_dir, format=format, gzip=gzip)
+
+
+def validate_egress_projection(table, columns: list[str] | None) -> None:
+    """Driver-side check for an egress column projection (fail here, not
+    as a RayTaskError out of the select task). ONE implementation — the
+    CLI calls it inside its user-error scope and ``egress_epoch`` calls
+    it again (idempotent), so the wording/rules can never drift."""
+    if columns:
+        unknown = [c for c in columns if c not in table.schema.names]
+        if unknown:
+            raise KeyError(f"egress column(s) {unknown} not in the stored "
+                           f"schema")
 
 
 def export_dataset(ds, out_dir: str, format: str = "parquet", gzip: bool = False,

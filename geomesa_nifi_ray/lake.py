@@ -177,6 +177,18 @@ def predicate_mask(table: pa.Table, where: list[tuple]):
     return pc.fill_null(mask, False)
 
 
+def apply_where_dataset(ds, schema: pa.Schema, where):
+    """Exact predicate filter over a Dataset of ``schema``-shaped batches:
+    validate the spec ONCE on the driver (KeyError/ValueError raise here,
+    eagerly), then filter each batch with :func:`predicate_mask`. The one
+    filter stage shared by every change-stream consumer (egress, diff CLI)
+    — the snapshot scan has its own fused path that also prunes chains."""
+    wnorm = tuple(validate_where(schema, where))
+    return ds.map_batches(
+        lambda b, w=wnorm: b.filter(predicate_mask(b, list(w))),
+        batch_format="pyarrow")
+
+
 def _stat_range(st, typ):
     """Decode one row group's (min, max) statistics for a column, or None
     when the stats can't be trusted — absent, truncation-suspect (near

@@ -257,6 +257,12 @@ def test_snapshot_cli_columns(lake, tmp_path):
             "--columns", "url,nosuch", expect=2)
     assert "nosuch" in r.stderr
 
+    # separator-only --columns is a user error, never a silent 0-column
+    # export with exit 0
+    r = run("snapshot", "--lake", lake_root, "--out", str(tmp_path / "badc2"),
+            "--columns", ",", expect=2)
+    assert "no column names" in r.stderr
+
 
 def test_egress_cli_where_and_columns(lake, tmp_path):
     """`egress --where/--columns`: filtered + projected change stream.
@@ -300,6 +306,12 @@ def test_egress_cli_where_and_columns(lake, tmp_path):
             "--out", str(tmp_path / "bade"), "--where", "nosuch==1",
             expect=2)
     assert "nosuch" in r.stderr
+
+    # a nonexistent epoch is the likeliest user error: clean exit 2, not
+    # a FileNotFoundError traceback out of the manifest read
+    r = run("egress", "--lake", lake_root, "--epoch", "99",
+            "--out", str(tmp_path / "bade2"), expect=2)
+    assert "no manifest for epoch 99" in r.stderr
 
 
 def test_diff_cli_where(lake, tmp_path):
