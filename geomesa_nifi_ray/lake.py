@@ -97,13 +97,18 @@ def merge_chain_tables(tables, schema: pa.Schema, key: str, order: list[str]) ->
 
 
 def read_chain_tables(lake_fs, files: list[str],
-                      wanted_cols: tuple[str, ...] | list[str]) -> list:
+                      wanted_cols: tuple[str, ...] | list[str] | None,
+                      ) -> list:
     """Read one bucket chain's files projected to ``wanted_cols`` (plus
-    ``TOMB_COLUMN`` wherever a delta file carries it), ready for
-    :func:`merge_chain_tables`. Shared by the derived-view readers so the
+    ``TOMB_COLUMN`` wherever a delta file carries it; ``None`` reads every
+    column), ready for :func:`merge_chain_tables`. Shared by the
+    derived-view readers AND the snapshot chain scan so the
     tombstone-aware projection rule lives in exactly one place."""
     tabs = []
     for f in files:
+        if wanted_cols is None:
+            tabs.append(lake_fs.read_parquet(f))
+            continue
         names = set(lake_fs.read_parquet_schema(f).names)
         cols = [c for c in wanted_cols if c in names]
         if TOMB_COLUMN in names:
@@ -350,7 +355,15 @@ class LakeFS:
             total = md.num_row_groups
             if key not in names or total <= 1:
                 return pf.read(columns=columns), total, total
-            kidx = names.index(key)
+            # row-group column index = parquet LEAF index, which diverges
+            # from arrow-schema position once any nested column precedes
+            # the key (a struct expands to multiple leaves) — same rule as
+            # parquet_file_could_match; an unmapped key never prunes
+            leaf = {md.schema.column(j).path: j
+                    for j in range(md.num_columns)}
+            kidx = leaf.get(key)
+            if kidx is None:
+                return pf.read(columns=columns), total, total
             ktype = pf.schema_arrow.field(key).type
             keep = []
             for i in range(total):
@@ -1222,22 +1235,17 @@ class LakeTable:
         chains = [
             [self.abs_path(f) for f in self.chain_files(e)] for e in entries.values()
         ]
-        full_schema = self.schema
+        base = pa.schema([f for f in self.schema
+                          if read_cols is None or f.name in read_cols])
         fs = self.fs
 
         def read_chain(batch: pa.Table) -> pa.Table:
             out = []
-            for idx in batch["chain"].to_pylist():
-                tabs = []
-                for p in chains[idx]:
-                    names = set(fs.read_parquet_schema(p).names)
-                    cols_p = (None if read_cols is None
-                              else [c for c in read_cols if c in names])
-                    if cols_p is not None and TOMB_COLUMN in names:
-                        cols_p = cols_p + [TOMB_COLUMN]
-                    tabs.append(fs.read_parquet(p, columns=cols_p))
-                base = pa.schema([f for f in full_schema
-                                  if read_cols is None or f.name in read_cols])
+            # the control table carries each task's OWN chain file list —
+            # nothing captures the full O(P x files) path list (the
+            # sliced-shipping rule prune_chains already follows)
+            for files in batch["chain_files"].to_pylist():
+                tabs = read_chain_tables(fs, files, read_cols)
                 merged = merge_chain_tables(tabs, base, key, order)
                 if wnorm is not None:
                     # exact filter on the MERGED winners (the predicate
@@ -1251,7 +1259,8 @@ class LakeTable:
         import ray.data
 
         control = ray.data.from_arrow(
-            pa.table({"chain": pa.array(range(len(chains)), type=pa.int64())})
+            pa.table({"chain_files": pa.array(chains,
+                                              type=pa.list_(pa.string()))})
         ).repartition(len(chains))
         return control.map_batches(read_chain, batch_format="pyarrow")
 
