@@ -206,6 +206,17 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
         key_tfn = None
 
     def convert(batch: pa.Table) -> pa.Table:
+        # payload-less producers (e.g. delete-only streams) may omit
+        # contract columns entirely — deletes carry no payload by
+        # contract, and merge_schemas already admits missing columns.
+        # Normalize to all-null so validity/dead-letter accounting sees
+        # the standard shape instead of a KeyError inside the Ray task.
+        # ALL order columns must exist too: lww_dedupe reads each of them
+        # even for rows that passed the key/ts/html validity check.
+        for c in (key, *order, "html"):
+            if c not in batch.column_names:
+                batch = batch.append_column(
+                    c, pa.nulls(batch.num_rows, stored_schema.field(c).type))
         if key_tfn is not None:
             kcol = key_tfn(batch[key])
             batch = batch.set_column(batch.column_names.index(key),
@@ -269,12 +280,10 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
 
             urls = dead[key].to_pylist()
             buckets = bucket_ids([u if u is not None else "" for u in urls], num_buckets)
+            # key-only skeleton; projection null-fills the payload columns
+            # (bucket/_dead would be dropped by it, so append them after)
             skel = pa.table(
-                {
-                    key: pa.array(urls, type=stored_schema.field(key).type),
-                    "bucket": pa.array(buckets, type=pa.int32()),
-                    "_dead": pa.array(np.ones(len(urls), dtype=np.int8)),
-                }
+                {key: pa.array(urls, type=stored_schema.field(key).type)}
             )
             skel = project_to_schema(skel, stored_schema)
             skel = skel.append_column("bucket", pa.array(buckets, type=pa.int32()))
@@ -328,6 +337,13 @@ def make_generic_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str
         key_tfn = None
 
     def convert(batch: pa.Table) -> pa.Table:
+        # same missing-column normalization as the page converter: an
+        # input omitting key/order columns dead-letters its rows (null
+        # never validates) instead of KeyError-ing the Ray task
+        for c in (key, *order):
+            if c not in batch.column_names:
+                batch = batch.append_column(
+                    c, pa.nulls(batch.num_rows, stored_schema.field(c).type))
         if key_tfn is not None:
             kcol = key_tfn(batch[key])
             batch = batch.set_column(batch.column_names.index(key),
@@ -575,10 +591,18 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
             ch_pd = combined.select(min_cols + [TOMB_COLUMN]).to_pandas()
             j = ch_pd.merge(cur_pd, on=key, how="left", suffixes=("", "_cur"))
             have = j[f"{order[0]}_cur"].notna().to_numpy()
-            ge = lex_ge(
-                [j[c].to_numpy() for c in order],
-                [j[f"{c}_cur"].to_numpy() for c in order],
-            )
+            # string-typed order columns: a new key's left join leaves
+            # float NaN in the object-dtype _cur column and str>float
+            # raises in lex_ge. Fill with "" (loses to every real value,
+            # the _order_arrays verdict); the rows are ~have-masked below
+            # anyway. Numeric/timestamp NaN/NaT compare False natively.
+            b_cols = []
+            for c in order:
+                bc = j[f"{c}_cur"]
+                if bc.dtype == object and not have.all():
+                    bc = bc.fillna("")
+                b_cols.append(bc.to_numpy())
+            ge = lex_ge([j[c].to_numpy() for c in order], b_cols)
             wins = ~have | ge  # ties go to the change row (concat-order parity)
             w_tomb = j[TOMB_COLUMN].to_numpy() == 1
             cur_tomb_raw = j[f"{TOMB_COLUMN}_cur"].to_numpy()
@@ -891,6 +915,24 @@ def _alive_node_count() -> int:
         return 1
 
 
+def merge_bucket_runs(t: pa.Table, merge_fn) -> pa.Table:
+    """Stable-sort a mixed-bucket table by its ``bucket`` column and apply
+    ``merge_fn`` to each contiguous bucket run, concatenating the outputs.
+    The shared tail of every exchange strategy's merge task (tiny, split
+    one-wave, split two-wave). Caller guards the empty-input case."""
+    import numpy as np
+
+    b = t["bucket"].to_numpy(zero_copy_only=False)
+    idx = np.argsort(b, kind="stable")
+    t = t.take(pa.array(idx))
+    bs = b[idx]
+    bounds = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1], True])
+    return pa.concat_tables([
+        merge_fn(t.slice(s0, s1 - s0))
+        for s0, s1 in zip(bounds[:-1], bounds[1:])
+    ])
+
+
 class RefBlocks:
     """A pre-converted epoch held as raw plasma block refs (one per input
     file), produced by the pipelined replay's task-based conversion path.
@@ -940,7 +982,7 @@ def run_split_exchange(converted_mat, merge_bucket, num_buckets: int,
             else converted_mat.to_arrow_refs())
     G = max(1, min(num_groups, num_buckets))
 
-    single_node = len([n for n in ray.nodes() if n.get("Alive")]) <= 1
+    single_node = _alive_node_count() <= 1
     if single_node:
         # One wave: every group task maps the SAME plasma blocks (shared
         # memory, zero-copy on one node) and slices out its bucket range —
@@ -962,16 +1004,7 @@ def run_split_exchange(converted_mat, merge_bucket, num_buckets: int,
                     parts.append(blk.filter(pa.array(m)))
             if not parts:
                 return None
-            t = pa.concat_tables(parts)
-            b = t["bucket"].to_numpy(zero_copy_only=False)
-            idx = _np.argsort(b, kind="stable")
-            t = t.take(pa.array(idx))
-            bs = b[idx]
-            bounds = _np.flatnonzero(_np.r_[True, bs[1:] != bs[:-1], True])
-            outs = []
-            for s0, s1 in zip(bounds[:-1], bounds[1:]):
-                outs.append(merge_bucket(t.slice(s0, s1 - s0)))
-            return pa.concat_tables(outs)
+            return merge_bucket_runs(pa.concat_tables(parts), merge_bucket)
 
         results = ray.get([merge_group_direct.remote(gi, refs) for gi in range(G)])
         out = []
@@ -999,22 +1032,12 @@ def run_split_exchange(converted_mat, merge_bucket, num_buckets: int,
 
     @ray.remote
     def merge_group(part_refs):
-        import numpy as _np
         import ray as _ray
 
         tables = [t for t in _ray.get(list(part_refs)) if t.num_rows]
         if not tables:
             return None
-        t = pa.concat_tables(tables)
-        b = t["bucket"].to_numpy(zero_copy_only=False)
-        idx = _np.argsort(b, kind="stable")
-        t = t.take(pa.array(idx))
-        bs = b[idx]
-        bounds = _np.flatnonzero(_np.r_[True, bs[1:] != bs[:-1], True])
-        outs = []
-        for s0, s1 in zip(bounds[:-1], bounds[1:]):
-            outs.append(merge_bucket(t.slice(s0, s1 - s0)))
-        return pa.concat_tables(outs)
+        return merge_bucket_runs(pa.concat_tables(tables), merge_bucket)
 
     results = ray.get([
         merge_group.remote([parts[i][gi] for i in range(len(parts))])
@@ -1205,6 +1228,21 @@ class CDCEngine:
         any single bucket-merge task receives. Off by default."""
         import ray.data
 
+        # explicit exchange requests are honored or rejected, never
+        # silently downgraded (a caller benchmarking the multi-node path
+        # must not unknowingly measure the sort exchange)
+        if exchange not in (None, "sort", "late", "split"):
+            raise ValueError(f"unknown exchange {exchange!r}; "
+                             "one of 'sort', 'late', 'split'")
+        if exchange in ("late", "split") and salted_reduce:
+            raise ValueError(
+                f"exchange={exchange!r} cannot combine with salted_reduce "
+                "(the salted pre-reduce is a sort-exchange strategy)")
+        if exchange == "late" and mode != "upsert":
+            raise ValueError(
+                "exchange='late' requires mode='upsert': update merges "
+                "need every change row, not just per-key winners")
+
         committed = self.table.committed_epoch()
         if committed is not None and epoch <= committed:
             logger.info("epoch %d already committed; skipping", epoch)
@@ -1261,6 +1299,19 @@ class CDCEngine:
             incoming_schema = pa.schema(ds.schema().base_schema)
             # a descriptor row count skips the extra count() execution
             rows_in = rows_hint if rows_hint is not None else ds.count()
+
+        # per-row _mode directives are incompatible with the late
+        # exchange's keys-only winner collapse: an older upsert row under
+        # a newer update row for the same key would be dropped before the
+        # merge ever sees it (the sort/split/tiny paths deliver BOTH rows
+        # to merge_bucket, which inserts then coalesces). Reject BEFORE
+        # schema reconciliation: a refused epoch must not evolve the
+        # stored schema as a side effect.
+        row_modes = MODE_COLUMN in incoming_schema.names
+        if exchange == "late" and row_modes:
+            raise ValueError(
+                "exchange='late' cannot honor per-row _mode directives; "
+                "use the sort or split exchange for _mode-carrying epochs")
 
         # schema reconciliation, once per epoch on the driver (§1.3)
         merge = merge_schemas(
@@ -1330,11 +1381,10 @@ class CDCEngine:
         # 8 x batch x P rows (~2M at defaults) keeps group-merge tasks'
         # memory bounded; bigger epochs take the sort/late exchange.
         split_epoch = (
-            not tiny_epoch
-            and not salted_reduce
+            not salted_reduce
             and (
-                exchange == "split"
-                or (exchange is None
+                exchange == "split"   # explicit split always runs split
+                or (exchange is None and not tiny_epoch
                     and rows_in <= 8 * batch_size * self.table.num_buckets)
             )
         )
@@ -1344,7 +1394,8 @@ class CDCEngine:
         # the late exchange (network = O(keys + deduped winners)) exists to
         # prevent. Single node keeps sort (plasma makes it near-zero-copy
         # and it measures fastest); explicit exchange= always wins.
-        use_late = mode == "upsert" and not salted_reduce and (
+        use_late = (mode == "upsert" and not salted_reduce
+                    and not row_modes) and (
             exchange == "late"
             or (exchange is None and not tiny_epoch and not split_epoch
                 and _alive_node_count() > 1)
@@ -1368,20 +1419,10 @@ class CDCEngine:
             # whole (tiny) epoch, groups by bucket in-memory and runs the
             # same per-bucket merges serially — identical results, minimal
             # latency per commit.
-            import numpy as np
-
             def merge_all(t: pa.Table) -> pa.Table:
                 if t.num_rows == 0:
                     return pa.table({})
-                b = t["bucket"].to_numpy(zero_copy_only=False)
-                idx = np.argsort(b, kind="stable")
-                t = t.take(pa.array(idx))
-                bs = b[idx]
-                bounds = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1], True])
-                outs = []
-                for s0, s1 in zip(bounds[:-1], bounds[1:]):
-                    outs.append(merger(t.slice(s0, s1 - s0)))
-                return pa.concat_tables(outs)
+                return merge_bucket_runs(t, merger)
 
             if isinstance(converted, RefBlocks):
                 import ray as _ray
@@ -1620,6 +1661,12 @@ class CDCEngine:
                 ch = src_table.epoch_changes_dataset(e, include_ops=True)
                 if drop_hash:
                     ch = ch.drop_columns(["content_hash"])
+                # materialize once: apply_epoch's rows_in count() would
+                # otherwise execute the lazy change scan a FIRST time and
+                # the convert/exchange a SECOND — double the per-epoch
+                # source IO (the same trap delete_where documents). The
+                # change set is O(changes), safely object-store resident.
+                ch = ch.materialize()
                 r = self.apply_epoch(
                     ch, epoch=e,
                     offset_range=(int(m["offset_min"]),
@@ -1722,7 +1769,8 @@ class CDCEngine:
         return self.delete_where(lambda b: pc.less(b[ts_col], lit),
                                  columns=[], epoch=epoch)
 
-    def rewrite_epoch(self, fn, epoch: int | None = None) -> EpochResult:
+    def rewrite_epoch(self, fn, epoch: int | None = None,
+                      ) -> EpochResult | None:
         """Lake-wide rewrite as a new epoch: apply a batch function to every
         live bucket and commit the result atomically (the UPDATE-WHERE /
         backfill / update-by-attribute path — the reference's modify-writer
@@ -1750,6 +1798,14 @@ class CDCEngine:
             raise SchemaError("cannot rewrite an empty table")
         if epoch is None:
             epoch = committed + 1
+        elif epoch <= committed:
+            # exactly-once retry (same contract as delete_keys/truncate):
+            # a re-run after a committed rewrite must NOT re-apply fn to
+            # the post-rewrite state — that would overwrite the committed
+            # epoch's bucket files with fn(fn(x)) while commit_epoch
+            # silently skips, corrupting the manifest's digests
+            logger.info("epoch %d already committed; skipping rewrite", epoch)
+            return None
         table = self.table
         sink = self.sink
         stored_schema = table.schema
@@ -1769,10 +1825,14 @@ class CDCEngine:
                 )
                 base = base.take(pc.sort_indices(base, sort_keys=[(key, "ascending")]))
                 new = project_to_schema(fn(base), stored_schema)
-                keys_equal = new.num_rows == base.num_rows and bool(
-                    pc.all(pc.equal(
+                # pc.all over an EMPTY comparison is null (-> bool None is
+                # False): a fully-deleted bucket (0 visible rows) must not
+                # abort a lake-wide rewrite with a spurious key error
+                keys_equal = new.num_rows == base.num_rows and (
+                    base.num_rows == 0
+                    or pc.all(pc.equal(
                         new[key].combine_chunks(), base[key].combine_chunks()
-                    )).as_py()
+                    )).as_py() is True
                 )
                 if not keys_equal:
                     raise SchemaError("rewrite must not alter the key column")

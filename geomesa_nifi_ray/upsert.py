@@ -74,7 +74,13 @@ def _order_arrays(table: pa.Table, order: list[str]) -> list[np.ndarray]:
 
 def lww_indices(table: pa.Table, key: str, order: list[str]) -> np.ndarray:
     """Row indices of the per-key winners under max-(order cols) with input
-    position as the final tiebreak (later physical row wins exact ties)."""
+    position as the final tiebreak (later physical row wins exact ties).
+    Total on empty input (the key-pruned chain read legitimately returns 0
+    rows when an epoch's keys all fall outside every row-group range —
+    np.r_[...] would otherwise emit a length-1 mask against a length-0
+    index and crash the merge task)."""
+    if table.num_rows == 0:
+        return np.empty(0, dtype=np.int64)
     codes = _key_codes(table[key])
     ords = _order_arrays(table, order)
     # np.lexsort: last key is primary. Sort by (key, order..., position);
