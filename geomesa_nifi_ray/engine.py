@@ -212,9 +212,11 @@ def make_convert_fn(stored_schema: pa.Schema, num_buckets: int, key: str,
         # Normalize to all-null so validity/dead-letter accounting sees
         # the standard shape instead of a KeyError inside the Ray task.
         # ALL order columns must exist too: lww_dedupe reads each of them
-        # even for rows that passed the key/ts/html validity check.
-        for c in (key, *order, "html"):
-            if c not in batch.column_names:
+        # even for rows that passed the key/ts/html validity check. The
+        # validity check below also reads the contract's warc_ts even when
+        # a custom order= leaves it out, so normalize it as well.
+        for c in dict.fromkeys((key, *order, "warc_ts", "html")):
+            if c not in batch.column_names and c in stored_schema.names:
                 batch = batch.append_column(
                     c, pa.nulls(batch.num_rows, stored_schema.field(c).type))
         if key_tfn is not None:
@@ -442,7 +444,7 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
     import pandas as pd
     import ray
 
-    from geomesa_nifi_ray.upsert import lex_ge, lww_indices
+    from geomesa_nifi_ray.upsert import _fill_order_lose, lex_ge, lww_indices
 
     if sink is None:
         from geomesa_nifi_ray.sinks import ParquetLakeSink
@@ -591,18 +593,20 @@ def make_bucket_merger(table: LakeTable, epoch: int, live: dict[int, dict],
             ch_pd = combined.select(min_cols + [TOMB_COLUMN]).to_pandas()
             j = ch_pd.merge(cur_pd, on=key, how="left", suffixes=("", "_cur"))
             have = j[f"{order[0]}_cur"].notna().to_numpy()
-            # string-typed order columns: a new key's left join leaves
-            # float NaN in the object-dtype _cur column and str>float
-            # raises in lex_ge. Fill with "" (loses to every real value,
-            # the _order_arrays verdict); the rows are ~have-masked below
-            # anyway. Numeric/timestamp NaN/NaT compare False natively.
-            b_cols = []
+            # Null order values must LOSE to every real value and tie with
+            # each other (the _order_arrays verdict, so the delta and
+            # full-merge paths agree) — on BOTH join sides: the left join
+            # leaves NaN under new keys, and secondary string/nullable
+            # order columns (e.g. order=('warc_ts','lang')) can be null on
+            # either side even when every key already exists (have.all()).
+            # Unfilled, str-vs-NaN/None raises TypeError in lex_ge;
+            # numeric NaN compares False asymmetrically (stored-null would
+            # spuriously beat a real change value).
+            a_cols, b_cols = [], []
             for c in order:
-                bc = j[f"{c}_cur"]
-                if bc.dtype == object and not have.all():
-                    bc = bc.fillna("")
-                b_cols.append(bc.to_numpy())
-            ge = lex_ge([j[c].to_numpy() for c in order], b_cols)
+                a_cols.append(_fill_order_lose(j[c]))
+                b_cols.append(_fill_order_lose(j[f"{c}_cur"]))
+            ge = lex_ge(a_cols, b_cols)
             wins = ~have | ge  # ties go to the change row (concat-order parity)
             w_tomb = j[TOMB_COLUMN].to_numpy() == 1
             cur_tomb_raw = j[f"{TOMB_COLUMN}_cur"].to_numpy()
@@ -1308,6 +1312,14 @@ class CDCEngine:
         # schema reconciliation: a refused epoch must not evolve the
         # stored schema as a side effect.
         row_modes = MODE_COLUMN in incoming_schema.names
+        if (not row_modes and isinstance(source, (str, list))
+                and len(files) > 1):
+            # parts convert file-by-file (pipelined replay preserves each
+            # part's own columns), so a _mode column in ANY part — not
+            # just part 0's footer — must veto the keys-only late collapse
+            # (~5 ms per extra footer read, multi-part epochs only)
+            row_modes = any(
+                MODE_COLUMN in pq.read_schema(p).names for p in files[1:])
         if exchange == "late" and row_modes:
             raise ValueError(
                 "exchange='late' cannot honor per-row _mode directives; "
@@ -1661,12 +1673,19 @@ class CDCEngine:
                 ch = src_table.epoch_changes_dataset(e, include_ops=True)
                 if drop_hash:
                     ch = ch.drop_columns(["content_hash"])
-                # materialize once: apply_epoch's rows_in count() would
-                # otherwise execute the lazy change scan a FIRST time and
-                # the convert/exchange a SECOND — double the per-epoch
-                # source IO (the same trap delete_where documents). The
-                # change set is O(changes), safely object-store resident.
-                ch = ch.materialize()
+                if m.get("mode") != "rewrite":
+                    # materialize once: apply_epoch's rows_in count() would
+                    # otherwise execute the lazy change scan a FIRST time
+                    # and the convert/exchange a SECOND — double the
+                    # per-epoch source IO (the same trap delete_where
+                    # documents). A non-rewrite change set is O(changes),
+                    # safely object-store resident. A rewrite, by contrast,
+                    # egresses as a FULL re-broadcast of every live row:
+                    # materialize() would pin O(table) in plasma, so stream
+                    # it and eat the extra count() scan (two streaming
+                    # passes, zero pinning) — rewrites are rare maintenance
+                    # epochs.
+                    ch = ch.materialize()
                 r = self.apply_epoch(
                     ch, epoch=e,
                     offset_range=(int(m["offset_min"]),

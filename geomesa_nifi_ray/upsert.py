@@ -72,6 +72,28 @@ def _order_arrays(table: pa.Table, order: list[str]) -> list[np.ndarray]:
     return out
 
 
+def _fill_order_lose(s) -> np.ndarray:
+    """Pandas-side twin of :func:`_order_arrays`: fill a joined order
+    column's nulls so they LOSE to every real value and tie with each
+    other — object dtype -> "", datetime -> Timestamp.min, numeric (ints
+    upcast to float by a left join's NaN) -> -inf. Keeps the delta-merge
+    ``lex_ge`` verdict identical to the full-merge ``np.lexsort`` verdict
+    for null order values on either side of the join."""
+    if not s.isna().any():
+        return s.to_numpy()
+    if s.dtype == object:
+        return s.fillna("").to_numpy()
+    import pandas as pd
+
+    if pd.api.types.is_datetime64_any_dtype(s.dtype):
+        lo = pd.Timestamp.min
+        tz = getattr(s.dtype, "tz", None)
+        if tz is not None:
+            lo = lo.tz_localize("UTC").tz_convert(tz)
+        return s.fillna(lo).to_numpy()
+    return s.fillna(-np.inf).to_numpy()
+
+
 def lww_indices(table: pa.Table, key: str, order: list[str]) -> np.ndarray:
     """Row indices of the per-key winners under max-(order cols) with input
     position as the final tiebreak (later physical row wins exact ties).
