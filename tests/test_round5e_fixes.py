@@ -96,6 +96,42 @@ def test_null_string_order_existing_keys_delta_merge(ray_session, tmp_path):
     assert langs["https://n/1"] == "fr" and langs["https://n/2"] == "en"
 
 
+def test_nullable_order_delta_matches_full_merge(ray_session, tmp_path):
+    """Randomized equivalence: with a NULLABLE secondary order column
+    (order=('warc_ts','lang'), lang sometimes null) and heavy key/ts
+    collisions, the delta path (max_deltas=4) and the full-merge path
+    (max_deltas=0) must produce identical snapshots — the two null-order
+    verdicts (_order_arrays lexsort vs _fill_order_lose+lex_ge) agree."""
+    import random
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    rng = random.Random(77)
+    epochs = []
+    off = 0
+    for _ in range(4):
+        n = 120
+        urls = [f"https://p/{rng.randrange(40)}" for _ in range(n)]
+        ts = [1_000_000 + rng.randrange(6) for _ in range(n)]  # force ties
+        langs = [rng.choice([None, "aa", "bb"]) for _ in range(n)]
+        t = _pages_table(urls, ts, list(range(off, off + n)), lang=langs)
+        epochs.append((t, (off, off + n - 1)))
+        off += n
+
+    snaps = []
+    for label, md in [("delta", 4), ("full", 0)]:
+        eng = CDCEngine(str(tmp_path / f"lk_{label}"), num_buckets=4,
+                        max_deltas=md, order=("warc_ts", "lang"))
+        for i, (t, rng_off) in enumerate(epochs):
+            eng.apply_epoch(ray.data.from_arrow(t), epoch=i,
+                            offset_range=rng_off)
+        snap = eng.table.snapshot_table()
+        snaps.append(snap.take(pc.sort_indices(
+            snap, sort_keys=[("url", "ascending")])))
+    assert snaps[0].equals(snaps[1])
+
+
 # -- 3: custom-order pages engine, producer omits warc_ts --------------------
 
 def test_pages_custom_order_missing_warc_ts_dead_letters(ray_session,
