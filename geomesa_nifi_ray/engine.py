@@ -1313,11 +1313,15 @@ class CDCEngine:
         # stored schema as a side effect.
         row_modes = MODE_COLUMN in incoming_schema.names
         if (not row_modes and isinstance(source, (str, list))
-                and len(files) > 1):
+                and len(files) > 1
+                and (exchange == "late"
+                     or (exchange is None and _alive_node_count() > 1))):
             # parts convert file-by-file (pipelined replay preserves each
             # part's own columns), so a _mode column in ANY part — not
-            # just part 0's footer — must veto the keys-only late collapse
-            # (~5 ms per extra footer read, multi-part epochs only)
+            # just part 0's footer — must veto the keys-only late collapse.
+            # Only the late exchange is endangered (sort/split/tiny deliver
+            # BOTH rows to merge_bucket), so the extra footer reads (~ms
+            # per part) are paid only when late could actually be selected.
             row_modes = any(
                 MODE_COLUMN in pq.read_schema(p).names for p in files[1:])
         if exchange == "late" and row_modes:
@@ -2015,7 +2019,8 @@ class CDCEngine:
             return results
 
         # group consecutive pending epochs by input schema fingerprint
-        groups: list[list[dict]] = []
+        groups: list[list[tuple[dict, list[str]]]] = []
+        group_schemas: list[pa.Schema] = []
         last_schema = None
         for e in pending:
             files = _expand_parquet_paths(
@@ -2028,26 +2033,72 @@ class CDCEngine:
                 and sch.equals(last_schema)
                 and (max_batch_epochs is None or len(groups[-1]) < max_batch_epochs)
             ):
-                groups[-1].append(e)
+                groups[-1].append((e, files))
             else:
-                groups.append([e])
+                groups.append([(e, files)])
+                group_schemas.append(sch)
             last_schema = sch
-        for g in groups:
-            files = []
-            for e in g:
-                files.extend(e["files"] if "files" in e else [e["path"]])
-            rows_hint = (sum(int(e["rows"]) for e in g)
-                         if all("rows" in e for e in g) else None)
+        # Precompute the stored-schema timeline (deterministic, same rule
+        # apply_epoch uses) so each group can be PRE-CONVERTED with raw Ray
+        # tasks — the task-based conversion path that already carries the
+        # sequential replay (no Dataset pipeline ramp, no executor
+        # involvement for the conversion; measured in BASELINE.md
+        # "sequential vs catch-up"). Oversized part files keep the
+        # Dataset read inside apply_epoch (a task per file would
+        # under-parallelize a huge part).
+        stored = self.table.schema
+        plans = []
+        for g, gsch in zip(groups, group_schemas):
+            mr = merge_schemas(stored, gsch, self.compatibility,
+                               ignore=COMPUTED_COLUMNS + DIRECTIVE_COLUMNS)
+            stored = mr.schema
+            plans.append((g, [f for _, fls in g for f in fls], stored))
+        try:
+            use_tasks = all(
+                os.path.getsize(f) <= (64 << 20)
+                for _, fls, _ in plans for f in fls)
+        except OSError:  # non-local paths: keep the Dataset read path
+            use_tasks = False
+        bsz = apply_kwargs.get("batch_size", 8192)
+        refs_by_group: dict[int, list] = {}
+        if use_tasks:
+            import ray
+
+            convert_task = ray.remote(_convert_file)
+
+            def _submit(j: int) -> None:
+                if j < len(plans) and j not in refs_by_group:
+                    _, jfiles, jschema = plans[j]
+                    conv_ref = ray.put(self._make_convert(jschema))
+                    refs_by_group[j] = [
+                        convert_task.remote(f, conv_ref, bsz) for f in jfiles
+                    ]
+
+            _submit(0)
+        for i, (g, files, schema_after) in enumerate(plans):
+            refs = refs_by_group.pop(i, None)
+            if use_tasks:
+                # overlap the NEXT group's conversion with this group's
+                # exchange+merge (groups beyond one exist only across
+                # schema-evolution boundaries)
+                _submit(i + 1)
+            rows_hint = (sum(int(e["rows"]) for e, _ in g)
+                         if all("rows" in e for e, _ in g) else None)
             r = self.apply_epoch(
                 files,
-                epoch=int(g[-1]["epoch"]),
-                offset_range=(g[0]["offset_min"], g[-1]["offset_max"]),
+                epoch=int(g[-1][0]["epoch"]),
+                offset_range=(g[0][0]["offset_min"], g[-1][0]["offset_max"]),
                 mode=uniform_mode,
-                epochs_covered=(int(g[0]["epoch"]), int(g[-1]["epoch"])),
+                epochs_covered=(int(g[0][0]["epoch"]), int(g[-1][0]["epoch"])),
                 rows_hint=rows_hint,
+                _converted=RefBlocks(refs) if refs is not None else None,
                 **apply_kwargs,
             )
             if r is not None:
+                if refs is not None and not self.table.schema.equals(schema_after):
+                    raise SchemaError(
+                        "stored schema diverged from the precomputed timeline"
+                    )
                 results.append(r)
         return results
 
