@@ -949,6 +949,20 @@ class RefBlocks:
         self.refs = list(refs)
 
 
+_TASK_CONVERT_MAX_PART_BYTES = 64 << 20
+
+
+def _small_local_parts(paths) -> bool:
+    """True when every part file is local and modest (≤64 MB) — the gate
+    for the raw-task conversion paths (a task per oversized part would
+    under-parallelize; non-local paths keep the Dataset read)."""
+    try:
+        return all(os.path.getsize(f) <= _TASK_CONVERT_MAX_PART_BYTES
+                   for f in paths)
+    except OSError:
+        return False
+
+
 def _convert_file(path: str, convert_fn, batch_size: int) -> pa.Table:
     """One raw conversion task: read one binlog part file, run the convert
     fn per ``batch_size`` slice (same segmentation contract as
@@ -1312,10 +1326,15 @@ class CDCEngine:
         # schema reconciliation: a refused epoch must not evolve the
         # stored schema as a side effect.
         row_modes = MODE_COLUMN in incoming_schema.names
+        # probed ONCE per epoch: the footer-scan gate and the use_late
+        # auto-selection below must see the SAME node count — a node
+        # joining between two separate probes could select the late
+        # exchange with an unscanned row_modes=False
+        multi_node = _alive_node_count() > 1
         if (not row_modes and isinstance(source, (str, list))
                 and len(files) > 1
                 and (exchange == "late"
-                     or (exchange is None and _alive_node_count() > 1))):
+                     or (exchange is None and multi_node))):
             # parts convert file-by-file (pipelined replay preserves each
             # part's own columns), so a _mode column in ANY part — not
             # just part 0's footer — must veto the keys-only late collapse.
@@ -1414,7 +1433,7 @@ class CDCEngine:
                     and not row_modes) and (
             exchange == "late"
             or (exchange is None and not tiny_epoch and not split_epoch
-                and _alive_node_count() > 1)
+                and multi_node)
         )
         self.last_exchange_strategy = (
             "tiny" if (tiny_epoch and exchange is None and not salted_reduce)
@@ -2038,44 +2057,51 @@ class CDCEngine:
                 groups.append([(e, files)])
                 group_schemas.append(sch)
             last_schema = sch
-        # Precompute the stored-schema timeline (deterministic, same rule
-        # apply_epoch uses) so each group can be PRE-CONVERTED with raw Ray
-        # tasks — the task-based conversion path that already carries the
-        # sequential replay (no Dataset pipeline ramp, no executor
-        # involvement for the conversion; measured in BASELINE.md
-        # "sequential vs catch-up"). Oversized part files keep the
-        # Dataset read inside apply_epoch (a task per file would
-        # under-parallelize a huge part).
-        stored = self.table.schema
-        plans = []
-        for g, gsch in zip(groups, group_schemas):
-            mr = merge_schemas(stored, gsch, self.compatibility,
-                               ignore=COMPUTED_COLUMNS + DIRECTIVE_COLUMNS)
-            stored = mr.schema
-            plans.append((g, [f for _, fls in g for f in fls], stored))
-        try:
-            use_tasks = all(
-                os.path.getsize(f) <= (64 << 20)
-                for _, fls, _ in plans for f in fls)
-        except OSError:  # non-local paths: keep the Dataset read path
-            use_tasks = False
+        # Each group is PRE-CONVERTED with raw Ray tasks — the task-based
+        # conversion path that already carries the sequential replay (no
+        # Dataset pipeline ramp, no executor involvement for the
+        # conversion; measured in BASELINE.md "sequential vs catch-up").
+        # Oversized/non-local part files keep the Dataset read inside
+        # apply_epoch. The stored-schema timeline is extended LAZILY, one
+        # group ahead of the applies (same deterministic rule apply_epoch
+        # uses): an incompatible later group must surface from ITS
+        # apply_epoch with every earlier group already committed — the
+        # serial path's behavior — not abort the whole drain up front.
+        group_files = [[f for _, fls in g for f in fls] for g in groups]
+        use_tasks = _small_local_parts(
+            f for fls in group_files for f in fls)
         bsz = apply_kwargs.get("batch_size", 8192)
+        plan_schemas: list[pa.Schema] = []   # schema_after per planned group
         refs_by_group: dict[int, list] = {}
         if use_tasks:
             import ray
 
             convert_task = ray.remote(_convert_file)
+            stored_box = [self.table.schema]
 
             def _submit(j: int) -> None:
-                if j < len(plans) and j not in refs_by_group:
-                    _, jfiles, jschema = plans[j]
-                    conv_ref = ray.put(self._make_convert(jschema))
-                    refs_by_group[j] = [
-                        convert_task.remote(f, conv_ref, bsz) for f in jfiles
-                    ]
+                if j >= len(groups) or j in refs_by_group:
+                    return
+                while len(plan_schemas) <= j:   # extend the timeline to j
+                    try:
+                        mr = merge_schemas(
+                            stored_box[0], group_schemas[len(plan_schemas)],
+                            self.compatibility,
+                            ignore=COMPUTED_COLUMNS + DIRECTIVE_COLUMNS)
+                    except SchemaError:
+                        # leave groups >= this one unplanned: their own
+                        # apply_epoch raises the error at the right cursor
+                        return
+                    stored_box[0] = mr.schema
+                    plan_schemas.append(mr.schema)
+                conv_ref = ray.put(self._make_convert(plan_schemas[j]))
+                refs_by_group[j] = [
+                    convert_task.remote(f, conv_ref, bsz)
+                    for f in group_files[j]
+                ]
 
             _submit(0)
-        for i, (g, files, schema_after) in enumerate(plans):
+        for i, g in enumerate(groups):
             refs = refs_by_group.pop(i, None)
             if use_tasks:
                 # overlap the NEXT group's conversion with this group's
@@ -2085,7 +2111,7 @@ class CDCEngine:
             rows_hint = (sum(int(e["rows"]) for e, _ in g)
                          if all("rows" in e for e, _ in g) else None)
             r = self.apply_epoch(
-                files,
+                group_files[i],
                 epoch=int(g[-1][0]["epoch"]),
                 offset_range=(g[0][0]["offset_min"], g[-1][0]["offset_max"]),
                 mode=uniform_mode,
@@ -2095,7 +2121,8 @@ class CDCEngine:
                 **apply_kwargs,
             )
             if r is not None:
-                if refs is not None and not self.table.schema.equals(schema_after):
+                if refs is not None and not self.table.schema.equals(
+                        plan_schemas[i]):
                     raise SchemaError(
                         "stored schema diverged from the precomputed timeline"
                     )
@@ -2204,7 +2231,7 @@ class CDCEngine:
         # concurrent streaming executors (measured 0.4 s stalls between a
         # conversion finishing and its apply starting). Oversized files
         # (>64 MB — a task would under-parallelize) keep the thread path.
-        if all(os.path.getsize(f) <= (64 << 20) for _, fls, _ in plans for f in fls):
+        if _small_local_parts(f for _, fls, _ in plans for f in fls):
             # default window 8 (tasks are cheap to keep in flight); an
             # explicit caller value is honored — it is the documented bound
             # on how many epochs' converted blocks are alive at once

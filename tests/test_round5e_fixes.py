@@ -157,6 +157,44 @@ def test_pages_custom_order_missing_warc_ts_dead_letters(ray_session,
     assert eng.table.snapshot_table().num_rows == 3
 
 
+# -- catch-up drains compatible groups before a schema error -----------------
+
+def test_catchup_commits_compatible_groups_before_schema_error(ray_session,
+                                                               tmp_path):
+    """catchup=True over a backlog whose LAST epoch carries an unsupported
+    type change: the compatible prefix must COMMIT (cursor advances) and
+    the SchemaError must surface from the bad group's own apply — the
+    serial path's behavior — not abort the whole drain with zero progress
+    from an eager up-front timeline computation."""
+    from geomesa_nifi_ray.schema import SchemaError
+
+    def write_epoch(i, table):
+        p = str(tmp_path / f"epoch{i}.parquet")
+        pq.write_table(table, p)
+        return {"epoch": i, "path": p,
+                "offset_min": i * 10, "offset_max": i * 10 + 1}
+
+    good0 = _pages_table(["https://g/0", "https://g/1"],
+                         [1_000_000, 1_000_001], [0, 1])
+    good1 = _pages_table(["https://g/2", "https://g/0"],
+                         [1_000_002, 1_000_003], [10, 11])
+    bad = pa.table({
+        "url": pa.array(["https://g/9"]),
+        "warc_ts": pa.array([9_000_000], pa.int64()).cast(pa.timestamp("us")),
+        "html": pa.array([b"<p>x</p>"], pa.large_binary()),
+        "offset": pa.array([20], pa.int64()),
+        "lang": pa.array([7], pa.int64()),   # retyped column: hard error
+    })
+    meta = {"epochs": [write_epoch(0, good0), write_epoch(1, good1),
+                       write_epoch(2, bad)]}
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    with pytest.raises(SchemaError):
+        eng.replay_binlog(meta, catchup=True)
+    assert eng.table.committed_epoch() == 1    # compatible prefix landed
+    assert eng.table.snapshot_table().num_rows == 3
+
+
 # -- 4: _fill_order_lose dtype branches ---------------------------------------
 
 def test_fill_order_lose_branches():
