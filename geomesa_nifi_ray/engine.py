@@ -963,6 +963,42 @@ def _small_local_parts(paths) -> bool:
         return False
 
 
+class _SchemaTimeline:
+    """Lazily-extended stored-schema timeline over a replay's per-epoch
+    (or per-group) input schemas — the same deterministic merge rule
+    ``apply_epoch`` applies, precomputed just far enough ahead to
+    pre-convert. Planning STOPS at the first incompatible entry:
+    ``schema_after`` returns ``None`` for it and everything beyond, so
+    callers apply those entries WITHOUT pre-conversion and the
+    ``SchemaError`` surfaces from that entry's own ``apply_epoch`` — with
+    every earlier entry already committed, exactly like the serial path
+    (an eager up-front timeline would abort the whole drain with zero
+    progress)."""
+
+    def __init__(self, stored: pa.Schema, compatibility, incoming: list):
+        self._stored = stored
+        self._compat = compatibility
+        self._incoming = incoming
+        self._schemas: list[pa.Schema] = []
+        self._failed = False
+
+    def schema_after(self, j: int) -> pa.Schema | None:
+        while len(self._schemas) <= j:
+            if self._failed or len(self._schemas) >= len(self._incoming):
+                return None
+            try:
+                mr = merge_schemas(
+                    self._stored, self._incoming[len(self._schemas)],
+                    self._compat,
+                    ignore=COMPUTED_COLUMNS + DIRECTIVE_COLUMNS)
+            except SchemaError:
+                self._failed = True
+                return None
+            self._stored = mr.schema
+            self._schemas.append(mr.schema)
+        return self._schemas[j]
+
+
 def _convert_file(path: str, convert_fn, batch_size: int) -> pa.Table:
     """One raw conversion task: read one binlog part file, run the convert
     fn per ``batch_size`` slice (same segmentation contract as
@@ -1326,15 +1362,24 @@ class CDCEngine:
         # schema reconciliation: a refused epoch must not evolve the
         # stored schema as a side effect.
         row_modes = MODE_COLUMN in incoming_schema.names
-        # probed ONCE per epoch: the footer-scan gate and the use_late
-        # auto-selection below must see the SAME node count — a node
-        # joining between two separate probes could select the late
-        # exchange with an unscanned row_modes=False
-        multi_node = _alive_node_count() > 1
+        # probed AT MOST once per epoch (lazy + memoized): the footer-scan
+        # gate and the use_late auto-selection below must see the SAME
+        # node count — a node joining between two separate probes could
+        # select the late exchange with an unscanned row_modes=False —
+        # but steady-state paths that never consult it (tiny epochs,
+        # explicit exchange=, single-file epochs) must not pay a
+        # ray.nodes() GCS round-trip per commit
+        _mn_box: list[bool] = []
+
+        def multi_node() -> bool:
+            if not _mn_box:
+                _mn_box.append(_alive_node_count() > 1)
+            return _mn_box[0]
+
         if (not row_modes and isinstance(source, (str, list))
                 and len(files) > 1
                 and (exchange == "late"
-                     or (exchange is None and multi_node))):
+                     or (exchange is None and multi_node()))):
             # parts convert file-by-file (pipelined replay preserves each
             # part's own columns), so a _mode column in ANY part — not
             # just part 0's footer — must veto the keys-only late collapse.
@@ -1433,7 +1478,7 @@ class CDCEngine:
                     and not row_modes) and (
             exchange == "late"
             or (exchange is None and not tiny_epoch and not split_epoch
-                and multi_node)
+                and multi_node())
         )
         self.last_exchange_strategy = (
             "tiny" if (tiny_epoch and exchange is None and not salted_reduce)
@@ -2071,30 +2116,21 @@ class CDCEngine:
         use_tasks = _small_local_parts(
             f for fls in group_files for f in fls)
         bsz = apply_kwargs.get("batch_size", 8192)
-        plan_schemas: list[pa.Schema] = []   # schema_after per planned group
+        timeline = _SchemaTimeline(self.table.schema, self.compatibility,
+                                   group_schemas)
         refs_by_group: dict[int, list] = {}
         if use_tasks:
             import ray
 
             convert_task = ray.remote(_convert_file)
-            stored_box = [self.table.schema]
 
             def _submit(j: int) -> None:
                 if j >= len(groups) or j in refs_by_group:
                     return
-                while len(plan_schemas) <= j:   # extend the timeline to j
-                    try:
-                        mr = merge_schemas(
-                            stored_box[0], group_schemas[len(plan_schemas)],
-                            self.compatibility,
-                            ignore=COMPUTED_COLUMNS + DIRECTIVE_COLUMNS)
-                    except SchemaError:
-                        # leave groups >= this one unplanned: their own
-                        # apply_epoch raises the error at the right cursor
-                        return
-                    stored_box[0] = mr.schema
-                    plan_schemas.append(mr.schema)
-                conv_ref = ray.put(self._make_convert(plan_schemas[j]))
+                sch = timeline.schema_after(j)
+                if sch is None:   # unplannable: apply_epoch raises at j
+                    return
+                conv_ref = ray.put(self._make_convert(sch))
                 refs_by_group[j] = [
                     convert_task.remote(f, conv_ref, bsz)
                     for f in group_files[j]
@@ -2122,7 +2158,7 @@ class CDCEngine:
             )
             if r is not None:
                 if refs is not None and not self.table.schema.equals(
-                        plan_schemas[i]):
+                        timeline.schema_after(i)):
                     raise SchemaError(
                         "stored schema diverged from the precomputed timeline"
                     )
@@ -2165,15 +2201,19 @@ class CDCEngine:
         key, order = self.table.key, self.table.order
         num_buckets = self.table.num_buckets
 
-        # deterministic stored-schema timeline across the pending epochs
+        # deterministic stored-schema timeline across the pending epochs,
+        # extended LAZILY (one epoch ahead of the applies): an incompatible
+        # later epoch must surface from ITS apply_epoch with every earlier
+        # epoch committed — the serial path's behavior — not abort the
+        # whole drain from an eager up-front merge loop
         plans = []
-        stored = self.table.schema
+        incoming = []
         for e in pending:
             files = _expand_parquet_paths(e["files"] if "files" in e else [e["path"]])
-            inc = pq.read_schema(files[0])
-            mr = merge_schemas(stored, inc, self.compatibility, ignore=COMPUTED_COLUMNS + DIRECTIVE_COLUMNS)
-            stored = mr.schema
-            plans.append((e, files, stored))
+            incoming.append(pq.read_schema(files[0]))
+            plans.append((e, files))
+        timeline = _SchemaTimeline(self.table.schema, self.compatibility,
+                                   incoming)
 
         def build(files: list[str], schema: pa.Schema):
             convert = self._make_convert(schema)
@@ -2231,12 +2271,12 @@ class CDCEngine:
         # concurrent streaming executors (measured 0.4 s stalls between a
         # conversion finishing and its apply starting). Oversized files
         # (>64 MB — a task would under-parallelize) keep the thread path.
-        if _small_local_parts(f for _, fls, _ in plans for f in fls):
+        if _small_local_parts(f for _, fls in plans for f in fls):
             # default window 8 (tasks are cheap to keep in flight); an
             # explicit caller value is honored — it is the documented bound
             # on how many epochs' converted blocks are alive at once
             return self._replay_raw_tasks(
-                plans, mode, batch_size,
+                plans, timeline, mode, batch_size,
                 window=8 if lookahead is None else max(1, int(lookahead)),
                 **apply_kwargs)
 
@@ -2247,7 +2287,14 @@ class CDCEngine:
 
             def submit(j: int) -> None:
                 if j < len(plans) and j not in futs:
-                    _, jfiles, jschema = plans[j]
+                    # timeline extension happens HERE on the main thread
+                    # (merge_schemas is cheap and not thread-safe to
+                    # interleave); an unplannable epoch gets no prefetch —
+                    # its own apply_epoch raises at the right cursor
+                    jschema = timeline.schema_after(j)
+                    if jschema is None:
+                        return
+                    jfiles = plans[j][1]
                     # plan construction AND materialize both run in the
                     # background: read_parquet's fragment sampling costs
                     # ~0.15 s/epoch of driver time, which serialized on the
@@ -2259,9 +2306,11 @@ class CDCEngine:
 
             for j in range(min(lookahead, len(plans)) if len(plans) > 1 else 0):
                 submit(j)
-            for i, (e, files, schema_after) in enumerate(plans):
+            for i, (e, files) in enumerate(plans):
+                schema_after = timeline.schema_after(i)
                 conv = (futs.pop(i).result() if i in futs
-                        else build(files, schema_after).materialize())
+                        else (build(files, schema_after).materialize()
+                              if schema_after is not None else None))
                 submit(i + lookahead)
                 r = self.apply_epoch(
                     files,
@@ -2274,14 +2323,15 @@ class CDCEngine:
                     **apply_kwargs,
                 )
                 if r is not None:
-                    if not self.table.schema.equals(schema_after):
+                    if conv is not None and not self.table.schema.equals(
+                            schema_after):
                         raise SchemaError(
                             "stored schema diverged from the precomputed timeline"
                         )
                     results.append(r)
         return results
 
-    def _replay_raw_tasks(self, plans, mode: str, batch_size: int,
+    def _replay_raw_tasks(self, plans, timeline, mode: str, batch_size: int,
                           window: int = 8, **apply_kwargs) -> list[EpochResult]:
         """Sequential replay with task-based conversion (see
         ``_replay_pipelined``): one raw Ray task per part file converts and
@@ -2301,17 +2351,20 @@ class CDCEngine:
 
         def submit(j: int) -> None:
             if j < len(plans) and j not in epoch_refs:
-                _, jfiles, jschema = plans[j]
+                jschema = timeline.schema_after(j)
+                if jschema is None:  # unplannable: apply_epoch raises at j
+                    return
                 conv_ref = ray.put(self._make_convert(jschema))
                 epoch_refs[j] = [
-                    convert_task.remote(f, conv_ref, batch_size) for f in jfiles
+                    convert_task.remote(f, conv_ref, batch_size)
+                    for f in plans[j][1]
                 ]
 
         for j in range(min(window, len(plans))):
             submit(j)
         results: list[EpochResult] = []
-        for i, (e, files, schema_after) in enumerate(plans):
-            refs = epoch_refs.pop(i)
+        for i, (e, files) in enumerate(plans):
+            refs = epoch_refs.pop(i, None)
             submit(i + window)
             r = self.apply_epoch(
                 files,
@@ -2320,11 +2373,12 @@ class CDCEngine:
                 mode=mode,
                 batch_size=batch_size,
                 rows_hint=e.get("rows"),
-                _converted=RefBlocks(refs),
+                _converted=RefBlocks(refs) if refs is not None else None,
                 **apply_kwargs,
             )
             if r is not None:
-                if not self.table.schema.equals(schema_after):
+                if refs is not None and not self.table.schema.equals(
+                        timeline.schema_after(i)):
                     raise SchemaError(
                         "stored schema diverged from the precomputed timeline"
                     )

@@ -519,9 +519,10 @@ def test_pipelined_replay_honors_explicit_lookahead(tmp_path, ray_session,
     seen = {}
     orig = eng_mod.CDCEngine._replay_raw_tasks
 
-    def spy(self, plans, mode, batch_size, window, **kw):
+    def spy(self, plans, timeline, mode, batch_size, window, **kw):
         seen["window"] = window
-        return orig(self, plans, mode, batch_size, window=window, **kw)
+        return orig(self, plans, timeline, mode, batch_size,
+                    window=window, **kw)
 
     monkeypatch.setattr(eng_mod.CDCEngine, "_replay_raw_tasks", spy)
     eng.replay_binlog(meta, catchup=False, lookahead=1)

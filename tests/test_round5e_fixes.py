@@ -159,13 +159,16 @@ def test_pages_custom_order_missing_warc_ts_dead_letters(ray_session,
 
 # -- catch-up drains compatible groups before a schema error -----------------
 
+@pytest.mark.parametrize("catchup", [True, False])
 def test_catchup_commits_compatible_groups_before_schema_error(ray_session,
-                                                               tmp_path):
-    """catchup=True over a backlog whose LAST epoch carries an unsupported
-    type change: the compatible prefix must COMMIT (cursor advances) and
-    the SchemaError must surface from the bad group's own apply — the
-    serial path's behavior — not abort the whole drain with zero progress
-    from an eager up-front timeline computation."""
+                                                               tmp_path,
+                                                               catchup):
+    """A backlog whose LAST epoch carries an unsupported type change: the
+    compatible prefix must COMMIT (cursor advances) and the SchemaError
+    must surface from the bad epoch's own apply — the serial path's
+    behavior — not abort the whole drain with zero progress from an eager
+    up-front timeline computation. Covers BOTH the catch-up group path
+    and the default pipelined (task-based) path."""
     from geomesa_nifi_ray.schema import SchemaError
 
     def write_epoch(i, table):
@@ -190,7 +193,7 @@ def test_catchup_commits_compatible_groups_before_schema_error(ray_session,
 
     eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
     with pytest.raises(SchemaError):
-        eng.replay_binlog(meta, catchup=True)
+        eng.replay_binlog(meta, catchup=catchup)
     assert eng.table.committed_epoch() == 1    # compatible prefix landed
     assert eng.table.snapshot_table().num_rows == 3
 
