@@ -967,13 +967,20 @@ class _SchemaTimeline:
     """Lazily-extended stored-schema timeline over a replay's per-epoch
     (or per-group) input schemas — the same deterministic merge rule
     ``apply_epoch`` applies, precomputed just far enough ahead to
-    pre-convert. Planning STOPS at the first incompatible entry:
-    ``schema_after`` returns ``None`` for it and everything beyond, so
-    callers apply those entries WITHOUT pre-conversion and the
-    ``SchemaError`` surfaces from that entry's own ``apply_epoch`` — with
-    every earlier entry already committed, exactly like the serial path
-    (an eager up-front timeline would abort the whole drain with zero
-    progress)."""
+    pre-convert. Entries may be ``pa.Schema`` (already read) or a parquet
+    path whose footer is read ON DEMAND, so a missing/corrupt later file
+    costs nothing until its turn. Planning STOPS at the first entry that
+    fails to read or merge: ``schema_after`` returns ``None`` for it and
+    everything beyond, so callers apply those entries WITHOUT
+    pre-conversion and the real error (SchemaError, missing file, corrupt
+    footer) surfaces from that entry's own ``apply_epoch`` — with every
+    earlier entry already committed, exactly like the serial path (an
+    eager up-front timeline would abort the whole drain with zero
+    progress). If an unplanned entry then applies SUCCESSFULLY anyway
+    (file rewritten between planning and apply — rewrite retries are
+    supported), ``mark_applied`` adopts the actual stored schema as that
+    entry and resumes planning, so one transient hiccup cannot silently
+    degrade the whole remaining drain to the unprefetched path."""
 
     def __init__(self, stored: pa.Schema, compatibility, incoming: list):
         self._stored = stored
@@ -986,17 +993,31 @@ class _SchemaTimeline:
         while len(self._schemas) <= j:
             if self._failed or len(self._schemas) >= len(self._incoming):
                 return None
+            src = self._incoming[len(self._schemas)]
             try:
+                inc = src if isinstance(src, pa.Schema) else pq.read_schema(src)
                 mr = merge_schemas(
-                    self._stored, self._incoming[len(self._schemas)],
-                    self._compat,
+                    self._stored, inc, self._compat,
                     ignore=COMPUTED_COLUMNS + DIRECTIVE_COLUMNS)
-            except SchemaError:
+            except Exception:
+                # read failure (missing/truncated/corrupt footer) and
+                # merge failure (SchemaError) stop planning identically:
+                # the entry's own apply_epoch raises the real error
                 self._failed = True
                 return None
             self._stored = mr.schema
             self._schemas.append(mr.schema)
         return self._schemas[j]
+
+    def mark_applied(self, j: int, stored: pa.Schema) -> None:
+        """Entry ``j`` committed via its own apply_epoch: if planning had
+        stopped exactly there, adopt the actual post-apply stored schema
+        as its timeline entry and clear the failure so later entries plan
+        (and pre-convert) again. No-op when ``j`` was planned normally."""
+        if len(self._schemas) == j:
+            self._stored = stored
+            self._schemas.append(stored)
+            self._failed = False
 
 
 def _convert_file(path: str, convert_fn, batch_size: int) -> pa.Table:
@@ -2082,15 +2103,29 @@ class CDCEngine:
                     results.append(r)
             return results
 
-        # group consecutive pending epochs by input schema fingerprint
+        # group consecutive pending epochs by input schema fingerprint;
+        # grouping NEEDS eager footer reads (schema equality defines the
+        # batch boundaries), so an unreadable epoch stops batching there:
+        # it and everything after become single-epoch groups applied
+        # serially — the readable prefix commits and the real error
+        # surfaces from the broken epoch's own apply_epoch
         groups: list[list[tuple[dict, list[str]]]] = []
-        group_schemas: list[pa.Schema] = []
+        group_schemas: list[pa.Schema | None] = []
         last_schema = None
+        broken = False
         for e in pending:
-            files = _expand_parquet_paths(
-                e["files"] if "files" in e else [e["path"]]
-            )
-            sch = pq.read_schema(files[0])
+            raw = e["files"] if "files" in e else [e["path"]]
+            if not broken:
+                try:
+                    files = _expand_parquet_paths(raw)
+                    sch = pq.read_schema(files[0])
+                except Exception:
+                    broken = True
+            if broken:
+                groups.append([(e, list(raw))])
+                group_schemas.append(None)
+                last_schema = None
+                continue
             if (
                 groups
                 and last_schema is not None
@@ -2162,6 +2197,11 @@ class CDCEngine:
                     raise SchemaError(
                         "stored schema diverged from the precomputed timeline"
                     )
+                if use_tasks:
+                    # an unplanned group that applied anyway (input fixed
+                    # between planning and apply) re-seeds the timeline so
+                    # later groups pre-convert again; no-op when planned
+                    timeline.mark_applied(i, self.table.schema)
                 results.append(r)
         return results
 
@@ -2188,11 +2228,15 @@ class CDCEngine:
         catch-up"). The window also bounds object-store residency: at most
         ``lookahead`` epochs' converted blocks are alive at once.
 
-        The stored-schema timeline is precomputed on the driver (schema
-        merging is deterministic), so a prefetched epoch converts with
-        exactly the schema it will see once its predecessor commits; a
-        mismatch (corrupted lake changed underneath) aborts the prefetch
-        path and falls back to in-line conversion.
+        The stored-schema timeline (:class:`_SchemaTimeline`) extends
+        LAZILY, one epoch ahead of the applies — schema merging is
+        deterministic, so a prefetched epoch converts with exactly the
+        schema it will see once its predecessor commits. An epoch that
+        fails to plan (incompatible schema, unreadable footer) gets no
+        prefetch: the compatible prefix commits and the real error
+        surfaces from that epoch's own ``apply_epoch``; a planned epoch
+        whose post-apply stored schema diverges from the timeline
+        (corrupted lake changed underneath) raises ``SchemaError``.
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -2201,17 +2245,30 @@ class CDCEngine:
         key, order = self.table.key, self.table.order
         num_buckets = self.table.num_buckets
 
-        # deterministic stored-schema timeline across the pending epochs,
-        # extended LAZILY (one epoch ahead of the applies): an incompatible
-        # later epoch must surface from ITS apply_epoch with every earlier
-        # epoch committed — the serial path's behavior — not abort the
-        # whole drain from an eager up-front merge loop
+        # Expansion is eager (cheap directory listing, and the size gate
+        # below needs the full file list); FOOTER READS are lazy, inside
+        # the timeline, so an unreadable later epoch costs nothing until
+        # its turn and cannot abort the drain up front. Expansion failure
+        # for a later epoch degrades the same way: raw paths go to that
+        # epoch's own apply_epoch, which raises the real error after the
+        # earlier epochs committed.
         plans = []
         incoming = []
+        broken = False
         for e in pending:
-            files = _expand_parquet_paths(e["files"] if "files" in e else [e["path"]])
-            incoming.append(pq.read_schema(files[0]))
-            plans.append((e, files))
+            raw = e["files"] if "files" in e else [e["path"]]
+            files = None
+            if not broken:
+                try:
+                    files = _expand_parquet_paths(raw)
+                except Exception:
+                    broken = True
+            if broken:
+                plans.append((e, list(raw)))
+                incoming.append(None)   # unplannable: stops the timeline
+            else:
+                plans.append((e, files))
+                incoming.append(files[0])   # path: footer read on demand
         timeline = _SchemaTimeline(self.table.schema, self.compatibility,
                                    incoming)
 
@@ -2328,6 +2385,9 @@ class CDCEngine:
                         raise SchemaError(
                             "stored schema diverged from the precomputed timeline"
                         )
+                    # unplanned-but-applied epoch: re-seed so later epochs
+                    # prefetch again (no-op when planned)
+                    timeline.mark_applied(i, self.table.schema)
                     results.append(r)
         return results
 
@@ -2382,6 +2442,10 @@ class CDCEngine:
                     raise SchemaError(
                         "stored schema diverged from the precomputed timeline"
                     )
+                # unplanned-but-applied epoch: re-seed so later epochs
+                # pre-convert again (no-op when planned); the skipped
+                # prefetches refill within one `window` of epochs
+                timeline.mark_applied(i, self.table.schema)
                 results.append(r)
         return results
 

@@ -198,6 +198,54 @@ def test_catchup_commits_compatible_groups_before_schema_error(ray_session,
     assert eng.table.snapshot_table().num_rows == 3
 
 
+@pytest.mark.parametrize("catchup", [True, False])
+def test_unreadable_later_epoch_commits_prefix(ray_session, tmp_path,
+                                               catchup):
+    """A MISSING/unreadable later epoch file must behave like an
+    incompatible one: the readable prefix commits and the real I/O error
+    surfaces from the broken epoch's own apply — footer reads are lazy,
+    never an eager up-front sweep that aborts the drain."""
+    def write_epoch(i, table):
+        p = str(tmp_path / f"epoch{i}.parquet")
+        pq.write_table(table, p)
+        return {"epoch": i, "path": p,
+                "offset_min": i * 10, "offset_max": i * 10 + 1}
+
+    e0 = write_epoch(0, _pages_table(["https://u/0", "https://u/1"],
+                                     [1_000_000, 1_000_001], [0, 1]))
+    e1 = write_epoch(1, _pages_table(["https://u/2"], [1_000_002], [10]))
+    missing = {"epoch": 2, "path": str(tmp_path / "nope.parquet"),
+               "offset_min": 20, "offset_max": 21}
+
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=2)
+    with pytest.raises(Exception):
+        eng.replay_binlog({"epochs": [e0, e1, missing]}, catchup=catchup)
+    assert eng.table.committed_epoch() == 1
+    assert eng.table.snapshot_table().num_rows == 3
+
+
+def test_schema_timeline_mark_applied_repairs_planning(tmp_path):
+    """_SchemaTimeline: an entry that fails to plan (unreadable footer)
+    stops planning; mark_applied() on that index adopts the actual stored
+    schema and RESUMES planning for later entries — one transient hiccup
+    must not degrade the rest of the drain to the unprefetched path."""
+    from geomesa_nifi_ray.engine import PAGE_SCHEMA, _SchemaTimeline
+    from geomesa_nifi_ray.schema import CompatibilityMode
+
+    ok = str(tmp_path / "ok.parquet")
+    pq.write_table(PAGE_SCHEMA.empty_table(), ok)
+    incoming = [PAGE_SCHEMA, str(tmp_path / "missing.parquet"), ok]
+    tl = _SchemaTimeline(PAGE_SCHEMA, CompatibilityMode.EXISTING, incoming)
+    assert tl.schema_after(0) is not None
+    assert tl.schema_after(1) is None          # unreadable: planning stops
+    assert tl.schema_after(2) is None          # ... and stays stopped
+    tl.mark_applied(0, PAGE_SCHEMA)            # planned entry: no-op
+    assert tl.schema_after(1) is None
+    tl.mark_applied(1, PAGE_SCHEMA)            # entry 1 applied anyway
+    assert tl.schema_after(1) is not None      # adopted
+    assert tl.schema_after(2) is not None      # planning resumed
+
+
 # -- 4: _fill_order_lose dtype branches ---------------------------------------
 
 def test_fill_order_lose_branches():
