@@ -1231,11 +1231,13 @@ class CDCEngine:
         # mixed-kernel gate runs once per engine instance (see apply_epoch)
         self._kernel_checked = False
 
-    def _make_convert(self, stored_schema: pa.Schema):
-        """Instantiate the converter, passing the table's hash kernel when
-        the factory accepts it (custom 4-arg factories keep working;
-        signature inspection, not try/except, so a genuine TypeError inside
-        a factory is never silently retried)."""
+    def _factory_accepts(self) -> tuple[bool, bool]:
+        """(accepts hash_kernel, accepts key_transform) of the configured
+        ``convert_fn_factory`` by signature inspection (not try/except, so
+        a genuine TypeError inside a factory is never silently retried).
+        Transform acceptance must be EXPLICIT (named parameter): a
+        **kwargs factory could swallow the argument while ignoring it,
+        silently ingesting raw keys into a canonical-key lake."""
         import inspect
 
         try:
@@ -1243,13 +1245,16 @@ class CDCEngine:
             has_kwargs = any(
                 p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
             )
-            accepts_kernel = "hash_kernel" in params or has_kwargs
-            # transform acceptance must be EXPLICIT (named parameter): a
-            # **kwargs factory could swallow the argument while ignoring
-            # it, silently ingesting raw keys into a canonical-key lake
-            accepts_transform = "key_transform" in params
+            return ("hash_kernel" in params or has_kwargs,
+                    "key_transform" in params)
         except (TypeError, ValueError):  # builtins / odd callables
-            accepts_kernel = accepts_transform = False
+            return (False, False)
+
+    def _make_convert(self, stored_schema: pa.Schema):
+        """Instantiate the converter, passing the table's hash kernel /
+        key transform when the factory accepts them (custom 4-arg
+        factories keep working)."""
+        accepts_kernel, accepts_transform = self._factory_accepts()
         kw = {}
         if accepts_kernel:
             kw["hash_kernel"] = self.table.content_hash_kernel
@@ -1718,6 +1723,18 @@ class CDCEngine:
         in UPDATE compatibility; EXISTING/EXACT would silently project
         the evolved columns away, so that combination raises."""
         src_id = f"{os.path.abspath(src_table.root)}::{src_table.name}"
+        src_kt = src_table.meta.get("key_transform")
+        my_kt = self.table.key_transform
+        if my_kt is not None and my_kt != src_kt:
+            # a DIFFERENT transform (or one the source lacks) would
+            # re-transform replicated keys at convert time and silently
+            # diverge the mirror from its source's snapshot; checked
+            # BEFORE any stamping so a refused call leaves no trace
+            raise ValueError(
+                f"mirror target was created with key_transform="
+                f"{my_kt!r} but source {src_id!r} has {src_kt!r}; a "
+                "mirror must use its source's transform — recreate the "
+                "target without one (it inherits the source's)")
         mine = self.table.committed_epoch()
         stamped = self.table.meta.get("mirror_source")
         if stamped is None:
@@ -1746,6 +1763,28 @@ class CDCEngine:
                 f"engine is {self.compatibility.value!r}, which would "
                 "silently project them away — construct the mirror with "
                 "CompatibilityMode.UPDATE")
+        if (my_kt is None and src_kt is not None
+                and self._factory_accepts()[1]):
+            # inherit the source's canonical-key transform: every key in a
+            # mirror came from the source's change stream and is therefore
+            # already canonical, so stamping is sound on a fresh mirror AND
+            # on resume of an un-stamped one — future replication
+            # re-applies an idempotent transform (no-op) and the mirror's
+            # probe paths (lookup/delete) gain the same raw-spelling
+            # canonicalization the source has. Stamped AFTER every refusal
+            # check above (a refused call leaves no trace), in ONE meta
+            # publish with its behavior fingerprint (a crash can never
+            # persist the transform without the kernel-drift guard), and
+            # ONLY when the convert factory can honor it — a custom
+            # factory without a key_transform parameter keeps the mirror
+            # un-stamped (probe keys taken verbatim), exactly its
+            # pre-inheritance behavior, instead of wedging every later
+            # apply on the _make_convert canonicalization gate.
+            fp = src_table.meta.get("key_transform_fingerprint")
+            self.table.stamp_meta_many(
+                {"key_transform": src_kt,
+                 **({"key_transform_fingerprint": fp}
+                    if fp is not None else {})})
         drop_hash = "content_hash" in src_table.schema.names
         out = []
         for e in src_table.manifest_epochs():

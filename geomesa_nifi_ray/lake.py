@@ -695,8 +695,14 @@ class LakeTable:
         """Persist one auxiliary key into ``_table.json`` (e.g. a mirror's
         source identity). Same publish path as schema evolution; not for
         schema/layout fields, which have dedicated setters."""
+        self.stamp_meta_many({key: value})
+
+    def stamp_meta_many(self, items: dict) -> None:
+        """Persist several auxiliary keys in ONE ``_table.json`` publish —
+        a crash can never leave a partial subset (e.g. a ``key_transform``
+        stamp without the behavior fingerprint that guards it)."""
         meta = dict(self.meta)
-        meta[key] = value
+        meta.update(items)
         self.fs.publish_json(os.path.join(self.table_dir, TABLE_META), meta)
         self._meta = meta
 

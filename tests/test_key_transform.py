@@ -223,3 +223,111 @@ def test_transform_idempotent_on_canonical_keys():
     for name, fn in KEY_TRANSFORMS.items():
         one = fn(pa.array(_KEY_TRANSFORM_PROBE, pa.string()))
         assert fn(one).to_pylist() == one.to_pylist(), name
+
+
+def test_mirror_inherits_source_key_transform(tmp_path, ray_session):
+    """A mirror of a canonical-key lake inherits the source's transform
+    stamp (mirror keys are source-derived, hence already canonical), so
+    the replica's probe paths canonicalize raw spellings exactly like the
+    source — and future replication stays a no-op re-transform."""
+    src = _replay(tmp_path)
+    mirror = CDCEngine(str(tmp_path / "mirror"), num_buckets=3)
+    applied = mirror.mirror_from(src.table)
+    assert len(applied) == 2
+    assert mirror.table.key_transform == "normalize_url"
+    assert (mirror.table.meta.get("key_transform_fingerprint")
+            == src.table.meta.get("key_transform_fingerprint"))
+    # replica snapshot == source snapshot (canonical keys, LWW winners)
+    a = src.table.snapshot_table().select(SNAP_COLS).sort_by("url")
+    b = mirror.table.snapshot_table().select(SNAP_COLS).sort_by("url")
+    assert a.to_pydict() == b.to_pydict()
+    # probe path on the REPLICA accepts a raw spelling
+    hit = mirror.table.lookup_keys(["HTTPS://Host.A/page#other-frag"],
+                                   columns=["url", "text"])
+    assert hit.num_rows == 1 and hit["text"][0].as_py() == "v3"
+    # resume stays idempotent with the inherited stamp in place
+    assert mirror.mirror_from(src.table) == []
+
+
+def test_mirror_unstamped_resume_inherits_transform(tmp_path, ray_session):
+    """A mirror created BEFORE transform inheritance existed (stamp
+    absent, but every key already canonical because it came from the
+    source) gains the stamp on its next resume."""
+    src = _replay(tmp_path)
+    mirror = CDCEngine(str(tmp_path / "mirror"), num_buckets=3)
+    mirror.mirror_from(src.table)
+    # simulate the legacy mirror: drop the inherited stamps
+    meta = dict(mirror.table.meta)
+    del meta["key_transform"], meta["key_transform_fingerprint"]
+    mirror.table.fs.publish_json(
+        os.path.join(mirror.table.table_dir, "_table.json"), meta)
+    mirror.table._meta = meta
+    # source advances one epoch; resume replicates it AND restores the stamp
+    import ray.data
+
+    src.apply_epoch(ray.data.from_arrow(_events(
+        [("https://Host.C/new#f", 4_000_000,
+          b"<html><body>c1</body></html>", "en", 7)])), 2, (7, 7))
+    mirror2 = CDCEngine(str(tmp_path / "mirror"), num_buckets=3)
+    assert len(mirror2.mirror_from(src.table)) == 1
+    assert mirror2.table.key_transform == "normalize_url"
+    a = src.table.snapshot_table().select(SNAP_COLS).sort_by("url")
+    b = mirror2.table.snapshot_table().select(SNAP_COLS).sort_by("url")
+    assert a.to_pydict() == b.to_pydict()
+
+
+def test_mirror_conflicting_transform_raises(tmp_path, ray_session):
+    """A mirror whose own transform differs from the source's would
+    re-transform replicated keys at convert time and silently diverge —
+    both directions must fail loudly before any epoch is applied."""
+    import ray.data
+
+    # target stamped, source not: plain (no-transform) source
+    plain = CDCEngine(str(tmp_path / "plain"), num_buckets=2)
+    plain.apply_epoch(ray.data.from_arrow(_events(MESSY)), 0, (0, 4))
+    stamped = CDCEngine(str(tmp_path / "m1"), num_buckets=2,
+                        key_transform="normalize_url")
+    with pytest.raises(ValueError, match="key_transform"):
+        stamped.mirror_from(plain.table)
+    assert stamped.table.committed_epoch() is None  # nothing applied
+    # ...and the refused call left NO mirror_source stamp behind
+    assert stamped.table.meta.get("mirror_source") is None
+    # target whose transform differs from the (transform-stamped) source
+    import pyarrow.compute as _pc
+
+    from geomesa_nifi_ray import text as _text
+
+    monkeypatch = pytest.MonkeyPatch()
+    try:
+        monkeypatch.setitem(_text.KEY_TRANSFORMS, "lower",
+                            lambda arr: _pc.utf8_lower(arr))
+        src = _replay(tmp_path)
+        other = CDCEngine(str(tmp_path / "m2"), num_buckets=2,
+                          key_transform="lower")
+        with pytest.raises(ValueError, match="key_transform"):
+            other.mirror_from(src.table)
+    finally:
+        monkeypatch.undo()
+
+
+def test_mirror_custom_factory_skips_inheritance(tmp_path, ray_session):
+    """A mirror engine with a custom convert factory that does NOT declare
+    key_transform keeps working against a canonical-key source: replicated
+    keys are already canonical, so inheritance is skipped (no stamp) rather
+    than wedging every later apply on the canonicalization gate."""
+    from geomesa_nifi_ray.engine import make_convert_fn
+
+    def plain_factory(schema, num_buckets, key, order):
+        return make_convert_fn(schema, num_buckets, key, order)
+
+    src = _replay(tmp_path)
+    mirror = CDCEngine(str(tmp_path / "mirror_cf"), num_buckets=3,
+                       convert_fn_factory=plain_factory)
+    assert len(mirror.mirror_from(src.table)) == 2
+    assert mirror.table.key_transform is None  # not stamped
+    a = src.table.snapshot_table().select(SNAP_COLS).sort_by("url")
+    b = mirror.table.snapshot_table().select(SNAP_COLS).sort_by("url")
+    assert a.to_pydict() == b.to_pydict()
+    # resume still idempotent, still un-stamped
+    assert mirror.mirror_from(src.table) == []
+    assert mirror.table.key_transform is None
