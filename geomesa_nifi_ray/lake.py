@@ -931,6 +931,7 @@ class LakeTable:
             epoch = self.committed_epoch()
         if epoch is None:
             return {}
+        self.check_time_travel_floor(epoch)
         m = self.manifest(epoch, buckets=buckets)
         return {int(b): e for b, e in m["buckets"].items()}
 
@@ -1069,7 +1070,32 @@ class LakeTable:
                     continue
                 self.fs.remove(abs_path)
                 deleted.append(os.path.relpath(abs_path, self.table_dir))
+        if deleted:
+            # time-travel floor: files below the retained window may now be
+            # gone (post-compaction vacuums delete folded chains), so
+            # time-travel reads are only GUARANTEED at >= the oldest
+            # retained manifest. Stamped monotonically and only when this
+            # vacuum actually deleted something — a no-op vacuum (chains
+            # still fully referenced) keeps older epochs readable.
+            floor = (epochs[-retain_epochs] if retain_epochs <= len(epochs)
+                     else epochs[0])
+            prev = self.meta.get("time_travel_floor")
+            if prev is None or int(floor) > int(prev):
+                self.stamp_meta("time_travel_floor", int(floor))
         return deleted
+
+    def check_time_travel_floor(self, epoch: int) -> None:
+        """Refuse a time-travel read below the vacuum floor with a clear
+        error instead of the bare FileNotFoundError the chain read would
+        otherwise surface from a deleted parquet path."""
+        floor = self.meta.get("time_travel_floor")
+        if floor is not None and epoch < int(floor):
+            raise ValueError(
+                f"epoch {epoch} of table {self.name!r} predates the "
+                f"vacuum time-travel floor ({int(floor)}): a previous "
+                "vacuum deleted data files that older epochs' chains may "
+                "reference — time travel is guaranteed only within the "
+                "retained window (vacuum retain_epochs)")
 
     # -- reads --------------------------------------------------------------
 
@@ -1365,6 +1391,7 @@ class LakeTable:
         GeoMessage.Clear, so a mirror consuming only rows still empties."""
         import ray.data
 
+        self.check_time_travel_floor(epoch)
         m = self.manifest(epoch)
         if m.get("mode") == "clear":
             return self._clear_epoch_changes(epoch, include_ops)

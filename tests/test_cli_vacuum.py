@@ -116,3 +116,43 @@ def test_cli_diff(tmp_path):
     r = _run_cli("diff", "--lake", lake, "--from", "2", "--to", "2",
                  "--out", str(tmp_path / "diff2"), "--format", "jsonl")
     assert r["rows"] == 0
+
+
+def test_vacuum_stamps_time_travel_floor(ray_session, tmp_path):
+    """A vacuum that actually deletes files stamps a monotonic
+    time-travel floor; reads below it fail with a clear error instead of
+    a bare FileNotFoundError from a deleted chain file, and reads at or
+    above it keep working. A no-op vacuum stamps nothing."""
+    bl = write_binlog(str(tmp_path / "bl"),
+                      BinlogSpec(num_events=900, num_urls=150,
+                                 num_epochs=3, seed=9))
+    eng = CDCEngine(str(tmp_path / "lake"), num_buckets=4)
+    eng.replay_binlog(bl, catchup=False)
+    # delta chains keep every epoch referenced: vacuum deletes nothing,
+    # no floor, old-epoch time travel still works
+    assert eng.table.vacuum(retain_epochs=1) == []
+    assert eng.table.meta.get("time_travel_floor") is None
+    assert eng.table.snapshot_table(epoch=0).num_rows > 0
+
+    # identity rewrite folds chains; vacuum now deletes the old files
+    r = eng.rewrite_epoch(lambda t: t)
+    assert eng.table.vacuum(retain_epochs=1)
+    floor = eng.table.meta.get("time_travel_floor")
+    assert floor == r.epoch
+
+    # below the floor: snapshot, lookup and change-stream reads refuse
+    with pytest.raises(ValueError, match="time-travel floor"):
+        eng.table.snapshot_table(epoch=0)
+    with pytest.raises(ValueError, match="time-travel floor"):
+        eng.table.lookup_keys(["anything"], columns=["url"], epoch=1)
+    with pytest.raises(ValueError, match="time-travel floor"):
+        eng.table.epoch_changes_dataset(1)
+
+    # at the floor: reads work (retained chain is intact)
+    assert eng.table.snapshot_table(epoch=r.epoch).num_rows > 0
+
+    # floor persists across a reload and never moves backwards
+    t2 = LakeTable.load(str(tmp_path / "lake"), "pages")
+    assert t2.meta.get("time_travel_floor") == floor
+    t2.vacuum(retain_epochs=10_000)  # keeps everything -> no regression
+    assert t2.meta.get("time_travel_floor") == floor
