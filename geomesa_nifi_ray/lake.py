@@ -927,11 +927,12 @@ class LakeTable:
         (default: latest committed). Empty dict for an empty table.
         ``buckets`` restricts a sharded-manifest read to the relevant
         shards (see :meth:`manifest`)."""
+        explicit = epoch is not None
         if epoch is None:
             epoch = self.committed_epoch()
         if epoch is None:
             return {}
-        self.check_time_travel_floor(epoch)
+        self.check_time_travel_floor(epoch, refresh=explicit)
         m = self.manifest(epoch, buckets=buckets)
         return {int(b): e for b, e in m["buckets"].items()}
 
@@ -1023,12 +1024,14 @@ class LakeTable:
         # catch-up commits leave gaps in the epoch numbering, so the log is
         # enumerated, never assumed contiguous; a bucket's live set is its
         # whole chain (base + deltas)
-        for e in epochs[-retain_epochs:]:
+        retained = epochs[-retain_epochs:]
+        for e in retained:
             for entry in self.manifest(e)["buckets"].values():
                 keep.update(self.chain_files(entry))
         deleted = []
         data_root = os.path.join(self.table_dir, DATA_DIR)
         ep_re = re.compile(r"(?:epoch|delta)-(\d+)")
+        doomed: list[str] = []
         for abs_path in self.fs.walk_files(data_root):
             rel = os.path.relpath(abs_path, self.table_dir)
             if not abs_path.endswith(".parquet") or rel in keep:
@@ -1036,8 +1039,28 @@ class LakeTable:
             m = ep_re.search(os.path.basename(abs_path))
             if m and int(m.group(1)) > committed:
                 continue  # in-flight epoch's flushed-but-uncommitted file
+            doomed.append(abs_path)
+        if doomed:
+            # time-travel floor: data files below the retained window are
+            # about to go (post-compaction vacuums delete folded chains),
+            # so time-travel reads are only GUARANTEED at >= the oldest
+            # retained manifest. Stamped BEFORE any removal — a crash
+            # mid-vacuum must not leave deleted files with no floor on
+            # record, and an early stamp is merely conservative. Only DATA
+            # deletions stamp: the orphan shard JSONs below are referenced
+            # by no manifest, so removing them cannot invalidate any
+            # committed epoch's read. The monotonic compare runs against a
+            # FRESH meta read — another process may have stamped a higher
+            # floor since this handle cached its meta, and a stale
+            # read-modify-write would move the floor backwards.
+            floor = int(retained[0])
+            self._meta = None
+            prev = self.meta.get("time_travel_floor")
+            if prev is None or floor > int(prev):
+                self.stamp_meta("time_travel_floor", floor)
+        for abs_path in doomed:
             self.fs.remove(abs_path)
-            deleted.append(rel)
+            deleted.append(os.path.relpath(abs_path, self.table_dir))
         # content-addressed shard JSONs: crashed or raced commits leave
         # orphans no manifest references (manifests themselves are never
         # vacuumed, so the referenced set is complete and stable). Shards
@@ -1070,25 +1093,25 @@ class LakeTable:
                     continue
                 self.fs.remove(abs_path)
                 deleted.append(os.path.relpath(abs_path, self.table_dir))
-        if deleted:
-            # time-travel floor: files below the retained window may now be
-            # gone (post-compaction vacuums delete folded chains), so
-            # time-travel reads are only GUARANTEED at >= the oldest
-            # retained manifest. Stamped monotonically and only when this
-            # vacuum actually deleted something — a no-op vacuum (chains
-            # still fully referenced) keeps older epochs readable.
-            floor = (epochs[-retain_epochs] if retain_epochs <= len(epochs)
-                     else epochs[0])
-            prev = self.meta.get("time_travel_floor")
-            if prev is None or int(floor) > int(prev):
-                self.stamp_meta("time_travel_floor", int(floor))
         return deleted
 
-    def check_time_travel_floor(self, epoch: int) -> None:
+    def check_time_travel_floor(self, epoch: int, *,
+                                refresh: bool = True) -> None:
         """Refuse a time-travel read below the vacuum floor with a clear
         error instead of the bare FileNotFoundError the chain read would
-        otherwise surface from a deleted parquet path."""
+        otherwise surface from a deleted parquet path.
+
+        ``refresh=True`` (explicit time-travel epochs): when the cached
+        meta would ALLOW the read, ``_table.json`` is re-read once so a
+        long-lived handle observes a floor stamped by another process's
+        vacuum. The floor is monotonic, so a stale cache can only be too
+        permissive, never too strict — the refresh closes exactly that
+        gap. Head reads pass ``refresh=False`` and skip the extra GET: the
+        committed epoch's chain is always within the retained window."""
         floor = self.meta.get("time_travel_floor")
+        if refresh and (floor is None or epoch >= int(floor)):
+            self._meta = None
+            floor = self.meta.get("time_travel_floor")
         if floor is not None and epoch < int(floor):
             raise ValueError(
                 f"epoch {epoch} of table {self.name!r} predates the "

@@ -134,6 +134,23 @@ def test_vacuum_stamps_time_travel_floor(ray_session, tmp_path):
     assert eng.table.meta.get("time_travel_floor") is None
     assert eng.table.snapshot_table(epoch=0).num_rows > 0
 
+    # an orphan shard JSON (crashed sharded commit) vacuums away, but a
+    # shard-only deletion must NOT stamp a floor — no manifest references
+    # it, so no committed epoch's read is invalidated
+    orphan = os.path.join(str(tmp_path / "lake"), "pages", "_log",
+                          "shards-00000-deadbeef.json")
+    with open(orphan, "w") as f:
+        f.write("{}")
+    assert eng.table.vacuum(retain_epochs=1) == [
+        os.path.join("_log", "shards-00000-deadbeef.json")]
+    assert eng.table.meta.get("time_travel_floor") is None
+    assert eng.table.snapshot_table(epoch=0).num_rows > 0
+
+    # a second long-lived handle caches its meta BEFORE the vacuum below;
+    # the explicit-epoch refresh must still surface the new floor
+    stale = LakeTable.load(str(tmp_path / "lake"), "pages")
+    assert stale.meta.get("time_travel_floor") is None
+
     # identity rewrite folds chains; vacuum now deletes the old files
     r = eng.rewrite_epoch(lambda t: t)
     assert eng.table.vacuum(retain_epochs=1)
@@ -150,6 +167,11 @@ def test_vacuum_stamps_time_travel_floor(ray_session, tmp_path):
 
     # at the floor: reads work (retained chain is intact)
     assert eng.table.snapshot_table(epoch=r.epoch).num_rows > 0
+
+    # the pre-vacuum handle's cached meta has no floor, but the
+    # explicit-epoch check re-reads _table.json and refuses cleanly
+    with pytest.raises(ValueError, match="time-travel floor"):
+        stale.snapshot_table(epoch=0)
 
     # floor persists across a reload and never moves backwards
     t2 = LakeTable.load(str(tmp_path / "lake"), "pages")
