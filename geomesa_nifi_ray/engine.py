@@ -1723,31 +1723,32 @@ class CDCEngine:
         in UPDATE compatibility; EXISTING/EXACT would silently project
         the evolved columns away, so that combination raises."""
         src_id = f"{os.path.abspath(src_table.root)}::{src_table.name}"
-        src_kt = src_table.meta.get("key_transform")
+        src_kt = src_table.key_transform
         my_kt = self.table.key_transform
+        mine = self.table.committed_epoch()
+        stamped = self.table.meta.get("mirror_source")
+        # identity refusals run FIRST so their diagnostics name the real
+        # problem: a wrong-source resume must say "tracks a different
+        # source", not surface a downstream transform conflict whose
+        # "recreate the target" advice would destroy a healthy mirror
+        if stamped is not None and stamped != src_id:
+            raise ValueError(
+                f"mirror target tracks {stamped!r}; refusing epochs from "
+                f"{src_id!r}")
+        if stamped is None and mine is not None:
+            raise ValueError(
+                "mirror target already has epochs not produced by "
+                f"mirroring (no mirror_source stamp); refusing to "
+                f"interleave {src_id!r} into it — use a fresh lake")
         if my_kt is not None and my_kt != src_kt:
             # a DIFFERENT transform (or one the source lacks) would
             # re-transform replicated keys at convert time and silently
-            # diverge the mirror from its source's snapshot; checked
-            # BEFORE any stamping so a refused call leaves no trace
+            # diverge the mirror from its source's snapshot
             raise ValueError(
                 f"mirror target was created with key_transform="
                 f"{my_kt!r} but source {src_id!r} has {src_kt!r}; a "
                 "mirror must use its source's transform — recreate the "
                 "target without one (it inherits the source's)")
-        mine = self.table.committed_epoch()
-        stamped = self.table.meta.get("mirror_source")
-        if stamped is None:
-            if mine is not None:
-                raise ValueError(
-                    "mirror target already has epochs not produced by "
-                    f"mirroring (no mirror_source stamp); refusing to "
-                    f"interleave {src_id!r} into it — use a fresh lake")
-            self.table.stamp_meta("mirror_source", src_id)
-        elif stamped != src_id:
-            raise ValueError(
-                f"mirror target tracks {stamped!r}; refusing epochs from "
-                f"{src_id!r}")
         src_committed = src_table.committed_epoch()
         if mine is not None and (src_committed is None
                                  or src_committed < mine):
@@ -1763,6 +1764,9 @@ class CDCEngine:
                 f"engine is {self.compatibility.value!r}, which would "
                 "silently project them away — construct the mirror with "
                 "CompatibilityMode.UPDATE")
+        stamps: dict = {}
+        if stamped is None:
+            stamps["mirror_source"] = src_id
         if (my_kt is None and src_kt is not None
                 and self._factory_accepts()[1]):
             # inherit the source's canonical-key transform: every key in a
@@ -1771,20 +1775,36 @@ class CDCEngine:
             # on resume of an un-stamped one — future replication
             # re-applies an idempotent transform (no-op) and the mirror's
             # probe paths (lookup/delete) gain the same raw-spelling
-            # canonicalization the source has. Stamped AFTER every refusal
-            # check above (a refused call leaves no trace), in ONE meta
-            # publish with its behavior fingerprint (a crash can never
-            # persist the transform without the kernel-drift guard), and
-            # ONLY when the convert factory can honor it — a custom
-            # factory without a key_transform parameter keeps the mirror
-            # un-stamped (probe keys taken verbatim), exactly its
-            # pre-inheritance behavior, instead of wedging every later
-            # apply on the _make_convert canonicalization gate.
-            fp = src_table.meta.get("key_transform_fingerprint")
-            self.table.stamp_meta_many(
-                {"key_transform": src_kt,
-                 **({"key_transform_fingerprint": fp}
-                    if fp is not None else {})})
+            # canonicalization the source has. Inherited ONLY when the
+            # convert factory can honor it — a custom factory without a
+            # key_transform parameter keeps the mirror un-stamped (probe
+            # keys taken verbatim), exactly its pre-inheritance behavior,
+            # instead of wedging every later apply on the _make_convert
+            # canonicalization gate. The fingerprint is computed from the
+            # LOCAL kernel (which also proves the name resolves here —
+            # an unresolvable transform must fail THIS call, not wedge
+            # every later load of the mirror) and checked against the
+            # source's stamp when it has one; a legacy source with no
+            # stamp still yields a fingerprinted mirror, so future kernel
+            # drift is caught at load like any other table.
+            from geomesa_nifi_ray.text import key_transform_fingerprint
+
+            local_fp = key_transform_fingerprint(src_kt)
+            src_fp = src_table.meta.get("key_transform_fingerprint")
+            if src_fp is not None and src_fp != local_fp:
+                raise ValueError(
+                    f"source {src_id!r} stamped key_transform={src_kt!r} "
+                    f"with fingerprint {src_fp!r} but the local kernel "
+                    f"computes {local_fp!r} — the transform implementation "
+                    "drifted; refusing to mirror with mismatched "
+                    "canonicalization")
+            stamps["key_transform"] = src_kt
+            stamps["key_transform_fingerprint"] = local_fp
+        if stamps:
+            # ONE meta publish AFTER every refusal check above: a refused
+            # call leaves no trace (not even mirror_source), and a crash
+            # can never persist the transform without its drift guard
+            self.table.stamp_meta_many(stamps)
         drop_hash = "content_hash" in src_table.schema.names
         out = []
         for e in src_table.manifest_epochs():

@@ -331,3 +331,63 @@ def test_mirror_custom_factory_skips_inheritance(tmp_path, ray_session):
     # resume still idempotent, still un-stamped
     assert mirror.mirror_from(src.table) == []
     assert mirror.table.key_transform is None
+
+
+def test_mirror_inherit_from_unfingerprinted_source(tmp_path, ray_session):
+    """A legacy source that stamped key_transform WITHOUT a fingerprint
+    still yields a fully guarded mirror: the fingerprint is computed from
+    the local kernel at inherit time, so future kernel drift on the mirror
+    is caught at load like any other table."""
+    from geomesa_nifi_ray.text import key_transform_fingerprint
+
+    src = _replay(tmp_path)
+    # simulate the legacy source: drop its fingerprint stamp
+    meta = dict(src.table.meta)
+    del meta["key_transform_fingerprint"]
+    src.table.fs.publish_json(
+        os.path.join(src.table.table_dir, "_table.json"), meta)
+    src.table._meta = meta
+    mirror = CDCEngine(str(tmp_path / "mirror_nofp"), num_buckets=3)
+    assert len(mirror.mirror_from(src.table)) == 2
+    assert mirror.table.key_transform == "normalize_url"
+    assert (mirror.table.meta.get("key_transform_fingerprint")
+            == key_transform_fingerprint("normalize_url"))
+    # the stamped mirror loads cleanly (drift guard satisfied)
+    LakeTable.load(str(tmp_path / "mirror_nofp"), "pages")
+
+
+def test_mirror_refuses_drifted_source_fingerprint(tmp_path, ray_session):
+    """A source whose stamped fingerprint disagrees with the LOCAL kernel
+    means the transform implementation drifted — inheriting it would
+    canonicalize probe keys differently than the source's data; the
+    mirror call must refuse before stamping or applying anything."""
+    src = _replay(tmp_path)
+    meta = dict(src.table.meta)
+    meta["key_transform_fingerprint"] = "bogus-drifted-fingerprint"
+    src.table.fs.publish_json(
+        os.path.join(src.table.table_dir, "_table.json"), meta)
+    src.table._meta = meta
+    mirror = CDCEngine(str(tmp_path / "mirror_drift"), num_buckets=3)
+    with pytest.raises(ValueError, match="drifted"):
+        mirror.mirror_from(src.table)
+    assert mirror.table.meta.get("mirror_source") is None  # no trace
+    assert mirror.table.key_transform is None
+
+
+def test_mirror_wrong_source_diagnostic_wins(tmp_path, ray_session):
+    """Resuming a transform-stamped mirror against the WRONG source must
+    say 'tracks <other source>' — not surface the transform-conflict
+    error, whose 'recreate the target' advice would destroy a healthy
+    mirror."""
+    import ray.data
+
+    src = _replay(tmp_path)
+    mirror = CDCEngine(str(tmp_path / "mirror_id"), num_buckets=3)
+    mirror.mirror_from(src.table)  # inherits normalize_url
+    # a plain (no-transform) lake the operator points the mirror at by
+    # mistake: BOTH the identity and the transform checks would fire
+    plain = CDCEngine(str(tmp_path / "plain_b"), num_buckets=2)
+    plain.apply_epoch(ray.data.from_arrow(_events(MESSY)), 0, (0, 4))
+    mirror2 = CDCEngine(str(tmp_path / "mirror_id"), num_buckets=3)
+    with pytest.raises(ValueError, match="tracks"):
+        mirror2.mirror_from(plain.table)
