@@ -2208,6 +2208,94 @@ SELECT doc_id, lang FROM (
 """
 
 
+def q_pack_documents(sf_dir: str):
+    """Sequence packing (concat-then-chunk layout for 512-token training
+    sequences): a distributed two-pass prefix sum in the deterministic
+    md5('pk0' || doc_id) order assigns every document its global token
+    start offset, sequence id and offset — identical at any cluster size
+    or resharding. Scale shape: pass 1 reduces to O(64) bucket totals
+    (per-batch int64 combiner, one tiny groupby), pass 2 is one bucket
+    exchange + per-bucket vectorized cumsum; the driver holds 64 ints."""
+    import ray.data
+
+    from geomesa_nifi_ray.packing import pack_sequences
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        nt = pc.fill_null(pc.cast(
+            pc.count_substring_regex(t["text"], r"\S+"), pa.int64()), 0)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": nt})
+
+    return pack_sequences(ds.map_batches(toks, batch_format="pyarrow"),
+                          "doc_id", "n_tokens", 512, seed="pk0")
+
+
+_PACK_DOCS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         COALESCE(CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT),
+                  0) AS n_tokens,
+         md5('pk0' || CAST(doc_id AS VARCHAR)) AS pack_key
+  FROM documents
+), cums AS (
+  SELECT doc_id, n_tokens, pack_key,
+         CAST(sum(n_tokens) OVER (
+                ORDER BY pack_key, doc_id, n_tokens
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS cum_before
+  FROM toks
+)
+SELECT doc_id, n_tokens, pack_key, cum_before,
+       cum_before // 512 AS seq_id,
+       cum_before % 512 AS seq_off
+FROM cums
+"""
+
+
+def q_token_budget_documents(sf_dir: str):
+    """Deterministic token-budget head ("the first 8000 tokens of this
+    source"): keep the documents whose tokens start inside the budget in
+    the seeded hash order. Growing the budget only adds documents, so a
+    training mix scales without reshuffling past selections. Same
+    two-pass prefix-sum engine as ``pack_documents``."""
+    import ray.data
+
+    from geomesa_nifi_ray.packing import token_budget_head
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        nt = pc.fill_null(pc.cast(
+            pc.count_substring_regex(t["text"], r"\S+"), pa.int64()), 0)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": nt})
+
+    return token_budget_head(ds.map_batches(toks, batch_format="pyarrow"),
+                             "doc_id", "n_tokens", budget=8000, seed="tb0")
+
+
+_TOKEN_BUDGET_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         COALESCE(CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT),
+                  0) AS n_tokens,
+         md5('tb0' || CAST(doc_id AS VARCHAR)) AS pack_key
+  FROM documents
+), cums AS (
+  SELECT doc_id, n_tokens, pack_key,
+         CAST(sum(n_tokens) OVER (
+                ORDER BY pack_key, doc_id, n_tokens
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS cum_before
+  FROM toks
+)
+SELECT doc_id, n_tokens, pack_key, cum_before
+FROM cums WHERE cum_before < 8000
+"""
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
 
@@ -2695,6 +2783,8 @@ QUERIES = {
     "split_documents": q_split_documents,
     "shuffle_documents": q_shuffle_documents,
     "stratified_cap_documents": q_stratified_cap_documents,
+    "pack_documents": q_pack_documents,
+    "token_budget_documents": q_token_budget_documents,
     "pii_scrub_documents": q_pii_scrub_documents,
     "contamination_documents": q_contamination_documents,
     "repetition_documents": q_repetition_documents,
@@ -2858,6 +2948,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "split_documents": _split_docs_sql(),
         "shuffle_documents": _SHUFFLE_DOCS_SQL,
         "stratified_cap_documents": _STRATIFIED_CAP_SQL,
+        "pack_documents": _PACK_DOCS_SQL,
+        "token_budget_documents": _TOKEN_BUDGET_SQL,
         "pii_scrub_documents": _PII_SCRUB_SQL.format(
             email=_PII_EMAIL, phone=_PII_PHONE,
         ),
