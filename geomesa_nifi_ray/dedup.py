@@ -787,3 +787,107 @@ def _collect_normalized(ds, vec_col: str, id_col: str):
     mat = _normalize(fixed_dim_matrix(tbl[vec_col]))
     order = np.argsort(ids, kind="stable")
     return mat[order], ids[order]
+
+
+# ----------------------------------------------------- duplicate spans --
+
+
+def _hash_strings(arr: pa.Array | pa.ChunkedArray, kernel: str) -> pa.Array:
+    """Hex hash of each string (md5 = SQL-reproducible oracle tier, xx64 =
+    vectorized scale tier — the same two-kernel contract as sampling.py)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if kernel == "xx64":
+        from geomesa_nifi_ray.hashing import content_hash_generic
+
+        return content_hash_generic(pa.table({"v": arr}), ["v"],
+                                    kernel="xx64")
+    if kernel != "md5":
+        raise ValueError(f"unknown span hash kernel {kernel!r}")
+    return pa.array(
+        [hashlib.md5(v.encode()).hexdigest() for v in arr.to_pylist()],
+        type=pa.string(),
+    )
+
+
+def duplicate_spans(ds, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 8, kernel: str = "md5",
+                    max_bucket: int | None = None):
+    """Exact duplicate-SPAN detection: every k-token window whose exact
+    token sequence appears in >= 2 distinct documents — the
+    substring-level dedup tier (cf. Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"), below the doc-level
+    tiers (exact / MinHash / SimHash / n-gram Jaccard) this module
+    already has. Output rows ``(id_col, pos, shingle_hash)``: ``pos`` is
+    the 1-based token index of the window start, so a scrubber can mask
+    token ranges ``[pos, pos+k)`` directly.
+
+    Tokenization is THE corpus whitespace rule (``\\S+``, matching
+    ``q_token_stats_documents``); windows never cross documents; a doc
+    shorter than ``k`` tokens contributes nothing; within-doc repeats
+    alone do NOT flag a span (that is ``repetition_documents``' job) —
+    the 2-doc threshold is on DISTINCT documents, exactly the SQL
+    oracle's ``HAVING count(DISTINCT doc_id) >= 2``.
+
+    Scale shape: the per-batch stage is fully vectorized (one RE2 split,
+    numpy window indexing, one ``binary_join_element_wise`` over k
+    shifted takes) and emits (hash, id, pos) rows — ~50 B/token, never
+    the text. The one ``groupby(shingle_hash)`` exchange is inherently
+    O(total tokens); that is the honest cost of EXACT substring dedup
+    without a suffix array (Lee et al.'s construction), and the reason
+    the doc-level tiers exist for the first pass. ``max_bucket`` (scale
+    opt-in, default off = oracle-exact) drops degenerate shingle buckets
+    (site boilerplate repeated across millions of pages) — those spans
+    are flagged-by-construction anyway; dropping them loses only their
+    position lists. At 100 TB run with ``kernel="xx64"`` (no per-row
+    Python) and a ``max_bucket`` cap.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if kernel not in ("md5", "xx64"):
+        raise ValueError(f"unknown span hash kernel {kernel!r}")
+
+    def spans(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], t.schema.field(id_col).type),
+                          "pos": pa.array([], pa.int64()),
+                          "shingle_hash": pa.array([], pa.string())})
+        t = t.filter(pc.is_valid(t[text_col]))
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(t[text_col], r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        nonempty = pc.not_equal(flat, "")
+        flat = flat.filter(nonempty).combine_chunks()
+        par = parents.filter(nonempty).to_numpy(zero_copy_only=False)
+        counts = np.bincount(par, minlength=t.num_rows)
+        m = np.maximum(counts - k + 1, 0)          # windows per doc
+        total = int(m.sum())
+        if total == 0:
+            return empty
+        doc_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        cum_m = np.concatenate([[0], np.cumsum(m)])[:-1]
+        pos0 = np.arange(total, dtype=np.int64) - np.repeat(cum_m, m)
+        widx = np.repeat(doc_starts, m) + pos0     # window start in flat
+        parts = [flat.take(pa.array(widx + j)) for j in range(k)]
+        shingle = pc.binary_join_element_wise(*parts, " ") if k > 1 \
+            else parts[0]
+        win_doc = pa.array(np.repeat(np.arange(t.num_rows), m))
+        return pa.table({
+            id_col: t[id_col].take(win_doc),
+            "pos": pa.array(pos0 + 1),
+            "shingle_hash": _hash_strings(shingle, kernel),
+        })
+
+    def multi_doc_only(g: pa.Table) -> pa.Table:
+        if max_bucket is not None and g.num_rows > max_bucket:
+            return g.slice(0, 0)
+        if pc.count_distinct(g[id_col]).as_py() >= 2:
+            return g
+        return g.slice(0, 0)
+
+    return (
+        ds.map_batches(spans, batch_format="pyarrow")
+        .groupby("shingle_hash")
+        .map_groups(multi_doc_only, batch_format="pyarrow")
+    )

@@ -2208,6 +2208,37 @@ SELECT doc_id, lang FROM (
 """
 
 
+def q_duplicate_spans_documents(sf_dir: str):
+    """Substring-level exact dedup (Lee et al. 2021): every 8-token window
+    whose exact token sequence occurs in >= 2 distinct documents, with its
+    1-based start position — the span list a scrubber would mask. The one
+    shuffle carries (hash, id, pos) rows, never text; see
+    ``dedup.duplicate_spans`` for the 100 TB cost envelope."""
+    import ray.data
+
+    from geomesa_nifi_ray.dedup import duplicate_spans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return duplicate_spans(ds, "doc_id", "text", k=8)
+
+
+_DUP_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+spans AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(ts[i:i+7], ' ')) AS shingle_hash
+  FROM toks, unnest(generate_series(1, len(ts) - 7)) AS g(i)
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, shingle_hash FROM spans
+WHERE shingle_hash IN (
+  SELECT shingle_hash FROM spans GROUP BY shingle_hash
+  HAVING count(DISTINCT doc_id) >= 2)
+"""
+
+
 def q_pack_documents(sf_dir: str):
     """Sequence packing (concat-then-chunk layout for 512-token training
     sequences): a distributed two-pass prefix sum in the deterministic
@@ -2784,6 +2815,7 @@ QUERIES = {
     "shuffle_documents": q_shuffle_documents,
     "stratified_cap_documents": q_stratified_cap_documents,
     "pack_documents": q_pack_documents,
+    "duplicate_spans_documents": q_duplicate_spans_documents,
     "token_budget_documents": q_token_budget_documents,
     "pii_scrub_documents": q_pii_scrub_documents,
     "contamination_documents": q_contamination_documents,
@@ -2949,6 +2981,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "shuffle_documents": _SHUFFLE_DOCS_SQL,
         "stratified_cap_documents": _STRATIFIED_CAP_SQL,
         "pack_documents": _PACK_DOCS_SQL,
+        "duplicate_spans_documents": _DUP_SPANS_SQL,
         "token_budget_documents": _TOKEN_BUDGET_SQL,
         "pii_scrub_documents": _PII_SCRUB_SQL.format(
             email=_PII_EMAIL, phone=_PII_PHONE,

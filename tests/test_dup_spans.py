@@ -1,0 +1,89 @@
+"""duplicate_spans (substring-level exact dedup): planted cross-doc spans
+are found at the right positions, within-doc repeats alone don't flag,
+short docs contribute nothing, resharding doesn't change the result, and
+the xx64 scale kernel + max_bucket cap behave as documented."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geomesa_nifi_ray.dedup import duplicate_spans
+
+SHARED = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+
+
+def _corpus():
+    return pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d", "e", "f"]),
+        "text": pa.array([
+            f"one two {SHARED} three four",          # shared span at pos 3
+            f"{SHARED} unrelated tail words here",   # shared span at pos 1
+            "iota kappa " * 12,                       # within-doc repeats only
+            "tiny doc",                               # < k tokens
+            None,                                     # null text
+            "totally different content with no duplicated windows at all",
+        ]),
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_planted_spans_found_at_positions():
+    import ray.data
+
+    out = duplicate_spans(ray.data.from_arrow(_corpus()), k=8).to_pandas()
+    got = {(r.doc_id, r.pos) for r in out.itertuples()}
+    # doc a: tokens one(1) two(2) alpha(3).. -> span starts at 3; doc b: 1
+    assert ("a", 3) in got and ("b", 1) in got
+    # the shared shingle hash agrees across docs
+    ha = out[(out.doc_id == "a") & (out.pos == 3)]["shingle_hash"].iloc[0]
+    hb = out[(out.doc_id == "b") & (out.pos == 1)]["shingle_hash"].iloc[0]
+    assert ha == hb
+    # within-doc-only repeats (doc c) never flag; d/e/f contribute nothing
+    assert set(out.doc_id) <= {"a", "b"}
+    # doc a also shares sub-windows? k=8 exact: only full 8-token matches.
+    # Every reported span's hash occurs in >= 2 distinct docs by contract.
+    for h, grp in out.groupby("shingle_hash"):
+        assert grp["doc_id"].nunique() >= 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resharding_invariant_and_kernel_parity():
+    import ray.data
+
+    t = _corpus()
+    base = duplicate_spans(ray.data.from_arrow(t), k=8).to_pandas()
+    shard = duplicate_spans(ray.data.from_arrow(t).repartition(5),
+                            k=8).to_pandas()
+    key = ["doc_id", "pos", "shingle_hash"]
+    assert sorted(map(tuple, base[key].values.tolist())) == \
+        sorted(map(tuple, shard[key].values.tolist()))
+    # xx64: same (doc, pos) set, different hash encoding
+    x = duplicate_spans(ray.data.from_arrow(t), k=8, kernel="xx64").to_pandas()
+    assert sorted(map(tuple, x[["doc_id", "pos"]].values.tolist())) == \
+        sorted(map(tuple, base[["doc_id", "pos"]].values.tolist()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_max_bucket_drops_degenerate_shingles():
+    import ray.data
+
+    # 30 docs all sharing one boilerplate span -> bucket of 30 instances
+    boiler = "the quick brown fox jumps over lazy dogs"
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(30)]),
+        "text": pa.array([f"{boiler} unique{i} filler{i}" for i in range(30)]),
+    })
+    full = duplicate_spans(ray.data.from_arrow(t), k=8).to_pandas()
+    assert len(full) == 30
+    capped = duplicate_spans(ray.data.from_arrow(t), k=8,
+                             max_bucket=10).to_pandas()
+    assert len(capped) == 0  # the one degenerate bucket dropped
+
+
+def test_k_validation():
+    import ray.data
+
+    with pytest.raises(ValueError):
+        duplicate_spans(ray.data.from_arrow(_corpus()), k=0)
+    with pytest.raises(ValueError):
+        duplicate_spans(ray.data.from_arrow(_corpus()), kernel="crc")
