@@ -2208,6 +2208,75 @@ SELECT doc_id, lang FROM (
 """
 
 
+def q_token_quantiles_documents(sf_dir: str):
+    """Exact p50/p90/p99 of the per-doc token-count distribution (batch
+    sizing / corpus profiling) via histogram refinement — three streaming
+    passes over one pruned column, O(bins) driver state, NO global sort
+    (``stats.exact_quantiles``; DuckDB ``quantile_disc`` semantics)."""
+    import ray.data
+
+    from geomesa_nifi_ray.stats import exact_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        nt = pc.fill_null(pc.cast(
+            pc.count_substring_regex(t["text"], r"\S+"), pa.int64()), 0)
+        return pa.table({"n_tokens": nt})
+
+    qv = exact_quantiles(ds.map_batches(toks, batch_format="pyarrow"),
+                         "n_tokens", [0.5, 0.9, 0.99], bins=256)
+    return pa.table({"p50": pa.array([int(qv[0.5])], pa.int64()),
+                     "p90": pa.array([int(qv[0.9])], pa.int64()),
+                     "p99": pa.array([int(qv[0.99])], pa.int64())})
+
+
+_TOKEN_QUANTILES_SQL = """
+SELECT CAST(quantile_disc(n_tokens, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_tokens, 0.9) AS BIGINT) AS p90,
+       CAST(quantile_disc(n_tokens, 0.99) AS BIGINT) AS p99
+FROM (SELECT COALESCE(CAST(length(regexp_extract_all(text, '\\S+'))
+                           AS BIGINT), 0) AS n_tokens
+      FROM documents)
+"""
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Value-ordered per-group selection (the quality-filter lever: keep
+    the 25 longest documents per language): one groupby exchange, a
+    vectorized sort-head per group, deterministic via the doc_id
+    tie-break."""
+    import ray.data
+
+    from geomesa_nifi_ray.sampling import group_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        nt = pc.fill_null(pc.cast(
+            pc.count_substring_regex(t["text"], r"\S+"), pa.int64()), 0)
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "n_tokens": nt})
+
+    return group_topk(ds.map_batches(toks, batch_format="pyarrow"),
+                      "lang", "n_tokens", "doc_id", k=25)
+
+
+_TOP_DOCS_PER_LANG_SQL = """
+SELECT doc_id, lang, n_tokens FROM (
+  SELECT doc_id, lang, n_tokens,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM (SELECT doc_id, lang,
+               COALESCE(CAST(length(regexp_extract_all(text, '\\S+'))
+                             AS BIGINT), 0) AS n_tokens
+        FROM documents)
+) WHERE rn <= 25
+"""
+
+
 def q_duplicate_spans_documents(sf_dir: str):
     """Substring-level exact dedup (Lee et al. 2021): every 8-token window
     whose exact token sequence occurs in >= 2 distinct documents, with its
@@ -2816,6 +2885,8 @@ QUERIES = {
     "stratified_cap_documents": q_stratified_cap_documents,
     "pack_documents": q_pack_documents,
     "duplicate_spans_documents": q_duplicate_spans_documents,
+    "top_docs_per_lang": q_top_docs_per_lang,
+    "token_quantiles_documents": q_token_quantiles_documents,
     "token_budget_documents": q_token_budget_documents,
     "pii_scrub_documents": q_pii_scrub_documents,
     "contamination_documents": q_contamination_documents,
@@ -2982,6 +3053,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "stratified_cap_documents": _STRATIFIED_CAP_SQL,
         "pack_documents": _PACK_DOCS_SQL,
         "duplicate_spans_documents": _DUP_SPANS_SQL,
+        "top_docs_per_lang": _TOP_DOCS_PER_LANG_SQL,
+        "token_quantiles_documents": _TOKEN_QUANTILES_SQL,
         "token_budget_documents": _TOKEN_BUDGET_SQL,
         "pii_scrub_documents": _PII_SCRUB_SQL.format(
             email=_PII_EMAIL, phone=_PII_PHONE,

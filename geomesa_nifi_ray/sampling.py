@@ -307,3 +307,23 @@ def stratified_cap(ds, group_col: str, col: str, cap: int, seed: str = "s0",
         .groupby(group_col)
         .map_groups(head, batch_format="pandas")
     )
+
+
+def group_topk(ds, group_col: str, value_col: str, id_col: str, k: int,
+               descending: bool = True):
+    """Top-``k`` rows per group by ``value_col`` (ties broken by
+    ``id_col`` ascending, so the selection is total and deterministic) —
+    the value-ordered sibling of :func:`stratified_cap`'s hash-ordered
+    quota: "keep the k longest / highest-quality documents per
+    language". One groupby exchange; selection inside the group is a
+    vectorized sort-head, SQL-reproducible as ``row_number() OVER
+    (PARTITION BY g ORDER BY v DESC, id) <= k``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order = "descending" if descending else "ascending"
+
+    def head(g: pa.Table) -> pa.Table:
+        return g.sort_by([(value_col, order),
+                          (id_col, "ascending")]).slice(0, k)
+
+    return ds.groupby(group_col).map_groups(head, batch_format="pyarrow")
