@@ -77,6 +77,8 @@ TIMED_QUERIES = [
     "embedding_topk",
     "langid_documents",
     "vocab_topk_documents",
+    "duplicate_spans_documents",
+    "pack_documents",
 ]
 
 

@@ -891,3 +891,29 @@ def duplicate_spans(ds, id_col: str = "doc_id", text_col: str = "text",
         .groupby("shingle_hash")
         .map_groups(multi_doc_only, batch_format="pyarrow")
     )
+
+
+def duplicate_span_stats(ds, id_col: str = "doc_id", text_col: str = "text",
+                         k: int = 8, kernel: str = "md5",
+                         max_bucket: int | None = None):
+    """Per-document duplicated-token footprint: for each doc with at least
+    one flagged span (see :func:`duplicate_spans`), the number of DISTINCT
+    token positions covered by the union of its flagged ``[pos, pos+k)``
+    windows — the "how much of this doc would span-scrubbing remove"
+    number that decides scrub-vs-drop. Same cost envelope as
+    ``duplicate_spans`` plus one O(flagged spans) groupby; the interval
+    union per doc is a vectorized sweep (windows share width k, so union
+    length = sum(min(gap, k)) + k over sorted starts)."""
+    spans = duplicate_spans(ds, id_col=id_col, text_col=text_col, k=k,
+                            kernel=kernel, max_bucket=max_bucket)
+
+    def union_len(g: pa.Table) -> pa.Table:
+        pos = np.unique(g["pos"].to_numpy(zero_copy_only=False))
+        covered = int(np.minimum(np.diff(pos), k).sum()) + k
+        return pa.table({
+            id_col: g[id_col].slice(0, 1),
+            "dup_tokens": pa.array([covered], pa.int64()),
+        })
+
+    return spans.groupby(id_col).map_groups(union_len,
+                                            batch_format="pyarrow")

@@ -2208,6 +2208,40 @@ SELECT doc_id, lang FROM (
 """
 
 
+def q_duplicate_span_stats_documents(sf_dir: str):
+    """Per-document duplicated-token footprint: distinct token positions
+    covered by the union of flagged 8-token duplicate spans — the
+    scrub-vs-drop decision number (``dedup.duplicate_span_stats``)."""
+    import ray.data
+
+    from geomesa_nifi_ray.dedup import duplicate_span_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return duplicate_span_stats(ds, "doc_id", "text", k=8)
+
+
+_DUP_SPAN_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+),
+spans AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(ts[i:i+7], ' ')) AS shingle_hash
+  FROM toks, unnest(generate_series(1, len(ts) - 7)) AS g(i)
+),
+dup AS (
+  SELECT doc_id, pos FROM spans
+  WHERE shingle_hash IN (
+    SELECT shingle_hash FROM spans GROUP BY shingle_hash
+    HAVING count(DISTINCT doc_id) >= 2)
+)
+SELECT doc_id, CAST(count(DISTINCT pos + j) AS BIGINT) AS dup_tokens
+FROM dup, unnest(generate_series(0, 7)) AS u(j)
+GROUP BY doc_id
+"""
+
+
 def q_token_quantiles_documents(sf_dir: str):
     """Exact p50/p90/p99 of the per-doc token-count distribution (batch
     sizing / corpus profiling) via histogram refinement — three streaming
@@ -2887,6 +2921,7 @@ QUERIES = {
     "duplicate_spans_documents": q_duplicate_spans_documents,
     "top_docs_per_lang": q_top_docs_per_lang,
     "token_quantiles_documents": q_token_quantiles_documents,
+    "duplicate_span_stats_documents": q_duplicate_span_stats_documents,
     "token_budget_documents": q_token_budget_documents,
     "pii_scrub_documents": q_pii_scrub_documents,
     "contamination_documents": q_contamination_documents,
@@ -3055,6 +3090,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "duplicate_spans_documents": _DUP_SPANS_SQL,
         "top_docs_per_lang": _TOP_DOCS_PER_LANG_SQL,
         "token_quantiles_documents": _TOKEN_QUANTILES_SQL,
+        "duplicate_span_stats_documents": _DUP_SPAN_STATS_SQL,
         "token_budget_documents": _TOKEN_BUDGET_SQL,
         "pii_scrub_documents": _PII_SCRUB_SQL.format(
             email=_PII_EMAIL, phone=_PII_PHONE,

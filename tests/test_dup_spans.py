@@ -87,3 +87,22 @@ def test_k_validation():
         duplicate_spans(ray.data.from_arrow(_corpus()), k=0)
     with pytest.raises(ValueError):
         duplicate_spans(ray.data.from_arrow(_corpus()), kernel="crc")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_span_stats_interval_union():
+    import ray.data
+
+    from geomesa_nifi_ray.dedup import duplicate_span_stats
+
+    # two docs sharing overlapping spans: doc g has the shared 8-token
+    # run at positions 1 and 2 (9 tokens of SHARED2), doc h at 1 only
+    shared2 = SHARED + " iota"  # 9 tokens -> two overlapping 8-windows
+    t = pa.table({
+        "doc_id": pa.array(["g", "h"]),
+        "text": pa.array([f"{shared2} tail words", f"{shared2} other end"]),
+    })
+    out = duplicate_span_stats(ray.data.from_arrow(t), k=8).to_pandas()
+    got = dict(zip(out.doc_id, out.dup_tokens))
+    # both docs: flagged windows start at 1 and 2 -> union covers 9 tokens
+    assert got == {"g": 9, "h": 9}

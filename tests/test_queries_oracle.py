@@ -86,7 +86,7 @@ def test_all_queries_run(entrymod):
     "cdc_replay_norm_keys", "cdc_retention_snapshot", "cdc_window_scan",
     "split_documents", "pack_documents", "token_budget_documents",
     "duplicate_spans_documents", "top_docs_per_lang",
-    "token_quantiles_documents",
+    "token_quantiles_documents", "duplicate_span_stats_documents",
     "pricing_summary", "top_customer_orders", "events_windowed",
     "lww_latest_events", "upsert_events", "convert_events_typed",
     "events_sessionized", "events_distinct_users", "orders_semi_join", "cdc_backfill_rewrite",
