@@ -2208,6 +2208,55 @@ SELECT doc_id, lang FROM (
 """
 
 
+def q_lang_token_budget_documents(sf_dir: str):
+    """Per-language token-budget mix (the training-mix lever proper):
+    each language keeps the documents whose tokens start inside ITS
+    budget in the seeded hash order — en 3000 tokens, de 1500, every
+    other language 800. One grouped prefix sum (driver state =
+    O(langs × buckets) ints), deterministic at any cluster size."""
+    import ray.data
+
+    from geomesa_nifi_ray.packing import token_budget_head
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        nt = pc.fill_null(pc.cast(
+            pc.count_substring_regex(t["text"], r"\S+"), pa.int64()), 0)
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "n_tokens": nt})
+
+    return token_budget_head(ds.map_batches(toks, batch_format="pyarrow"),
+                             "doc_id", "n_tokens",
+                             {"en": 3000, "de": 1500}, group_col="lang",
+                             default_budget=800, seed="mix0")
+
+
+_LANG_TOKEN_BUDGET_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         COALESCE(CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT),
+                  0) AS n_tokens,
+         md5('mix0' || CAST(doc_id AS VARCHAR)) AS pack_key
+  FROM documents
+), cums AS (
+  SELECT doc_id, lang, n_tokens, pack_key,
+         CAST(sum(n_tokens) OVER (
+                PARTITION BY lang
+                ORDER BY pack_key, doc_id, n_tokens
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS cum_before
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens, pack_key, cum_before
+FROM cums
+WHERE cum_before < CASE lang WHEN 'en' THEN 3000
+                             WHEN 'de' THEN 1500
+                             ELSE 800 END
+"""
+
+
 def q_duplicate_span_stats_documents(sf_dir: str):
     """Per-document duplicated-token footprint: distinct token positions
     covered by the union of flagged 8-token duplicate spans — the
@@ -2922,6 +2971,7 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "token_quantiles_documents": q_token_quantiles_documents,
     "duplicate_span_stats_documents": q_duplicate_span_stats_documents,
+    "lang_token_budget_documents": q_lang_token_budget_documents,
     "token_budget_documents": q_token_budget_documents,
     "pii_scrub_documents": q_pii_scrub_documents,
     "contamination_documents": q_contamination_documents,
@@ -3091,6 +3141,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "top_docs_per_lang": _TOP_DOCS_PER_LANG_SQL,
         "token_quantiles_documents": _TOKEN_QUANTILES_SQL,
         "duplicate_span_stats_documents": _DUP_SPAN_STATS_SQL,
+        "lang_token_budget_documents": _LANG_TOKEN_BUDGET_SQL,
         "token_budget_documents": _TOKEN_BUDGET_SQL,
         "pii_scrub_documents": _PII_SCRUB_SQL.format(
             email=_PII_EMAIL, phone=_PII_PHONE,

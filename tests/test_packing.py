@@ -165,3 +165,65 @@ def test_param_validation():
     with pytest.raises(ValueError):
         running_total(ray.data.from_arrow(t), "doc_id", "n_tokens",
                       kernel="sha9")
+
+
+def _oracle_group_cum(t: pa.Table, seed="pack0", group="lang") -> pd.DataFrame:
+    df = t.to_pandas()
+    df["pack_key"] = [hashlib.md5((seed + str(k)).encode()).hexdigest()
+                      for k in df["doc_id"]]
+    df = df.sort_values([group, "pack_key", "doc_id", "n_tokens"],
+                        kind="stable").reset_index(drop=True)
+    df["cum_before"] = (df.groupby(group, dropna=False)["n_tokens"]
+                        .transform(lambda s: s.fillna(0).astype("int64")
+                                   .cumsum().shift(1, fill_value=0)))
+    return df
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_running_total_matches_pandas():
+    import ray.data
+
+    rng = np.random.default_rng(21)
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:04d}" for i in range(400)]),
+        "n_tokens": pa.array(rng.integers(0, 300, 400), type=pa.int64()),
+        "lang": pa.array(rng.choice(["en", "de", "fr", None], 400).tolist()),
+    })
+    for reshard, nb in ((1, 64), (9, 8)):
+        got = running_total(ray.data.from_arrow(t).repartition(reshard),
+                            "doc_id", "n_tokens", group_col="lang",
+                            num_buckets=nb
+                            ).to_pandas().sort_values("doc_id")
+        want = _oracle_group_cum(t).sort_values("doc_id")
+        assert list(got["cum_before"]) == list(want["cum_before"]), (reshard, nb)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_token_budget_dict():
+    import ray.data
+
+    rng = np.random.default_rng(31)
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:04d}" for i in range(300)]),
+        "n_tokens": pa.array(rng.integers(1, 100, 300), type=pa.int64()),
+        "lang": pa.array(rng.choice(["en", "de", "fr"], 300).tolist()),
+    })
+    budgets = {"en": 500, "de": 200}   # fr falls to default_budget=0
+    got = token_budget_head(ray.data.from_arrow(t).repartition(4),
+                            "doc_id", "n_tokens", budgets,
+                            group_col="lang").to_pandas()
+    assert set(got["lang"]) <= {"en", "de"}
+    for g, lim in budgets.items():
+        sub = got[got["lang"] == g]
+        assert (sub["cum_before"] < lim).all()
+        # prefix property within each group vs the pandas oracle
+        full = _oracle_group_cum(t)
+        want_n = int(((full["lang"] == g) & (full["cum_before"] < lim)).sum())
+        assert len(sub) == want_n, g
+    # scalar budget with groups: applies per group
+    sc = token_budget_head(ray.data.from_arrow(t), "doc_id", "n_tokens",
+                           150, group_col="lang").to_pandas()
+    assert (sc["cum_before"] < 150).all() and sc["lang"].nunique() == 3
+    with pytest.raises(ValueError, match="group_col"):
+        token_budget_head(ray.data.from_arrow(t), "doc_id", "n_tokens",
+                          {"en": 10})

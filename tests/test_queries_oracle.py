@@ -87,6 +87,7 @@ def test_all_queries_run(entrymod):
     "split_documents", "pack_documents", "token_budget_documents",
     "duplicate_spans_documents", "top_docs_per_lang",
     "token_quantiles_documents", "duplicate_span_stats_documents",
+    "lang_token_budget_documents",
     "pricing_summary", "top_customer_orders", "events_windowed",
     "lww_latest_events", "upsert_events", "convert_events_typed",
     "events_sessionized", "events_distinct_users", "orders_semi_join", "cdc_backfill_rewrite",
