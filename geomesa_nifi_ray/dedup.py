@@ -832,15 +832,19 @@ def duplicate_spans(ds, id_col: str = "doc_id", text_col: str = "text",
     Scale shape: the per-batch stage is fully vectorized (one RE2 split,
     numpy window indexing, one ``binary_join_element_wise`` over k
     shifted takes) and emits (hash, id, pos) rows — ~50 B/token, never
-    the text. The one ``groupby(shingle_hash)`` exchange is inherently
-    O(total tokens); that is the honest cost of EXACT substring dedup
-    without a suffix array (Lee et al.'s construction), and the reason
-    the doc-level tiers exist for the first pass. ``max_bucket`` (scale
-    opt-in, default off = oracle-exact) drops degenerate shingle buckets
-    (site boilerplate repeated across millions of pages) — those spans
-    are flagged-by-construction anyway; dropping them loses only their
-    position lists. At 100 TB run with ``kernel="xx64"`` (no per-row
-    Python) and a ``max_bucket`` cap.
+    the text. The one exchange groups by a 64-way COARSENED shard of the
+    hash (the same pattern as ``MinHashStage``: per-shingle groups would
+    pay one Python ``map_groups`` dispatch per distinct shingle — ~one
+    per corpus token); within a shard the >=2-distinct-docs rule is one
+    vectorized sort + run-boundary scan over all its shingles at once.
+    The exchange is inherently O(total tokens); that is the honest cost
+    of EXACT substring dedup without a suffix array (Lee et al.'s
+    construction), and the reason the doc-level tiers exist for the
+    first pass. ``max_bucket`` (scale opt-in, default off = oracle-exact)
+    drops degenerate shingle buckets (site boilerplate repeated across
+    millions of pages) — those spans are flagged-by-construction anyway;
+    dropping them loses only their position lists. At 100 TB run with
+    ``kernel="xx64"`` (no per-row Python) and a ``max_bucket`` cap.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -873,22 +877,45 @@ def duplicate_spans(ds, id_col: str = "doc_id", text_col: str = "text",
         shingle = pc.binary_join_element_wise(*parts, " ") if k > 1 \
             else parts[0]
         win_doc = pa.array(np.repeat(np.arange(t.num_rows), m))
-        return pa.table({
+        hashes = _hash_strings(shingle, kernel)
+        out = pa.table({
             id_col: t[id_col].take(win_doc),
             "pos": pa.array(pos0 + 1),
-            "shingle_hash": _hash_strings(shingle, kernel),
+            "shingle_hash": hashes,
         })
+        # 64-way coarsened shard from the first hex nibbles (uniform by
+        # construction) — the exchange key; per-shingle logic stays
+        # vectorized inside each shard task
+        from geomesa_nifi_ray.sampling import _bucket_from_hex
+
+        return out.append_column("_shard", _bucket_from_hex(hashes, 64))
 
     def multi_doc_only(g: pa.Table) -> pa.Table:
-        if max_bucket is not None and g.num_rows > max_bucket:
-            return g.slice(0, 0)
-        if pc.count_distinct(g[id_col]).as_py() >= 2:
+        g = g.drop_columns(["_shard"])
+        if g.num_rows == 0:
             return g
-        return g.slice(0, 0)
+        # one sort + run-boundary scan decides every shingle in the shard:
+        # a shingle survives iff its run contains >= 2 distinct doc ids
+        g = g.sort_by([("shingle_hash", "ascending"), (id_col, "ascending")])
+        hcodes = g["shingle_hash"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        dcodes = pc.cast(g[id_col], pa.string()).combine_chunks() \
+            .dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        new_run = np.r_[True, hcodes[1:] != hcodes[:-1]]
+        run_ids = np.cumsum(new_run) - 1
+        nruns = int(run_ids[-1]) + 1
+        # distinct docs per run = count of (run, doc) transitions
+        new_pair = new_run | np.r_[True, dcodes[1:] != dcodes[:-1]]
+        distinct = np.bincount(run_ids[new_pair], minlength=nruns)
+        keep = distinct[run_ids] >= 2
+        if max_bucket is not None:
+            sizes = np.bincount(run_ids, minlength=nruns)
+            keep &= sizes[run_ids] <= max_bucket
+        return g.filter(pa.array(keep))
 
     return (
         ds.map_batches(spans, batch_format="pyarrow")
-        .groupby("shingle_hash")
+        .groupby("_shard")
         .map_groups(multi_doc_only, batch_format="pyarrow")
     )
 
@@ -901,19 +928,46 @@ def duplicate_span_stats(ds, id_col: str = "doc_id", text_col: str = "text",
     token positions covered by the union of its flagged ``[pos, pos+k)``
     windows — the "how much of this doc would span-scrubbing remove"
     number that decides scrub-vs-drop. Same cost envelope as
-    ``duplicate_spans`` plus one O(flagged spans) groupby; the interval
-    union per doc is a vectorized sweep (windows share width k, so union
-    length = sum(min(gap, k)) + k over sorted starts)."""
+    ``duplicate_spans`` plus one O(flagged spans) exchange, coarsened to
+    64 doc-shards (per-doc ``map_groups`` dispatch would pay one Python
+    call per flagged document); the interval union is one vectorized
+    segmented sweep per shard (windows share width k, so union length =
+    sum(min(gap, k)) + k over sorted starts, per doc run)."""
+    from geomesa_nifi_ray.sampling import _bucket_from_hex
+
     spans = duplicate_spans(ds, id_col=id_col, text_col=text_col, k=k,
                             kernel=kernel, max_bucket=max_bucket)
 
+    def shard(t: pa.Table) -> pa.Table:
+        # shard on the hex hash of the id — uniform regardless of id type
+        ids = _hash_strings(pc.cast(t[id_col], pa.string()), "xx64")
+        return t.append_column("_dshard", _bucket_from_hex(ids, 64))
+
     def union_len(g: pa.Table) -> pa.Table:
-        pos = np.unique(g["pos"].to_numpy(zero_copy_only=False))
-        covered = int(np.minimum(np.diff(pos), k).sum()) + k
+        out_schema = pa.schema([g.schema.field(id_col),
+                                pa.field("dup_tokens", pa.int64())])
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        g = g.sort_by([(id_col, "ascending"), ("pos", "ascending")])
+        dcodes = pc.cast(g[id_col], pa.string()).combine_chunks() \
+            .dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        pos = g["pos"].to_numpy(zero_copy_only=False)
+        new_run = np.r_[True, dcodes[1:] != dcodes[:-1]]
+        run_ids = np.cumsum(new_run) - 1
+        nruns = int(run_ids[-1]) + 1
+        # (doc, pos) pairs are unique by construction, so within a run the
+        # sorted gaps are positive; union = sum(min(gap, k)) + k per run
+        gaps = np.minimum(pos[1:] - pos[:-1], k)
+        covered = np.full(nruns, k, dtype=np.int64)
+        inrun = ~new_run[1:]
+        np.add.at(covered, run_ids[1:][inrun], gaps[inrun])
+        firsts = np.flatnonzero(new_run)
         return pa.table({
-            id_col: g[id_col].slice(0, 1),
-            "dup_tokens": pa.array([covered], pa.int64()),
+            id_col: g[id_col].take(pa.array(firsts)),
+            "dup_tokens": pa.array(covered),
         })
 
-    return spans.groupby(id_col).map_groups(union_len,
-                                            batch_format="pyarrow")
+    return (spans.map_batches(shard, batch_format="pyarrow")
+            .groupby("_dshard")
+            .map_groups(lambda t: union_len(t.drop_columns(["_dshard"])),
+                        batch_format="pyarrow"))
