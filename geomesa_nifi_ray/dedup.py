@@ -854,7 +854,8 @@ def duplicate_spans(ds, id_col: str = "doc_id", text_col: str = "text",
     def spans(t: pa.Table) -> pa.Table:
         empty = pa.table({id_col: pa.array([], t.schema.field(id_col).type),
                           "pos": pa.array([], pa.int64()),
-                          "shingle_hash": pa.array([], pa.string())})
+                          "shingle_hash": pa.array([], pa.string()),
+                          "_shard": pa.array([], pa.int32())})
         t = t.filter(pc.is_valid(t[text_col]))
         if t.num_rows == 0:
             return empty

@@ -106,3 +106,22 @@ def test_span_stats_interval_union():
     got = dict(zip(out.doc_id, out.dup_tokens))
     # both docs: flagged windows start at 1 and 2 -> union covers 9 tokens
     assert got == {"g": 9, "h": 9}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_all_null_batch_schema_stable():
+    import ray.data
+
+    from geomesa_nifi_ray.dedup import duplicate_span_stats
+
+    # one block entirely null text (empty spans table) unioned with real
+    # blocks: the empty early-return must carry the full schema
+    t1 = pa.table({"doc_id": pa.array(["n1", "n2"]),
+                   "text": pa.array([None, None], pa.string())})
+    t2 = pa.table({"doc_id": pa.array(["p", "q"]),
+                   "text": pa.array([f"{SHARED} one", f"{SHARED} two"])})
+    ds = ray.data.from_arrow(t1).union(ray.data.from_arrow(t2))
+    out = duplicate_spans(ds, k=8).to_pandas()
+    assert set(out.doc_id) == {"p", "q"}
+    stats = duplicate_span_stats(ds, k=8).to_pandas()
+    assert dict(zip(stats.doc_id, stats.dup_tokens)) == {"p": 8, "q": 8}
