@@ -793,21 +793,11 @@ def _collect_normalized(ds, vec_col: str, id_col: str):
 
 
 def _hash_strings(arr: pa.Array | pa.ChunkedArray, kernel: str) -> pa.Array:
-    """Hex hash of each string (md5 = SQL-reproducible oracle tier, xx64 =
-    vectorized scale tier — the same two-kernel contract as sampling.py)."""
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    if kernel == "xx64":
-        from geomesa_nifi_ray.hashing import content_hash_generic
+    """Hex hash of each string — a thin delegate to ``sampling._hash_col``
+    so the md5-vs-xx64 kernel dispatch lives in exactly one place."""
+    from geomesa_nifi_ray.sampling import _hash_col
 
-        return content_hash_generic(pa.table({"v": arr}), ["v"],
-                                    kernel="xx64")
-    if kernel != "md5":
-        raise ValueError(f"unknown span hash kernel {kernel!r}")
-    return pa.array(
-        [hashlib.md5(v.encode()).hexdigest() for v in arr.to_pylist()],
-        type=pa.string(),
-    )
+    return _hash_col(pa.table({"v": arr}), "v", "", kernel)
 
 
 def duplicate_spans(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -896,18 +886,29 @@ def duplicate_spans(ds, id_col: str = "doc_id", text_col: str = "text",
         if g.num_rows == 0:
             return g
         # one sort + run-boundary scan decides every shingle in the shard:
-        # a shingle survives iff its run contains >= 2 distinct doc ids
+        # a shingle survives iff its run contains >= 2 distinct doc ids.
+        # Null ids do NOT count toward distinctness (SQL count(DISTINCT)
+        # ignores NULLs) but null-id rows of a surviving shingle are still
+        # emitted — exactly the oracle's WHERE … IN (… HAVING) shape.
         g = g.sort_by([("shingle_hash", "ascending"), (id_col, "ascending")])
         hcodes = g["shingle_hash"].combine_chunks().dictionary_encode() \
             .indices.to_numpy(zero_copy_only=False)
-        dcodes = pc.cast(g[id_col], pa.string()).combine_chunks() \
-            .dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        ids = pc.cast(g[id_col], pa.string()).combine_chunks()
+        didx = ids.dictionary_encode().indices
+        valid = pc.is_valid(didx).to_numpy(zero_copy_only=False)
+        dcodes = pc.fill_null(didx, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         new_run = np.r_[True, hcodes[1:] != hcodes[:-1]]
         run_ids = np.cumsum(new_run) - 1
         nruns = int(run_ids[-1]) + 1
-        # distinct docs per run = count of (run, doc) transitions
-        new_pair = new_run | np.r_[True, dcodes[1:] != dcodes[:-1]]
-        distinct = np.bincount(run_ids[new_pair], minlength=nruns)
+        # distinct non-null docs per run = (run, doc) transitions over the
+        # valid-id subsequence (order within a run is preserved by the take)
+        vr, vd = run_ids[valid], dcodes[valid]
+        if len(vr):
+            new_pair = np.r_[True, (vr[1:] != vr[:-1]) | (vd[1:] != vd[:-1])]
+            distinct = np.bincount(vr[new_pair], minlength=nruns)
+        else:
+            distinct = np.zeros(nruns, dtype=np.int64)
         keep = distinct[run_ids] >= 2
         if max_bucket is not None:
             sizes = np.bincount(run_ids, minlength=nruns)
@@ -933,15 +934,21 @@ def duplicate_span_stats(ds, id_col: str = "doc_id", text_col: str = "text",
     64 doc-shards (per-doc ``map_groups`` dispatch would pay one Python
     call per flagged document); the interval union is one vectorized
     segmented sweep per shard (windows share width k, so union length =
-    sum(min(gap, k)) + k over sorted starts, per doc run)."""
+    sum(min(gap, k)) + k over sorted starts, per doc run). Null-id rows
+    are excluded — a per-document footprint for an unidentifiable
+    document is meaningless (``duplicate_spans`` itself still emits
+    them)."""
     from geomesa_nifi_ray.sampling import _bucket_from_hex
 
     spans = duplicate_spans(ds, id_col=id_col, text_col=text_col, k=k,
                             kernel=kernel, max_bucket=max_bucket)
 
     def shard(t: pa.Table) -> pa.Table:
-        # shard on the hex hash of the id — uniform regardless of id type
-        ids = _hash_strings(pc.cast(t[id_col], pa.string()), "xx64")
+        # shard on the hex hash of the id — uniform regardless of id
+        # type; the CALLER's kernel, so the md5 oracle tier never drags
+        # in the xx64 path's polars dependency
+        t = t.filter(pc.is_valid(t[id_col]))
+        ids = _hash_strings(pc.cast(t[id_col], pa.string()), kernel)
         return t.append_column("_dshard", _bucket_from_hex(ids, 64))
 
     def union_len(g: pa.Table) -> pa.Table:

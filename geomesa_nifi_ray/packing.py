@@ -139,7 +139,11 @@ def running_total(ds, col: str, value_col: str, *, seed: str = "pack0",
         .groupby("gb").sum("v")
         .take_all()
     )
-    per: dict[str, np.ndarray] = {}
+    # always materialize the ungrouped entry: an all-zero value column
+    # emits no pass-1 rows at all, and pass 2 still needs offsets[""]
+    per: dict[str, np.ndarray] = (
+        {} if group_col is not None else {"": np.zeros(num_buckets,
+                                                       dtype=np.int64)})
     for r in totals:
         g, b = r["gb"].rsplit("\x1f", 1)
         per.setdefault(g, np.zeros(num_buckets, dtype=np.int64))[int(b)] = \

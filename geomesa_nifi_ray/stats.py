@@ -24,7 +24,13 @@ exchange this repo avoids. Instead: histogram refinement —
 Three streaming passes over ONE pruned column, O(bins + distinct-in-
 needed-bins) driver state, deterministic at any cluster size. Floats and
 ints both work (bin edges are float64; exact values come from pass 3,
-never from edge arithmetic).
+never from edge arithmetic), with the honest edges of the float64
+pipeline made explicit rather than silent: NaN values are EXCLUDED like
+nulls (they are unorderable; DuckDB instead sorts NaN greatest — callers
+needing that treat NaN upstream), ±inf raises (no finite bin edges
+exist), and an integer column whose extent exceeds 2^53 raises (distinct
+int64 values beyond float64's integer precision would silently merge in
+pass 3 — the same discipline as packing.py's int64 scatter-add).
 """
 
 from __future__ import annotations
@@ -47,18 +53,26 @@ def exact_quantiles(ds, col: str, qs: list[float], *, bins: int = 4096,
 
     pruned = ds.select_columns([col])
 
+    def _clean(v) -> np.ndarray:
+        """Non-null, non-NaN values as float64 (the one exclusion rule
+        every pass applies, so n / histogram / pass-3 counts agree)."""
+        arr = v.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        return arr[~np.isnan(arr)] if len(arr) else arr
+
     # ---- pass 1: extent ----------------------------------------------------
     def extent(t: pa.Table) -> pa.Table:
-        v = t[col]
-        n = t.num_rows - v.null_count
-        if n == 0:
-            return pa.table({"lo": pa.array([], pa.float64()),
-                             "hi": pa.array([], pa.float64()),
-                             "n": pa.array([], pa.int64())})
+        empty = pa.table({"lo": pa.array([], pa.float64()),
+                          "hi": pa.array([], pa.float64()),
+                          "n": pa.array([], pa.int64()),
+                          "isint": pa.array([], pa.bool_())})
+        arr = _clean(t[col])
+        if len(arr) == 0:
+            return empty
         return pa.table({
-            "lo": pa.array([pc.min(v).cast(pa.float64()).as_py()]),
-            "hi": pa.array([pc.max(v).cast(pa.float64()).as_py()]),
-            "n": pa.array([n], pa.int64()),
+            "lo": pa.array([float(arr.min())]),
+            "hi": pa.array([float(arr.max())]),
+            "n": pa.array([len(arr)], pa.int64()),
+            "isint": pa.array([pa.types.is_integer(t.schema.field(col).type)]),
         })
 
     parts = pa.concat_tables(
@@ -66,12 +80,23 @@ def exact_quantiles(ds, col: str, qs: list[float], *, bins: int = 4096,
          .iter_batches(batch_format="pyarrow")] or
         [pa.table({"lo": pa.array([], pa.float64()),
                    "hi": pa.array([], pa.float64()),
-                   "n": pa.array([], pa.int64())})])
+                   "n": pa.array([], pa.int64()),
+                   "isint": pa.array([], pa.bool_())})])
     if parts.num_rows == 0 or not int(pc.sum(parts["n"]).as_py() or 0):
         raise ValueError(f"exact_quantiles: no non-null values in {col!r}")
     lo = pc.min(parts["lo"]).as_py()
     hi = pc.max(parts["hi"]).as_py()
     n = int(pc.sum(parts["n"]).as_py())
+    if not (math.isfinite(lo) and math.isfinite(hi)):
+        raise ValueError(
+            f"exact_quantiles: {col!r} contains infinite values — no "
+            "finite bin edges exist; filter them upstream")
+    if (bool(pc.any(parts["isint"]).as_py())
+            and max(abs(lo), abs(hi)) > 2.0 ** 53):
+        raise ValueError(
+            f"exact_quantiles: integer column {col!r} exceeds 2^53 — "
+            "distinct values would merge in the float64 pipeline; rescale "
+            "or bucket upstream")
     ranks = {q: max(1, math.ceil(q * n)) for q in qs}  # quantile_disc rank
 
     if lo == hi:
@@ -81,11 +106,10 @@ def exact_quantiles(ds, col: str, qs: list[float], *, bins: int = 4096,
     edges = np.linspace(lo, hi, bins + 1)
 
     def hist(t: pa.Table) -> pa.Table:
-        v = t[col].drop_null()
-        if len(v) == 0:
+        arr = _clean(t[col])
+        if len(arr) == 0:
             return pa.table({"b": pa.array([], pa.int64()),
                              "c": pa.array([], pa.int64())})
-        arr = v.to_numpy(zero_copy_only=False).astype(np.float64)
         counts, _ = np.histogram(arr, bins=edges)
         used = np.flatnonzero(counts)
         return pa.table({"b": pa.array(used.astype(np.int64)),
@@ -104,14 +128,12 @@ def exact_quantiles(ds, col: str, qs: list[float], *, bins: int = 4096,
     # ---- pass 3: distinct (value, count) inside the needed bins ------------
     lo_edges = edges[needed_bins]
     hi_edges = edges[[b + 1 for b in needed_bins]]
-    last_needed = needed_bins[-1] == bins - 1  # top bin includes hi itself
 
     def in_bins(t: pa.Table) -> pa.Table:
-        v = t[col].drop_null()
-        if len(v) == 0:
+        arr = _clean(t[col])
+        if len(arr) == 0:
             return pa.table({"v": pa.array([], pa.float64()),
                              "c": pa.array([], pa.int64())})
-        arr = v.to_numpy(zero_copy_only=False).astype(np.float64)
         mask = np.zeros(len(arr), dtype=bool)
         for blo, bhi, is_last in zip(
                 lo_edges, hi_edges,

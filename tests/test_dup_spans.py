@@ -125,3 +125,32 @@ def test_all_null_batch_schema_stable():
     assert set(out.doc_id) == {"p", "q"}
     stats = duplicate_span_stats(ds, k=8).to_pandas()
     assert dict(zip(stats.doc_id, stats.dup_tokens)) == {"p": 8, "q": 8}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_null_doc_ids_follow_sql_distinct_semantics():
+    """Review regression: NULL ids never count toward the >=2-distinct-docs
+    rule (SQL count(DISTINCT) ignores NULLs), but null-id rows of a
+    surviving shingle are still emitted; stats exclude null-id rows."""
+    import ray.data
+
+    from geomesa_nifi_ray.dedup import duplicate_span_stats
+
+    # span shared only by a real doc and a null-id doc -> 1 distinct -> drop
+    t1 = pa.table({"doc_id": pa.array(["a", None]),
+                   "text": pa.array([f"{SHARED} x", f"{SHARED} y"])})
+    out1 = duplicate_spans(ray.data.from_arrow(t1), k=8).to_pandas()
+    assert len(out1) == 0
+    # two null-id docs sharing a span -> 0 distinct -> drop
+    t2 = pa.table({"doc_id": pa.array([None, None], pa.string()),
+                   "text": pa.array([f"{SHARED} x", f"{SHARED} y"])})
+    assert len(duplicate_spans(ray.data.from_arrow(t2), k=8).to_pandas()) == 0
+    # two real docs + one null-id doc sharing the span -> all three rows
+    # emitted (the null-id row rides along, exactly like the SQL WHERE IN)
+    t3 = pa.table({"doc_id": pa.array(["a", "b", None]),
+                   "text": pa.array([f"{SHARED} x", f"{SHARED} y",
+                                     f"{SHARED} z"])})
+    out3 = duplicate_spans(ray.data.from_arrow(t3), k=8).to_pandas()
+    assert len(out3) == 3 and out3["doc_id"].isna().sum() == 1
+    stats = duplicate_span_stats(ray.data.from_arrow(t3), k=8).to_pandas()
+    assert set(stats["doc_id"]) == {"a", "b"}  # null-id excluded from stats

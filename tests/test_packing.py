@@ -227,3 +227,19 @@ def test_group_token_budget_dict():
     with pytest.raises(ValueError, match="group_col"):
         token_budget_head(ray.data.from_arrow(t), "doc_id", "n_tokens",
                           {"en": 10})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_all_zero_values_running_total():
+    """Review regression: an all-zero value column emits no pass-1 rows;
+    pass 2 must still produce cum_before = 0 everywhere (not KeyError)."""
+    import ray.data
+
+    t = pa.table({"doc_id": pa.array(["a", "b", "c"]),
+                  "n_tokens": pa.array([0, 0, None], pa.int64())})
+    got = running_total(ray.data.from_arrow(t), "doc_id", "n_tokens"
+                        ).to_pandas()
+    assert list(got["cum_before"]) == [0, 0, 0]
+    grp = running_total(ray.data.from_arrow(t), "doc_id", "n_tokens",
+                        group_col="doc_id").to_pandas()
+    assert list(grp["cum_before"]) == [0, 0, 0]

@@ -79,3 +79,22 @@ def test_guards():
     with pytest.raises(ValueError, match="driver_cap"):
         exact_quantiles(ray.data.from_arrow(spread), "v", [0.5], bins=2,
                         driver_cap=10)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_nan_excluded_inf_and_bigint_raise():
+    """Review regressions: NaN rows are excluded like nulls (not silently
+    dropped from the histogram while still counted in n — that crashed
+    rank resolution); infinities and >2^53 integer extents raise with
+    clear messages instead of returning merged/rounded values."""
+    import ray.data
+
+    t = pa.table({"v": pa.array([1.0, 2.0, float("nan"), 3.0, None])})
+    got = exact_quantiles(ray.data.from_arrow(t), "v", [0.5, 1.0], bins=8)
+    assert got == {0.5: 2.0, 1.0: 3.0}
+    inf = pa.table({"v": pa.array([1.0, float("inf")])})
+    with pytest.raises(ValueError, match="infinite"):
+        exact_quantiles(ray.data.from_arrow(inf), "v", [0.5])
+    big = pa.table({"v": pa.array([2**53 + 1, 2**53 + 2], pa.int64())})
+    with pytest.raises(ValueError, match="2\\^53"):
+        exact_quantiles(ray.data.from_arrow(big), "v", [0.5])
