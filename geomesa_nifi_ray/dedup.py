@@ -19,8 +19,6 @@ membership can reach billions of nodes without a driver-memory ceiling.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
